@@ -1,0 +1,225 @@
+"""Deduplication suite for training-data pipelines (BASELINE north-star;
+no counterpart in the reference, whose only dedup is exact-row
+``drop_duplicates`` at ``/root/reference/preprocess.py:85-89`` → see
+clean.drop_duplicate_rows).
+
+Every operator is shuffle-shaped for 100 TB:
+- exact/canonical dedup = hash aggregate on the key (one shuffle);
+- MinHash-LSH = explode→agg signatures (one shuffle on doc id), then a
+  BAND-BUCKET self-join (shuffle on small band keys) — candidate pairs
+  only, never the O(n²) cross join;
+- SimHash = same explode→agg shape, bucketed by hamming-prefix;
+- n-gram Jaccard verification joins only candidate pairs.
+
+Hashes are the portable md5-based family (functions/portable.py) so the
+DuckDB oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import md5_i64, tokens_col
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the minimum id per key group — deterministic
+    (unlike dropDuplicates' arbitrary winner), one hash aggregate."""
+    return df.groupBy(*key_cols).agg(F.min(F.col(id_col)).alias(id_col))
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs — the base relation for set-similarity."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs, k-word shingles.
+
+    Built JVM-side: tokenize → transform over indices joining k
+    consecutive tokens — no Python in the loop."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    pairs: DataFrame, id_col: str, item_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: permutation i = min over items of
+    md5_i64(i || '|' || item). One shuffle (groupBy id)."""
+    aggs = [
+        F.min(md5_i64(F.concat(F.lit(f"{i}|"), F.col(item_col)))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return pairs.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature (bands × rows-per-band), bucket-join per band,
+    emit candidate (a, b) pairs with a < b. The self-join key is
+    (band_index, band_hash) — collision probability follows the classic
+    S-curve, and the join never materializes non-colliding pairs."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col(f"b.band"),
+                F.col(f"a.sig") == F.col(f"b.sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, items: DataFrame, id_col: str, item_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: join each side to its item
+    set, count intersections, divide by union. Returns
+    (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ia = items.withColumnRenamed(id_col, "id_a")
+    ib = items.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(ia, "id_a")
+        .join(ib.withColumnRenamed(item_col, f"{item_col}_b"), "id_b")
+        .where(F.col(item_col) == F.col(f"{item_col}_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → signature → band-bucket
+    candidates → exact-Jaccard verify. Output (id_a, id_b, jaccard)."""
+    shingles = doc_shingles(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(shingles, id_col, "shingle", num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cands, shingles, id_col, "shingle", threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per doc: bit b of the fingerprint is the
+    majority vote of bit b across the (distinct) token hashes.
+
+    Bit b of token t = (md5_i64(t) >> b) & 1. Implemented as one
+    explode + one aggregate (sum per bit), all codegen."""
+    toks = doc_tokens(df, id_col, text_col)
+    h = md5_i64(F.col("token"))
+    aggs = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs, F.count("*").alias("n_tokens"))
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"), "n_tokens")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via the inverted-index join (pair
+    candidates = docs sharing ≥1 gram) + exact verify. For corpora where
+    shared-gram fan-out is too hot, use minhash_lsh_near_duplicates."""
+    items = (
+        doc_tokens(df, id_col, text_col)
+        if ngram == 1
+        else doc_shingles(df, id_col, text_col, ngram).withColumnRenamed("shingle", "token")
+    )
+    a = items.withColumnRenamed(id_col, "id_a")
+    b = items.withColumnRenamed(id_col, "id_b")
+    cands = (
+        a.join(b, on=["token"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, items, id_col, "token", threshold)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup. With ``block_pairs`` (e.g. from an LSH
+    bucketing — see similarity.py) only candidates are scored; without,
+    the full self-join runs (fine ≤ ~10^5 vectors, NOT the 100 TB path).
+    Arrays are cast to double so the result is engine-portable."""
+    from .similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col), F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    if block_pairs is not None:
+        pairs = block_pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,157 @@
+"""Relational operator surface (SURVEY.md §2.4, §2.5, §7 tier 3).
+
+ABSENT in the reference (no joins, no keyed aggregation, no windows, no
+sorts, no set ops — SURVEY.md §2.4/§2.5); exposed here as thin idiomatic
+wrappers over the DataFrame API so Catalyst owns the physical strategy:
+
+- joins: Catalyst picks broadcast-hash vs shuffled-hash vs sort-merge;
+  ``broadcast_hint=True`` forces BHJ for known-small build sides.
+- aggregations: map-side partial agg + final agg come free from
+  ``groupBy().agg()``; grouping sets / rollup / cube are built-in.
+- windows: ``Window.partitionBy().orderBy()`` with rank/lag/frames.
+- top-k: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — a
+  per-partition heap + driver merge, NOT a global sort; the right plan
+  at any scale.
+
+Keeping these declarative is the whole point: predicate pushdown, column
+pruning, join reordering and AQE re-planning apply to every pipeline
+built from them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {
+    "inner", "left", "right", "full", "left_semi", "left_anti", "cross",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_hint: bool = False,
+) -> DataFrame:
+    """Equi/theta join. ``on`` may be column names or a boolean Column
+    (theta/range joins: pass an expression like
+    ``(l.ts >= r.start) & (l.ts < r.end)``)."""
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unsupported join type {how!r}")
+    r = F.broadcast(right) if broadcast_hint else right
+    return left.join(r, on=on, how=how)
+
+
+def interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range join of a fact column against a SMALL interval dimension
+    (value >= lo AND value < hi).
+
+    Spark's generic plan for this is BroadcastNestedLoopJoin — per-row
+    interpreted predicate evaluation, the slowest operator in the engine.
+    When the intervals are non-overlapping (the common banding case), the
+    join is a function, not a relation: compile it to a codegen'd CASE
+    chain — zero join, zero shuffle, scan-speed at any scale. Overlapping
+    intervals fall back to the BNLJ (correct, just slower).
+
+    The interval side is collected to the driver — it is a dimension by
+    assumption (bands/buckets/tiers), never data-sized.
+    """
+    rows = intervals.collect()
+    other_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    spans = sorted(((r[lo_col], r[hi_col], r) for r in rows), key=lambda x: (x[0], x[1]))
+    non_overlapping = all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+    if not non_overlapping:
+        cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        return fact.join(F.broadcast(intervals), cond, "inner")
+    v = F.col(value_col)
+    out_cols = {}
+    for c in other_cols:
+        expr = None
+        for lo, hi, r in spans:
+            branch = F.when((v >= F.lit(lo)) & (v < F.lit(hi)), F.lit(r[c]))
+            expr = branch if expr is None else expr.when((v >= F.lit(lo)) & (v < F.lit(hi)), F.lit(r[c]))
+        out_cols[c] = expr
+    matched = None
+    for lo, hi, _ in spans:
+        m = (v >= F.lit(lo)) & (v < F.lit(hi))
+        matched = m if matched is None else (matched | m)
+    out = fact.where(matched)
+    for c, expr in out_cols.items():
+        out = out.withColumn(c, expr)
+    lo_out = None
+    hi_out = None
+    for lo, hi, _ in spans:
+        cnd = (v >= F.lit(lo)) & (v < F.lit(hi))
+        lo_out = F.when(cnd, F.lit(lo)) if lo_out is None else lo_out.when(cnd, F.lit(lo))
+        hi_out = F.when(cnd, F.lit(hi)) if hi_out is None else hi_out.when(cnd, F.lit(hi))
+    return out.withColumn(lo_col, lo_out).withColumn(hi_col, hi_out)
+
+
+def aggregate(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
+    """Keyed aggregation; ``aggs`` maps output name → agg Column."""
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
+    return df.cube(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def window_rank(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    rank_col: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(rank_col, fn().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame, partition_by: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Grouped top-k via row_number — one shuffle on the group keys, rank
+    evaluated streaming within each sorted partition."""
+    return (
+        window_rank(df, partition_by, order_by, "rn")
+        .where(F.col("rn") <= k)
+    )
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (heap, no full sort)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (BASELINE north-star;
+ABSENT in the reference — nearest public analog is Spark MLlib's
+BucketedRandomProjectionLSH, re-expressed here without the ML pipeline
+dependency so plans stay pure DataFrame).
+
+Two tiers:
+- brute-force cosine top-k: exact, cross-join + per-query heap
+  (TakeOrdered per group). Right answer for ≤10^5 corpus or for
+  verifying the approximate tier.
+- LSH-bucketed ANN: deterministic sign-bucket per vector, candidates =
+  same-bucket (or neighboring-bucket) pairs. The bucket key shuffles a
+  100 TB corpus once; queries probe only their bucket.
+
+All arithmetic in double via higher-order functions (zip_with /
+aggregate) — JVM codegen, no Python, engine-portable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> cast(x as double))"
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential-order fold => deterministic, oracle-reproducible."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(F.expr(f"aggregate(transform({a}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    Plan shape: broadcast(queries) × corpus → window top-k per query.
+    At scale the query side is the small side — broadcast it, never the
+    corpus. Ties broken by neighbor id for determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def sign_lsh_bucket(vec_col: str, num_bits: int = 8) -> Column:
+    """Deterministic hyperplane-free LSH bucket: bit j = sign of
+    (v[2j] - v[2j+1]). Equivalent to projecting onto the fixed sparse
+    hyperplanes (e_{2j} - e_{2j+1}) — no randomness, no stored planes,
+    reproducible in plain SQL by the oracle."""
+    bits = [
+        F.when(
+            F.element_at(F.col(vec_col), 2 * j + 1)
+            >= F.element_at(F.col(vec_col), 2 * j + 2),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        * F.lit(1 << j)
+        for j in range(num_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. Recall is
+    traded for a bucket-key equi-join instead of a cross join — the
+    100 TB path (bucket the corpus once, probe per query)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_dbl(vec_col)).alias("qv"),
+        sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_dbl(vec_col)).alias("cv"),
+        sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

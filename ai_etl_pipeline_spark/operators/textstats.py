@@ -1,0 +1,98 @@
+"""Text analysis for training-data curation (BASELINE north-star;
+the reference's language detection T2 at
+``/root/reference/translate.py:57-76`` is LLM-backed and per-COLUMN — the
+per-DOCUMENT operators here are its distributed, deterministic
+generalization).
+
+All operators are single-projection (no shuffle) built-in-function
+pipelines — they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import tokens_col
+
+# tiny per-language stopword marker sets (public knowledge); enough for a
+# coarse n-gram/stopword language vote, mirroring T2's ENGLISH/NON-ENGLISH
+# decision but per document and offline.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "with", "for"],
+    "es": ["el", "la", "los", "las", "que", "de"],
+    "de": ["der", "die", "das", "und", "nicht", "mit"],
+    "fr": ["le", "les", "des", "une", "est", "dans"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-marker hit counts;
+    'und' (undetermined) when no marker fires. Ties break by language
+    code order via the greatest-struct trick (deterministic)."""
+    scores = [
+        F.struct(_marker_hits(F.col(text_col), ws).alias("hits"), F.lit(code).alias("code"))
+        for code, ws in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality features + composite score: length, word stats, punct /
+    digit / stopword ratios. Mirrors standard corpus-filtering features
+    (C4/Gopher-style rules, public)."""
+    toks = tokens_col(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(toks)
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), F.lit(0)))
+    digits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]"), F.lit(0)))
+    stop_hits = _marker_hits(F.col(text_col), LANG_MARKERS["en"])
+    avg_word_len = F.round((n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    digit_ratio = F.round(digits / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    score = F.round(
+        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization (the standard LLM-cost estimator shape)."""
+    return df.withColumn("ws_tokens", F.size(tokens_col(F.col(text_col)))).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Canonical document fingerprint: lowercase → tokenize → distinct →
+    sort → md5 of the joined token set (the classic key-collision
+    canonicalization). Identical token multisets-as-sets collide, so
+    shuffled/duplicated-word docs fingerprint together."""
+    toks = F.array_sort(F.array_distinct(tokens_col(F.col(text_col))))
+    return df.withColumn(out_col, F.md5(F.array_join(toks, " ")))

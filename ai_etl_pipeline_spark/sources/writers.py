@@ -1,0 +1,64 @@
+"""Sinks (SURVEY.md §2.1 S4–S6).
+
+- S4 JSON checkpoint (Timestamp-safe): ``/root/reference/preprocess.py:95-110``.
+  Checkpoint payloads are small driver-side mappings (value dicts, column
+  mappings) — data-scale checkpoints go through ``write_parquet``.
+- S5 CSV sink: ``/root/reference/translate.py:226``.
+- S6 multi-sheet Excel sink with 31-char sheet-name truncation:
+  ``/root/reference/mapper.py:123-136``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """The scale-path sink. ``partition_by`` enables partition pruning for
+    downstream readers — choose low-cardinality keys (date, region)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: distributed CSV sink (directory of part files, header per part)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def _json_default(obj):
+    if isinstance(obj, (_dt.datetime, _dt.date)):
+        return obj.isoformat()
+    raise TypeError(f"not JSON serializable: {type(obj)}")
+
+
+def store_json_checkpoint(payload, path: str) -> None:
+    """S4: driver-side JSON checkpoint; Timestamps serialized via
+    ``isoformat()`` exactly like ``preprocess.py:96-98``."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, ensure_ascii=False, indent=2, default=_json_default)
+
+
+def load_json_checkpoint(path: str):
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_excel_sheets(tables: dict[str, DataFrame], path: str) -> None:
+    """S6: one sheet per table, sheet names truncated to Excel's 31-char
+    limit (``mapper.py:134``). Data is collected per table — callers are
+    expected to pass dimension-sized frames (the reference's destination
+    tables); a 100 TB fact table has no business in an .xlsx file.
+    """
+    import pandas as pd
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for name, df in tables.items():
+            df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)

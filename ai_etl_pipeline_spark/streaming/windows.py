@@ -1,0 +1,138 @@
+"""Structured Streaming surface (SURVEY.md §2.7 — ABSENT in the
+reference; planned per §7 tier 4).
+
+Event-time windowed aggregation, session windows, watermarked late-data
+handling and streaming dedup over the ``events`` table shape
+(event_id, ts, user_id, event_type, value, props).
+
+Each transformation is defined once and applied to BOTH batch and
+streaming DataFrames (Structured Streaming's unified model), so the
+DuckDB oracle can verify the batch rendering while tests run the real
+micro-batch engine via ``run_stream_to_memory`` (file source →
+Trigger.AvailableNow → memory sink).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per (window,
+    event_type). Works identically on batch and stream inputs."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Native session windows (gap-based), per user."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Late-data bound: state for windows older than max(event time) -
+    delay is evicted; later events are dropped. Required for append-mode
+    streaming aggregation."""
+    return events.withWatermark("ts", delay)
+
+
+def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps only in-watermark keys."""
+    wm = events.withWatermark("ts", watermark)
+    try:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    except Exception:  # batch DataFrames have no watermark semantics
+        return events.dropDuplicates(keys)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Batch sessionization via the gaps-and-islands idiom (lag + running
+    sum of gap breaks) — the window-function rendering of
+    session_window_agg, SQL-expressible for the oracle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        > gap_minutes * 60,
+        1,
+    ).otherwise(0)
+    marked = events.withColumn("new_session", F.coalesce(gap, F.lit(1)))
+    sess = marked.withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory; schema is
+    declared (streams can't infer)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path_dir)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan to completion with Trigger.AvailableNow →
+    in-memory sink, return the final result as a batch DataFrame. Gives
+    streaming operators a REAL micro-batch execution in tests/correctness
+    checks instead of a batch stand-in."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

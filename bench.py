@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution to a driver-side collect (results are
+small aggregates / bounded row sets). Session build time excluded; one
+warm-up action runs first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_join_broadcast_part",
+    "q_join_range_bands",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_window_topk_per_customer",
+    "q_window_running_total",
+    "q_set_union",
+    "q_clean_dedup_rows",
+    "q_clean_numeric_cast",
+    "q_map_values_broadcast",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ai_etl_pipeline_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: touch the biggest table so startup cost is off the clock
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
