@@ -706,6 +706,561 @@ SELECT o_orderkey AS activity_id, o_totalprice AS amount FROM orders
 
 
 # ---------------------------------------------------------------------------
+# dedup suite (training-data ops; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+"""
+
+_SHINGLES_CTE = """
+tokarr AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tokarr WHERE len(ts) >= 3)
+)
+"""
+
+
+def _mh_expr(i: int, item: str) -> str:
+    return f"min(CAST('0x' || substr(md5(concat('{i}|', {item})), 1, 15) AS BIGINT))"
+
+
+def q_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical min-id per identical text (hash aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_exact(docs, ["text"], "doc_id")
+    return out.select(F.col("doc_id"), F.col("text"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: 3-word shingles → 16 portable md5 minhashes
+    → 8 bands → bucket-join candidates → exact-Jaccard verify ≥ 0.5.
+    The oracle replays the identical signature/banding arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n         ".join(f"{_mh_expr(i, 'shingle')} AS mh{i}" for i in range(16))
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(concat_ws('_', mh{2*b}, mh{2*b+1})) AS sig FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT inter.id_a, inter.id_b,
+       round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+FROM inter JOIN sz za ON za.doc_id = inter.id_a JOIN sz zb ON zb.doc_id = inter.id_b
+WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprint per document (majority vote per bit
+    over portable token hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_sql() -> str:
+    h = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+    votes = ",\n         ".join(
+        f"sum((({h} >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(16))
+    return f"""
+WITH {_TOKS_CTE},
+votes AS (
+  SELECT doc_id,
+         {votes},
+         count(*) AS n_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash, n_tokens FROM votes
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs unigram Jaccard via inverted-index join, verify ≥ 0.95
+    (the synthetic corpus shares a tiny vocabulary, so the threshold is
+    high to isolate true near-dups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_TOKS_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b, round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+FROM inter JOIN sz za ON za.doc_id = inter.id_a JOIN sz zb ON zb.doc_id = inter.id_b
+WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.95
+"""
+
+_BUCKET_SQL_BITS = 8
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2*j+1}] >= embedding[{2*j+2}] THEN 1 ELSE 0 END) * {1 << j}"
+    for j in range(_BUCKET_SQL_BITS)
+)
+_DOT_SQL = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, sign-LSH-bucket blocked: candidates = same
+    deterministic sign bucket, scored by exact cosine ≥ 0.3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.col("vec_id"), similarity.sign_lsh_bucket("embedding", 8).alias("bucket")
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), on="bucket")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+    )
+    return dedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3, block_pairs=pairs
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket,
+         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<5 over the full
+    corpus: broadcast(queries) × corpus → per-query heap."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_knn(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+_KNN_BF_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's sign-LSH
+    bucket — the bucketed scale path (equi-join instead of cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 5), k=5, num_bits=4)
+
+
+_BUCKET4_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2*j+1}] >= embedding[{2*j+2}] THEN 1 ELSE 0 END) * {1 << j}"
+    for j in range(4)
+)
+
+_KNN_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+_LANG_HITS_SQL = {
+    code: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+    for code, words in textstats.LANG_MARKERS.items()
+}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+_TEXT_LANGID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_LANG_HITS_SQL['en']} AS h_en, {_LANG_HITS_SQL['es']} AS h_es,
+         {_LANG_HITS_SQL['de']} AS h_de, {_LANG_HITS_SQL['fr']} AS h_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_en, h_es, h_de, h_fr) > 0 THEN
+            (CASE WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                  ELSE 'de' END)
+            ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "text").select(
+        "doc_id", "n_chars_q", "n_words", "avg_word_len",
+        "punct_ratio", "digit_ratio", "stopword_ratio", "quality",
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars_q,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS INTEGER) AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(text, '[0-9]')) AS digits,
+         {_LANG_HITS_SQL['en']} AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_q, n_words,
+       round((n_chars_q - (n_words - 1)) / greatest(n_words, 1), 6) AS avg_word_len,
+       round(punct / greatest(n_chars_q, 1), 6)  AS punct_ratio,
+       round(digits / greatest(n_chars_q, 1), 6) AS digit_ratio,
+       round(stop_hits / greatest(n_words, 1), 6) AS stopword_ratio,
+       round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN round(punct / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN round(digits / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN round(stop_hits / greatest(n_words, 1), 6) >= 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM f
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+_TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fingerprint groups: shuffled/repeated-word variants of
+    the same token set collide on one md5 key."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(docs, "text")
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+WITH {_TOKS_CTE},
+fp AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS fingerprint
+  FROM toks GROUP BY doc_id
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc FROM fp GROUP BY fingerprint
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time / streaming (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return stream_windows.tumbling_window_agg(ev, "10 minutes")
+
+
+_EVENTS_TUMBLING_SQL = """
+SELECT CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS TIMESTAMP) AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return stream_windows.sliding_window_agg(ev, "10 minutes", "5 minutes")
+
+
+_EVENTS_SLIDING_SQL = """
+WITH starts AS (
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws, value FROM events
+  UNION ALL
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' AS TIMESTAMP) AS ws, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes'
+)
+SELECT ws AS window_start, CAST(ws + INTERVAL '10 minutes' AS TIMESTAMP) AS window_end,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM starts GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands windows), 5-minute gap."""
+    ev = _events(spark, sf_dir)
+    return stream_windows.sessionize_batch(ev, gap_minutes=5)
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT) > 300
+              THEN 1
+              WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+def q_events_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join rendered as a running conditional max: for every event,
+    the timestamp of the user's most recent preceding 'error' event."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias("last_error_ts"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       max(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END)
+         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS UNBOUNDED PRECEDING) AS last_error_ts
+FROM events
+"""
+
+
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file source → tumbling
+    event-time aggregate → memory sink (Trigger.AvailableNow), result
+    returned as the final batch table. Oracle = the batch tumbling SQL —
+    the unified-model guarantee, actually checked."""
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = stream_windows.tumbling_window_agg(stream, "10 minutes")
+    return stream_windows.run_stream_to_memory(agg, "complete")
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark)
+    → then a batch count by type over the deduped stream output."""
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = stream_windows.streaming_dedup(stream, ["event_id"], "60 minutes")
+    out = stream_windows.run_stream_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+_EVENTS_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id, ts)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time metadata over opaque binary payloads (no decode):
+    byte length + sha256, JVM-side only."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.attach_binary_metadata(media).select(
+        "media_id", "kind", "meta_format", "meta_bytes", "content_sha"
+    )
+
+
+_MEDIA_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       'synthetic/utf8' AS meta_format,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS meta_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode+featurize through mapInPandas (decode step is
+    the deterministic stub; the distributed plumbing is real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media, dim=8)
+
+
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS meta_bytes,
+       sha256(text) AS content_sha,
+       [round(CAST('0x' || substr(sha256(text ||
+              (CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END)), 1 + 2*i, 2) AS BIGINT) / 255.0, 6)
+        for i in range(0, 8)] AS feature
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work-list: (media_id, frame_no) rows for
+    every other fake frame — sequence/explode, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_sample_plan(media.where(F.col("kind") == "video"), every_n=2)
+
+
+_MEDIA_FRAME_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, octet_length(CAST(text AS BLOB)) // 64 + 1, 2)) AS INTEGER) AS frame_no
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic pipelines (plans/pipeline.py) — T1/T2/T3/T5/M1/M2 end-to-end
+# ---------------------------------------------------------------------------
+
+def q_pipeline_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stage-1 pipeline end-to-end on documents with the
+    deterministic heuristic provider: clean → classify → detect →
+    translate-distinct → broadcast apply. On this corpus nothing is
+    NON-ENGLISH, so the oracle is the cleaning chain's fixpoint."""
+    from ai_etl_pipeline_spark.plans import run_translation_pipeline
+    from ai_etl_pipeline_spark.semantic import HeuristicProvider
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _ = run_translation_pipeline(docs, HeuristicProvider())
+    return out
+
+
+_PIPELINE_TRANSLATION_SQL = """
+SELECT doc_id, trim(text) AS text, trim(lang) AS lang, trim(source) AS source, n_chars
+FROM documents
+"""
+
+
+def q_pipeline_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stage-2 pipeline: structure → M1 heuristic mapping
+    → M2 cleanup → P9 split; returns the fact projection. Rows-only
+    check (the mapping itself is provider output, not SQL)."""
+    from ai_etl_pipeline_spark.plans import run_mapping_pipeline
+    from ai_etl_pipeline_spark.semantic import HeuristicProvider
+
+    orders = _t(spark, sf_dir, "orders")
+    dest = {
+        "FACT_Orders": spark.createDataFrame(
+            [], schema="o_orderkey long, o_totalprice double, o_orderdate timestamp"
+        )
+    }
+    tables, _ = run_mapping_pipeline(orders, dest, "orders fact", HeuristicProvider())
+    return tables["FACT_Orders"]
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -741,6 +1296,28 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
+    "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
+    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
+    "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
+    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
+    "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
+    "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
+    "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
+    "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
+    "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
+    "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
+    "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
+    "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
+    "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
+    "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
+    "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
+    "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
+    "q_pipeline_mapping": (q_pipeline_mapping, None),
 }
 
 

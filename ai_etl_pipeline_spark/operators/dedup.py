@@ -30,9 +30,14 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct pairs — the base relation for set-similarity."""
+    """(id, token) distinct pairs — the base relation for set-similarity.
+
+    Repartitions on the id BEFORE the explode: a corpus that arrives as
+    few files would otherwise fan out on few cores (explode preserves
+    partitioning), serializing all downstream hashing."""
     return (
-        df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
         .distinct()
     )
 
@@ -50,7 +55,8 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
     ).otherwise(F.array(F.array_join(toks, " ")))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        df.repartition(F.col(id_col))  # parallelize the fan-out (see doc_tokens)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -109,11 +115,19 @@ def jaccard_verify(
     (id_a, id_b, jaccard) for pairs ≥ threshold."""
     sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
     ia = items.withColumnRenamed(id_col, "id_a")
-    ib = items.withColumnRenamed(id_col, "id_b")
+    ib = (
+        items.withColumnRenamed(id_col, "__id_b2")
+        .withColumnRenamed(item_col, f"{item_col}_b")
+    )
     inter = (
         pairs.join(ia, "id_a")
-        .join(ib.withColumnRenamed(item_col, f"{item_col}_b"), "id_b")
-        .where(F.col(item_col) == F.col(f"{item_col}_b"))
+        # item equality INSIDE the join condition: the intermediate is
+        # |matching items| per pair, never |items_a| × |items_b|
+        .join(
+            ib,
+            on=(F.col("id_b") == F.col("__id_b2"))
+            & (F.col(item_col) == F.col(f"{item_col}_b")),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -144,7 +158,11 @@ def minhash_lsh_near_duplicates(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → signature → band-bucket
     candidates → exact-Jaccard verify. Output (id_a, id_b, jaccard)."""
-    shingles = doc_shingles(df, id_col, text_col, shingle_k)
+    # the shingle relation feeds 4 plan branches (signatures, both sides
+    # of the verify join, and the size aggregate): persist it once or pay
+    # the explode+distinct 4 times. At cluster scale this is the classic
+    # "materialize the token table" step (MEMORY_AND_DISK spills cleanly).
+    shingles = doc_shingles(df, id_col, text_col, shingle_k).persist()
     sigs = minhash_signatures(shingles, id_col, "shingle", num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cands, shingles, id_col, "shingle", threshold)
@@ -156,8 +174,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
     Bit b of token t = (md5_i64(t) >> b) & 1. Implemented as one
     explode + one aggregate (sum per bit), all codegen."""
-    toks = doc_tokens(df, id_col, text_col)
-    h = md5_i64(F.col("token"))
+    # hash once in a projection — 16 per-bit aggregates over the SAME
+    # md5 would otherwise recompute it 16× per row (no CSE across aggs)
+    toks = doc_tokens(df, id_col, text_col).withColumn("h", md5_i64(F.col("token")))
+    h = F.col("h")
     aggs = [
         F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
         for b in range(bits)
@@ -176,17 +196,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     ngram: int = 1,
+    max_df: float | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via the inverted-index join (pair
-    candidates = docs sharing ≥1 gram) + exact verify. For corpora where
-    shared-gram fan-out is too hot, use minhash_lsh_near_duplicates."""
+    candidates = docs sharing ≥1 gram) + exact verify.
+
+    The inverted index is quadratic in the document frequency of the
+    hottest gram — 'the' pairs every doc with every other. ``max_df``
+    (fraction of docs) drops those stop-grams from CANDIDATE GENERATION
+    only (verification still uses the full sets, so the similarity value
+    is exact; only recall of pairs sharing solely stop-grams is traded).
+    For large corpora prefer minhash_lsh_near_duplicates outright."""
     items = (
         doc_tokens(df, id_col, text_col)
         if ngram == 1
         else doc_shingles(df, id_col, text_col, ngram).withColumnRenamed("shingle", "token")
-    )
-    a = items.withColumnRenamed(id_col, "id_a")
-    b = items.withColumnRenamed(id_col, "id_b")
+    ).persist()  # reused by candidate join (2 sides), verify join, sizes
+    cand_items = items
+    if max_df is not None:
+        n_docs = df.select(id_col).distinct().count()
+        hot = (
+            items.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df * n_docs)
+            .select("token")
+        )
+        cand_items = items.join(F.broadcast(hot), "token", "left_anti")
+    a = cand_items.withColumnRenamed(id_col, "id_a")
+    b = cand_items.withColumnRenamed(id_col, "id_b")
     cands = (
         a.join(b, on=["token"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -209,7 +246,7 @@ def embedding_near_duplicates(
     Arrays are cast to double so the result is engine-portable."""
     from .similarity import cosine_expr
 
-    v = df.select(
+    v = df.repartition(F.col(id_col)).select(
         F.col(id_col), F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v")
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -45,7 +45,7 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), True),
         StructField("meta_bytes", LongType(), True),
         StructField("content_sha", StringType(), True),
-        StructField("feature", ArrayType(FloatType()), True),
+        StructField("feature", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -96,15 +96,16 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 256) -> Data
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(df: DataFrame, every_n: int = 10, bytes_per_frame: int = 64) -> DataFrame:
     """Video frame-sampling PLUMBING: expands (media_id, n_frames) into
     (media_id, frame_no) rows for frames 0, n, 2n… — the distributed
     work-list a real frame decoder would map over. Uses sequence/explode,
-    no Python."""
-    n_frames = (F.col("meta_bytes") / F.lit(1024)).cast("long") + 1  # fake frame count from size
+    no Python. Frame count is faked from payload size (real decoders
+    replace this one expression)."""
+    n_frames = F.expr(f"meta_bytes div {bytes_per_frame}") + 1
     return df.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every_n))).alias("frame_no"),
     )
 
 

@@ -57,7 +57,9 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # repartition the corpus: a few-file corpus would otherwise score all
+    # query×corpus pairs on as many cores as it has files
+    c = corpus.repartition(F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
     )
     scored = (

@@ -42,7 +42,9 @@ def read_parquet_nanos_ts(spark: SparkSession, path: str, ts_cols: tuple[str, ..
     df = spark.read.parquet(path)
     for c in ts_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer division — epoch-nanos (~1.7e18) overflows a double
+            # mantissa, so float division here silently loses microseconds
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_DDL = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
-)
+)  # ts declared long: the file stores TIMESTAMP(NANOS); converted on read
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -94,12 +94,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
     gap = F.when(
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-        > gap_minutes * 60,
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > gap_minutes * 60),
         1,
     ).otherwise(0)
-    marked = events.withColumn("new_session", F.coalesce(gap, F.lit(1)))
+    marked = events.withColumn("new_session", gap)
     sess = marked.withColumn(
         "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -110,14 +111,26 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
-    """File-source stream over the events parquet directory; schema is
-    declared (streams can't infer)."""
-    return (
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet data; schema is
+    declared (streams can't infer). ``path`` may be the parquet file
+    itself — the file source wants a directory, so we stream its parent
+    with a glob filter. Nanos timestamps are read as long
+    (``nanosAsLong``) and converted with exact integer division."""
+    import os
+
+    if path.endswith(".parquet") and os.path.isfile(path):
+        base, fname = os.path.dirname(path), os.path.basename(path)
+    else:
+        base, fname = path, "*.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", 1)
-        .parquet(path_dir)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
     )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -31,6 +31,13 @@ HEADLINE = [
     "q_clean_dedup_rows",
     "q_clean_numeric_cast",
     "q_map_values_broadcast",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding_cosine",
+    "q_knn_bruteforce",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_events_tumbling",
+    "q_events_sessionize",
 ]
 
 
