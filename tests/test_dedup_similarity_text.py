@@ -1,0 +1,128 @@
+"""Dedup / similarity / text operators on constructed corpora with known
+ground truth (the testdata checks live in the oracle parity gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "spark engines completely different text about"), # shuffled 2
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(corpus):
+    out = dedup.dedup_exact(corpus, ["text"], "doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 3 not in kept  # min-id winner, deterministic
+
+
+def test_minhash_lsh_finds_planted_pair(corpus):
+    pairs = dedup.minhash_lsh_near_duplicates(
+        corpus, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in found  # exact dup -> jaccard 1.0
+    assert (0, 1) in found  # near dup
+    assert all(r["jaccard"] >= 0.4 for r in pairs)
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == 1.0
+    assert got[(2, 4)] == 1.0  # token-SET jaccard ignores order
+
+
+def test_ngram_jaccard_max_df_prunes_candidates(corpus):
+    # dropping grams in >60% of docs removes 'the'-style stop-grams from
+    # candidate generation; the (2,4) pair shares only rare grams -> kept
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.99, max_df=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (2, 4) in got
+
+
+def test_simhash_close_for_near_dups(corpus):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus, "doc_id", "text", 16).collect()}
+    assert fp[0] == fp[3]  # identical token set -> identical simhash
+    assert fp[2] == fp[4]
+    ham01 = bin(fp[0] ^ fp[1]).count("1")
+    ham02 = bin(fp[0] ^ fp[2]).count("1")
+    assert ham01 <= ham02  # near-dup at most as far as unrelated doc
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8 * 2 * math.pi
+        jitter = 0.001 * (i // 8)
+        rows.append((i, [math.cos(angle) + jitter, math.sin(angle), 0.1, -0.1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_knn_exact(vectors):
+    out = similarity.brute_force_knn(vectors, vectors.where(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rn").collect()
+    assert [r["query_id"] for r in rows] == [0, 0, 0]
+    # nearest neighbors of vec 0 are the same-angle vectors 8,16,24...
+    assert rows[0]["neighbor_id"] in (8, 16, 24, 32)
+    assert rows[0]["cosine"] > 0.999
+
+
+def test_lsh_knn_subset_of_bucket(vectors):
+    out = similarity.lsh_knn(vectors, vectors.where(F.col("vec_id") == 0), k=3, num_bits=2)
+    rows = out.collect()
+    assert 1 <= len(rows) <= 3
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_embedding_near_duplicates_blocked(vectors):
+    out = dedup.embedding_near_duplicates(vectors, "vec_id", "embedding", threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 8) in found  # same angle, tiny jitter
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "el gato y la casa de los perros que"),
+            (2, "der hund und die katze mit nicht das"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df, "text").collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox, 42 times!"), (1, "x")], "doc_id long, text string"
+    )
+    q = {r["doc_id"]: r for r in textstats.quality_score(df, "text").collect()}
+    assert q[0]["n_words"] == 6
+    assert q[0]["quality"] > q[1]["quality"]  # one-char doc scores lower
+    t = {r["doc_id"]: r for r in textstats.token_counts(df, "text").collect()}
+    assert t[0]["ws_tokens"] == 6
+    assert t[0]["bpe_tokens"] == 8  # words + '42' + ',' + '!'
+
+
+def test_fingerprint_collides_for_shuffled_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta alpha"), (2, "delta")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df, "text").collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
