@@ -705,6 +705,105 @@ SELECT o_orderkey AS activity_id, o_totalprice AS amount FROM orders
 """
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (relational.salted_join): result is
+    identical to the plain join — the salt only respreads the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = relational.salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"),
+        orders,
+        "o_orderkey",
+        salt_buckets=8,
+    )
+    return relational.aggregate(
+        j,
+        ["o_orderpriority"],
+        {"revenue": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+         "n_items": F.count("*")},
+    )
+
+
+_JOIN_SALTED_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no extra distinct pass)."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.pivot_agg(
+        orders, "o_orderpriority", "o_orderstatus", ["F", "O", "P"], F.count(F.lit(1)), fill=0
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: duplicates preserved per bag semantics."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 3000)
+    return relational.except_all(
+        li.select(F.col("l_suppkey").alias("suppkey")),
+        supp.select(F.col("s_suppkey").alias("suppkey")),
+    )
+
+
+_SET_EXCEPT_ALL_SQL = """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 200
+EXCEPT ALL
+SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 3000
+"""
+
+
+def q_correlated_max_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (parts at their brand's max price),
+    planned as aggregate + join-back — no per-row subquery execution."""
+    part = _t(spark, sf_dir, "part")
+    mx = part.groupBy(F.col("p_brand").alias("b")).agg(F.max("p_retailprice").alias("mx"))
+    return (
+        part.join(F.broadcast(mx), (part.p_brand == mx.b) & (part.p_retailprice == mx.mx))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+_CORRELATED_MAX_SQL = """
+SELECT p_partkey, p_brand, p_retailprice FROM part p
+WHERE p_retailprice = (SELECT max(p_retailprice) FROM part q WHERE q.p_brand = p.p_brand)
+"""
+
+
+def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-edge surface: Arrow-vectorized grouped-agg pandas UDF
+    (quantity-weighted mean discount per return flag)."""
+    from ai_etl_pipeline_spark.functions.pandas_udfs import weighted_mean_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    # note: a grouped-agg pandas UDF cannot mix with JVM aggregates in
+    # one agg() — Spark restriction, so the UDAF stands alone here
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean_udaf("l_discount", "l_quantity"), 6).alias("w_avg_disc"),
+    )
+
+
+_PANDAS_UDAF_SQL = """
+SELECT l_returnflag,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS w_avg_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (training-data ops; operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -1296,6 +1395,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
+    "q_join_salted": (q_join_salted, _JOIN_SALTED_SQL),
+    "q_pivot_status": (q_pivot_status, _PIVOT_SQL),
+    "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
+    "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
+    "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
     "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),

@@ -112,7 +112,18 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only: join each side to its item
     set, count intersections, divide by union. Returns
-    (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    The item relation is first semi-join-reduced to docs that appear in
+    some candidate pair — candidates are a tiny fraction of the corpus,
+    so every downstream shuffle moves candidate-sized data, not
+    corpus-sized data."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    items = items.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
     ia = items.withColumnRenamed(id_col, "id_a")
     ib = (

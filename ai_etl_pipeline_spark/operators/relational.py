@@ -149,6 +149,48 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, possibly skewed) left side
+    gets a deterministic salt in [0, n); the (smaller) right side is
+    replicated n× with every salt value; the join key becomes
+    (key, salt). A hot key's rows now spread over n reducers instead of
+    one. Result is EXACTLY the plain join (salt columns are dropped).
+
+    AQE's skew-join split handles mid skew automatically; explicit
+    salting is the tool when one key dominates a shuffle partition even
+    after splitting, or when AQE is unavailable (streaming joins).
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    l = left.withColumn("__salt", salt.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l.join(r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    agg: Column,
+    fill=None,
+) -> DataFrame:
+    """Pivot with an EXPLICIT value list — never the implicit distinct
+    scan (which is an extra pass over the data at scale)."""
+    out = df.groupBy(group_col).pivot(pivot_col, values).agg(agg)
+    if fill is not None:
+        out = out.na.fill(fill, subset=values)
+    return out
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on=on, how="left_semi")
 

@@ -57,10 +57,16 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the first run pays codegen compile and is exposed to
+        # shared-host load spikes; min() measures the engine, not the host
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = len(df.collect())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

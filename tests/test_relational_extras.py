@@ -1,0 +1,46 @@
+"""Salted join, pivot, pandas-UDF surface."""
+
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import relational
+from ai_etl_pipeline_spark.functions.pandas_udfs import grouped_zscore, normalize_text_udf
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], "k long, v long"  # key 1 is hot
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, lab string")
+    plain = left.join(right, "k").groupBy("lab").count()
+    salted = relational.salted_join(left, right, "k").groupBy("lab").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1,), (9,)], "k long")
+    right = spark.createDataFrame([(1, "a")], "k long, lab string")
+    out = relational.salted_join(left, right, "k", how="left")
+    got = {r["k"]: r["lab"] for r in out.collect()}
+    assert got == {1: "a", 9: None}
+
+
+def test_pivot_explicit_values(spark):
+    df = spark.createDataFrame([("g1", "x"), ("g1", "x"), ("g2", "y")], "g string, p string")
+    out = relational.pivot_agg(df, "g", "p", ["x", "y", "z"], F.count(F.lit(1)), fill=0)
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["g1"]["x"] == 2 and rows["g1"]["y"] == 0 and rows["g2"]["z"] == 0
+
+
+def test_scalar_pandas_udf(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  ",)], "s string")
+    out = df.select(normalize_text_udf("s").alias("n")).first()
+    assert out["n"] == "hello world"
+
+
+def test_applyinpandas_zscore(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+    )
+    out = {(r["g"], r["v"]): r["zscore"] for r in grouped_zscore(df, "g", "v").collect()}
+    assert abs(out[("a", 3.0)] - 0.7071) < 1e-3
+    assert out[("b", 10.0)] == 0.0  # single-row group -> no std
