@@ -1257,6 +1257,23 @@ GROUP BY event_type
 """
 
 
+def q_events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user running (count, sum) across micro-batches, state-store
+    backed. The single-file source yields one batch, so the emitted
+    updates equal the batch aggregate — which is the oracle."""
+    from ai_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return stream_windows.run_stream_to_memory(running_user_totals(stream), "update")
+
+
+_EVENTS_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1417,6 +1434,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
+    "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),

@@ -150,6 +150,16 @@ class ThrottledBatchTranslator:
         return out
 
 
+def translate_one(value: str, provider: SemanticProvider) -> str:
+    """T4 (``translate.py:125-149``): single-string translation with
+    identity fallback on any failure."""
+    try:
+        out = provider.translate_batch([value])
+        return out[0] if out else value
+    except Exception:
+        return value
+
+
 def classify_text_columns(
     samples_by_column: dict[str, list[str]], provider: SemanticProvider
 ) -> dict[str, str]:

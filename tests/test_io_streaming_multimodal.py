@@ -111,3 +111,43 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(media, every_n=2, bytes_per_frame=64)
     got = [r["frame_no"] for r in frames.collect()]
     assert got == [0, 2]  # 200 bytes -> 4 fake frames -> sample 0,2
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    from ai_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = sw.run_stream_to_memory(running_user_totals(stream), "update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    ev = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ("ts",))
+    exp = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_translate_one_fallback():
+    from ai_etl_pipeline_spark.semantic.providers import HeuristicProvider, translate_one
+
+    p = HeuristicProvider(translation_overlay={"hola": "hello"})
+    assert translate_one("hola", p) == "hello"
+    assert translate_one("unknown", p) == "unknown"
+
+    class Broken:
+        def translate_batch(self, values):
+            raise RuntimeError("down")
+
+    assert translate_one("x", Broken()) == "x"  # translate.py:145-149
+
+
+def test_sampling_helpers(spark, documents):
+    from ai_etl_pipeline_spark.operators import distinct
+
+    sample = distinct.head_sample(documents, 2)
+    assert len(sample["doc_id"]) == 2
+    rnd = distinct.random_value_sample(documents, "lang", 3, seed=42)
+    assert len(rnd) == 3
+    assert rnd == distinct.random_value_sample(documents, "lang", 3, seed=42)  # seeded
