@@ -830,7 +830,17 @@ shingles AS (
 
 
 def _mh_expr(i: int, item: str) -> str:
-    return f"min(CAST('0x' || substr(md5(concat('{i}|', {item})), 1, 15) AS BIGINT))"
+    """Carter-Wegman permutation i: min((a_i*h + b_i) mod p) over
+    h = md5_i64(item) mod p (mirrors dedup.minhash_signatures exactly,
+    same (a_i, b_i) literals from portable.minhash_coefficients)."""
+    from ai_etl_pipeline_spark.functions.portable import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+    )
+
+    a, b = minhash_coefficients(i + 1)[i]
+    h = f"(CAST('0x' || substr(md5({item}), 1, 15) AS BIGINT) % {MINHASH_PRIME})"
+    return f"min(({a} * {h} + {b}) % {MINHASH_PRIME})"
 
 
 def q_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

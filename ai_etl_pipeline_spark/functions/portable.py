@@ -10,15 +10,25 @@ the portable base is md5 (identical bytes on every engine):
 Spark:  conv(substr(md5(x), 1, 15), 16, 10) :: bigint
 DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
 
-"Permutation" i of a MinHash family is md5 over a salted input
-(``i || '|' || token``) — k independent-enough hash functions with zero
-engine-specific code, usable verbatim in oracle SQL.
+"Permutation" i of a MinHash family is the Carter-Wegman affine map
+``(a_i * h + b_i) mod p`` over ``h = md5_i64(token) mod p`` with fixed
+per-permutation constants (themselves derived from md5, so both engines
+embed the same literals): ONE md5 kernel per item generates all k
+permutations, and pairwise independence holds per permutation — unlike
+the superficially similar ``(h1 + i*h2) mod p`` double-hashing trick,
+whose permutations are correlated (consecutive i differ by the small
+constant h2, so one item tends to win the min for MANY i, which
+destroys the E[matches]/k ≈ Jaccard estimate).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1; (p-1)^2 + (p-1) < 2^63, no overflow
 
 
 def md5_i64(col: Column) -> Column:
@@ -38,11 +48,25 @@ def tokens_col(text: Column, lowercase: bool = True, pattern: str = r"\s+") -> C
     return F.filter(arr, lambda x: x != "")
 
 
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) Carter-Wegman constants, a_i ∈ [1, p-1],
+    b_i ∈ [0, p-1]. Derived from md5 of the index so the same literals
+    can be embedded in Spark plans and oracle SQL alike."""
+    p = MINHASH_PRIME
+    coeffs = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:15], 16) % (p - 1) + 1
+        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:15], 16) % p
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signature_cols(token_col_name: str, num_hashes: int) -> list[Column]:
-    """MinHash over an exploded token column: for permutation i, the
-    signature component is ``min(md5_i64(i || '|' || token))``. Use after
-    ``explode`` + ``groupBy(doc)`` as aggregate expressions."""
+    """MinHash aggregate expressions over an exploded token column:
+    permutation i is ``min((a_i * (md5_i64(tok) mod p) + b_i) mod p)``.
+    One md5 per item; the k affine maps are pairwise independent."""
+    h = md5_i64(F.col(token_col_name)) % F.lit(MINHASH_PRIME)
     return [
-        F.min(md5_i64(F.concat(F.lit(f"{i}|"), F.col(token_col_name)))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import md5_i64, tokens_col
+from ..functions.portable import MINHASH_PRIME, md5_i64, minhash_coefficients, tokens_col
 
 
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -65,13 +65,22 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
 def minhash_signatures(
     pairs: DataFrame, id_col: str, item_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: permutation i = min over items of
-    md5_i64(i || '|' || item). One shuffle (groupBy id)."""
+    """MinHash signature per doc: ONE md5 per item, then k pairwise-
+    independent Carter-Wegman affine permutations ``(a_i*h + b_i) mod p``
+    (constants from portable.minhash_coefficients — the oracle SQL embeds
+    the same literals). A k-md5s-per-item family costs 16× the hash
+    kernel at k=16; the correlated ``(h1 + i*h2)`` double-hashing
+    shortcut is cheap but BROKEN for MinHash (see portable.py). One
+    shuffle (groupBy id); hashing happens map-side pre-shuffle."""
+    base = pairs.select(
+        F.col(id_col),
+        (md5_i64(F.col(item_col)) % F.lit(MINHASH_PRIME)).alias("__h"),
+    )
     aggs = [
-        F.min(md5_i64(F.concat(F.lit(f"{i}|"), F.col(item_col)))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return pairs.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
