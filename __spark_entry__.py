@@ -506,6 +506,82 @@ FROM orders WHERE o_orderkey < 500
 """
 
 
+def q_scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family (transform, filter,
+    array_max, slice, sort_array, array_distinct, array_contains) — all
+    whole-stage-codegen lambda expressions, no Python."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')")
+    d = docs.select("doc_id", toks.alias("ts"))
+    return d.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.array_join(F.slice("ts", 1, 3), "-").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct("ts")), ",").alias("vocab"),
+        F.array_max(F.transform("ts", lambda x: F.length(x))).alias("longest_len"),
+        F.size(F.filter("ts", lambda x: F.length(x) > 5)).alias("n_long"),
+        F.array_contains("ts", "the").cast("boolean").alias("has_the"),
+    )
+
+
+_SCALAR_ARRAYS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(ts) AS INTEGER)                       AS n_tokens,
+       array_to_string(ts[1:3], '-')                  AS first3,
+       array_to_string(list_sort(list_distinct(ts)), ',') AS vocab,
+       CAST(list_max(list_transform(ts, x -> length(x))) AS INTEGER) AS longest_len,
+       CAST(len(list_filter(ts, x -> length(x) > 5)) AS INTEGER)     AS n_long,
+       list_contains(ts, 'the')                       AS has_the
+FROM d
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: build a JSON payload string, then extract fields
+    (get_json_object path queries) and parse typed values back out —
+    the ingest shape for semi-structured event payloads."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    payload = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","price":'),
+        # %.2f: double→string shortest-repr could differ across engines
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.lit("}"),
+    )
+    p = orders.select("o_orderkey", payload.alias("payload"))
+    return p.select(
+        "o_orderkey",
+        "payload",
+        F.get_json_object("payload", "$.k").cast("long").alias("k_out"),
+        F.get_json_object("payload", "$.status").alias("status_out"),
+        F.get_json_object("payload", "$.price").cast("double").alias("price_out"),
+    )
+
+
+_SCALAR_JSON_SQL = """
+WITH p AS (
+  SELECT o_orderkey,
+         '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"status":"' || o_orderstatus
+         || '","price":' || printf('%.2f', o_totalprice) || '}' AS payload
+  FROM orders WHERE o_orderkey < 500
+)
+SELECT o_orderkey, payload,
+       CAST(payload ->> '$.k' AS BIGINT)       AS k_out,
+       payload ->> '$.status'                  AS status_out,
+       CAST(payload ->> '$.price' AS DOUBLE)   AS price_out
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # cleaning chain (P1-P8, A1) — SURVEY.md §2.2/§2.3
 # ---------------------------------------------------------------------------
@@ -804,6 +880,128 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram. LEFT OUTER join
+    keeps 0-order customers; two cascaded aggregations. The first agg
+    shuffles on c_custkey (pre-partitioned by the join), the second on
+    the tiny distinct-count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer context. The HAVING filter runs on the lineitem agg
+    BEFORE the joins — only qualifying keys (a tiny set) reach the
+    orders/customer joins, and both join sides are broadcast-able."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type-prefix),
+    excluding a supplier denylist via ANTI join (lineitem stands in for
+    partsupp). The denylist is broadcast; count(DISTINCT) expands then
+    collapses in two hash aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#45")
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.substring("p_type", 1, 6).alias("p_type_prefix"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, substr(p_type, 1, 6) AS p_type_prefix,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#45'
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, substr(p_type, 1, 6)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance
+    with no URGENT orders — scalar-subquery threshold (one tiny agg,
+    reused as a literal-like broadcast) + broadcast ANTI join on order
+    keys. (Plain "no orders" is vacuous on this testdata — every
+    customer has orders — so the anti side is the urgent subset.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # round the threshold: engines may sum in different orders, and an
+    # ULP-different avg could flip a boundary customer
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_IDLE_RICH_CUSTOMERS_SQL = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (training-data ops; operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -1042,6 +1240,68 @@ scored AS (
                 sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
   FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 deterministic centroids (smallest md5 of id), corpus
+    partitioned into inverted lists by nearest centroid, each query
+    scores only its nprobe=2 nearest cells — the coarse-quantizer scale
+    path (probe touches ~nprobe/num_centroids of the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=2
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT_SQL.format(a=a, b=b)} /"
+        f" (sqrt({_DOT_SQL.format(a=a, b=a)}) *"
+        f" sqrt({_DOT_SQL.format(a=b, b=b)})), 6)"
+    )
+
+
+_KNN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+           vec_id
+  LIMIT 8
+),
+assigned AS (
+  SELECT neighbor_id, cv, centroid_id AS cell FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_cos_sql('c.embedding', 'ct.centroid_vec')} DESC,
+                      ct.centroid_id ASC) AS arn
+    FROM embeddings c CROSS JOIN cents ct
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'ct.centroid_vec')} DESC,
+                      ct.centroid_id ASC) AS prn
+    FROM embeddings q CROSS JOIN cents ct
+    WHERE q.vec_id < 5
+  ) WHERE prn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.cv')} AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE p.query_id <> a.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
 FROM (
@@ -1427,6 +1687,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
+    "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
+    "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),
+    "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),
+    "q_large_orders": (q_large_orders, _LARGE_ORDERS_SQL),
+    "q_supplier_part_counts": (q_supplier_part_counts, _SUPPLIER_PART_COUNTS_SQL),
+    "q_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_CUSTOMERS_SQL),
     "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
@@ -1434,6 +1700,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
+    "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
     "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),

@@ -46,8 +46,19 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     """(id, shingle) distinct pairs, k-word shingles.
 
     Built JVM-side: tokenize → transform over indices joining k
-    consecutive tokens — no Python in the loop."""
-    toks = tokens_col(F.col(text_col))
+    consecutive tokens — no Python in the loop.
+
+    The token array is materialized as its own projection FIRST: the
+    shingle expression references it O(tokens) times (size, sequence,
+    every slice in the transform lambda), and lambda bodies re-evaluate
+    outer expressions per element — inlining the regex split there made
+    shingling O(tokens²) regex calls per document. CollapseProject keeps
+    the split un-inlined because the alias is referenced more than
+    once."""
+    toked = df.repartition(F.col(id_col)).select(  # repartition: see doc_tokens
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingles = F.when(
@@ -55,8 +66,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
     ).otherwise(F.array(F.array_join(toks, " ")))
     return (
-        df.repartition(F.col(id_col))  # parallelize the fan-out (see doc_tokens)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -177,15 +187,28 @@ def minhash_lsh_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → signature → band-bucket
-    candidates → exact-Jaccard verify. Output (id_a, id_b, jaccard)."""
-    # the shingle relation feeds 4 plan branches (signatures, both sides
-    # of the verify join, and the size aggregate): persist it once or pay
-    # the explode+distinct 4 times. At cluster scale this is the classic
-    # "materialize the token table" step (MEMORY_AND_DISK spills cleanly).
-    shingles = doc_shingles(df, id_col, text_col, shingle_k).persist()
-    sigs = minhash_signatures(shingles, id_col, "shingle", num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cands, shingles, id_col, "shingle", threshold)
+    candidates → exact-Jaccard verify. Output (id_a, id_b, jaccard).
+
+    Persistence strategy (the 100 TB posture): the corpus-sized shingle
+    relation is NEVER cached — it flows through exactly one
+    shuffle (the signature groupBy), and the band self-join reuses that
+    exchange (ReusedExchange). Only the two candidate-sized frames are
+    persisted: the pair list and the re-shingled candidate docs (a
+    broadcast-semi-join-pruned second scan). Caching the full shingle
+    relation instead costs corpus-sized executor memory and, across
+    repeated calls, accumulates un-evictable copies."""
+    sigs = minhash_signatures(
+        doc_shingles(df, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    cand_shingles = doc_shingles(cand_docs, id_col, text_col, shingle_k).persist()
+    return jaccard_verify(cands, cand_shingles, id_col, "shingle", threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -227,11 +250,21 @@ def ngram_jaccard_pairs(
     only (verification still uses the full sets, so the similarity value
     is exact; only recall of pairs sharing solely stop-grams is traded).
     For large corpora prefer minhash_lsh_near_duplicates outright."""
-    items = (
-        doc_tokens(df, id_col, text_col)
-        if ngram == 1
-        else doc_shingles(df, id_col, text_col, ngram).withColumnRenamed("shingle", "token")
-    ).persist()  # reused by candidate join (2 sides), verify join, sizes
+
+    def items_of(frame: DataFrame) -> DataFrame:
+        return (
+            doc_tokens(frame, id_col, text_col)
+            if ngram == 1
+            else doc_shingles(frame, id_col, text_col, ngram).withColumnRenamed(
+                "shingle", "token"
+            )
+        )
+
+    # corpus-sized item relation: never cached (see
+    # minhash_lsh_near_duplicates) — the inverted-index self-join reuses
+    # one exchange, and verification re-derives items for candidate docs
+    # only via a broadcast-semi-join-pruned second scan
+    items = items_of(df)
     cand_items = items
     if max_df is not None:
         n_docs = df.select(id_col).distinct().count()
@@ -249,8 +282,16 @@ def ngram_jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()  # candidate-sized, feeds cand_ids + the verify join
     )
-    return jaccard_verify(cands, items, id_col, "token", threshold)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verify_items = items_of(cand_docs).persist()
+    return jaccard_verify(cands, verify_items, id_col, "token", threshold)
 
 
 def embedding_near_duplicates(

@@ -97,6 +97,103 @@ def sign_lsh_bucket(vec_col: str, num_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``num_centroids``
+    corpus vectors with the smallest ``md5_i64(id)`` — a reproducible
+    uniform sample (FAISS-style random init without Lloyd iterations),
+    selected with a top-k heap (TakeOrderedAndProject), never a full
+    sort. At cluster scale, swap this for seeded KMeans trained offline
+    on a sample; the assignment/probe plans below are unchanged — they
+    only see a small (centroid_id, centroid_vec) frame."""
+    from ..functions.portable import md5_i64
+
+    return (
+        corpus.orderBy(md5_i64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.expr(_dbl(vec_col)).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into
+    ``num_centroids`` cells by nearest centroid, then answer each query
+    by scoring only the ``nprobe`` cells nearest to it — the classic
+    coarse-quantizer index, expressed as DataFrame ops.
+
+    Scale story (100 TB corpus): the centroid frame is tiny and
+    BROADCAST everywhere — the corpus is never shuffled by a cross
+    join. Cell assignment is one broadcast-join + per-row argmax pass;
+    materialize ``assigned`` partitioned by ``cell`` once, and each
+    query batch probes only nprobe/num_centroids of the data via a
+    broadcast equi-join on cell. Recall is tunable via nprobe.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+
+    # inverted lists: nearest centroid per corpus vector (argmax cosine,
+    # ties to the smallest centroid_id for engine-portable determinism)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_c").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("cv", "centroid_vec"), 6))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select("neighbor_id", "cv", F.col("centroid_id").alias("cell"))
+    )
+
+    # probe set: nprobe nearest centroids per query
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos_q", F.round(cosine_expr("qv", "centroid_vec"), 6))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+
+    # search only the probed cells: broadcast equi-join on cell
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,

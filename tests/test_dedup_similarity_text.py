@@ -87,6 +87,25 @@ def test_lsh_knn_subset_of_bucket(vectors):
     assert all(r["query_id"] == 0 for r in rows)
 
 
+def test_ivf_knn_high_recall_on_clustered_vectors(vectors):
+    # 8 angular clusters, 8 centroids: a same-cluster neighbor is found
+    # as long as the query's own cell is probed (nprobe>=1 guarantees it)
+    out = similarity.ivf_knn(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3, num_centroids=8, nprobe=2
+    )
+    rows = out.orderBy("rn").collect()
+    assert 1 <= len(rows) <= 3
+    assert rows[0]["neighbor_id"] in (8, 16, 24, 32)  # same-angle cluster
+    assert rows[0]["cosine"] > 0.999
+
+
+def test_ivf_centroids_deterministic(vectors):
+    a = similarity.ivf_centroids(vectors, num_centroids=4).collect()
+    b = similarity.ivf_centroids(vectors, num_centroids=4).collect()
+    assert [r["centroid_id"] for r in a] == [r["centroid_id"] for r in b]
+    assert len(a) == 4
+
+
 def test_embedding_near_duplicates_blocked(vectors):
     out = dedup.embedding_near_duplicates(vectors, "vec_id", "embedding", threshold=0.999)
     found = {(r["id_a"], r["id_b"]) for r in out.collect()}

@@ -72,3 +72,20 @@ def test_value_map_enrichment_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_map_values_broadcast")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the fact side must not shuffle
+
+
+def test_ivf_corpus_never_shuffled_for_join(spark, sf_dir):
+    # the IVF probe is a broadcast equi-join on cell: corpus side stays
+    # put; only centroid/probe frames (tiny) move
+    plan = _plan(spark, sf_dir, "q_knn_ivf")
+    assert "BroadcastHashJoin [cell" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_large_orders_having_before_join(spark, sf_dir):
+    # Q18 shape: the total_qty > 150 filter must run on the aggregate
+    # BEFORE the orders join (only qualifying keys reach the join)
+    plan = _optimized(spark, sf_dir, "q_large_orders")
+    agg_pos = plan.find("Aggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos > join_pos >= 0  # optimized tree prints joins above aggs
