@@ -1544,6 +1544,37 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, REAL micro-batch execution: clicks
+    joined to same-user purchases within the following 10 minutes, both
+    sides watermarked (bounded join state), then a batch rollup of pair
+    counts per user. Oracle = the equivalent batch interval join."""
+    path = f"{sf_dir}/events.parquet"
+    clicks = stream_windows.read_events_stream(spark, path).where(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_windows.read_events_stream(spark, path).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_windows.stream_stream_interval_join(
+        clicks, purchases, key="user_id", within="10 minutes"
+    )
+    out = stream_windows.run_stream_to_memory(joined, "append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+_EVENTS_STREAM_JOIN_SQL = """
+SELECT l.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click') l
+JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+GROUP BY l.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1712,6 +1743,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
+    "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),

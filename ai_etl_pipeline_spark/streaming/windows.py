@@ -133,6 +133,34 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join on an equality key plus an event-time
+    interval (right within [left.ts, left.ts + within]).
+
+    Both sides are watermarked so the join state store is bounded: a
+    buffered left row can be dropped once the right watermark passes
+    left.ts + within (and vice versa) — without watermarks a
+    stream-stream join buffers forever. Works identically on batch
+    frames (watermark is a no-op there), which is what the oracle
+    checks."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + interval {within}"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("ts_left"),
+        F.col("r.ts").alias("ts_right"),
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan to completion with Trigger.AvailableNow →
     in-memory sink, return the final result as a batch DataFrame. Gives

@@ -23,6 +23,9 @@ HEADLINE = [
     "q_local_supplier_volume",
     "q_join_broadcast_part",
     "q_join_range_bands",
+    "q_order_distribution",
+    "q_large_orders",
+    "q_supplier_part_counts",
     "q_agg_stats",
     "q_agg_rollup",
     "q_window_topk_per_customer",
@@ -34,6 +37,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_embedding_cosine",
     "q_knn_bruteforce",
+    "q_knn_ivf",
     "q_text_quality",
     "q_text_fingerprint",
     "q_events_tumbling",

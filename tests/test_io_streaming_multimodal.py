@@ -66,6 +66,24 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     assert sorted(map(str, result.collect())) == sorted(map(str, batch.collect()))
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    clicks_s = sw.read_events_stream(spark, path).where(F.col("event_type") == "click")
+    buys_s = sw.read_events_stream(spark, path).where(F.col("event_type") == "purchase")
+    joined = sw.stream_stream_interval_join(clicks_s, buys_s, within="10 minutes")
+    streamed = sw.run_stream_to_memory(joined, "append")
+
+    ev = readers.read_parquet_nanos_ts(spark, path, ("ts",))
+    batch = sw.stream_stream_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        within="10 minutes",
+    )
+    assert sorted(map(str, streamed.collect())) == sorted(map(str, batch.collect()))
+
+
 def test_streaming_dedup_bounded_state(spark, sf_dir):
     stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
     out = sw.run_stream_to_memory(sw.streaming_dedup(stream, ["event_id"], "60 minutes"), "append")
