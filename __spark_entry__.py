@@ -471,6 +471,20 @@ SELECT DISTINCT o_custkey AS custkey FROM orders
 # scalar function coverage
 # ---------------------------------------------------------------------------
 
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    distinct/percentile: HLL++ count-distinct (order-insensitive sketch,
+    fixed memory) and GK approximate percentile. No SQL oracle: sketch
+    estimates are engine-specific (DuckDB's HLL hashes differently), so
+    the driver records a rows-only check; accuracy bounds are asserted
+    against exact values in tests/test_relational_extras.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
     return orders.select(
@@ -1718,6 +1732,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
+    "q_agg_approx": (q_agg_approx, None),  # sketch estimates are engine-specific
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),
     "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),

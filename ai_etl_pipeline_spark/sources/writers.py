@@ -26,6 +26,32 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink — the shuffle-free-join
+    primitive at 100 TB: two tables bucketed on the same key with the
+    same bucket count join with NO Exchange (and with ``sort_cols`` on
+    the key, no Sort either). Pay the shuffle once at write time, skip
+    it on every subsequent join/aggregation on that key.
+
+    Bucketing metadata lives in the session catalog, so this writes a
+    TABLE (``saveAsTable``), not a bare path; pass ``path`` to keep the
+    files in an external location (e.g. a test tmp dir)."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: distributed CSV sink (directory of part files, header per part)."""
     df.write.mode(mode).option("header", True).csv(path)

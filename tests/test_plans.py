@@ -82,6 +82,39 @@ def test_ivf_corpus_never_shuffled_for_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # the 100 TB co-location story: same bucket key + count on both
+    # sides -> join planned with zero shuffles (no Exchange operator)
+    from ai_etl_pipeline_spark.sources.writers import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(
+        orders, "b_orders", ["o_custkey"], 4,
+        sort_cols=["o_custkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        cust, "b_customer", ["c_custkey"], 4,
+        sort_cols=["c_custkey"], path=str(tmp_path / "b_customer"),
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: a broadcast would mask the
+        # bucketing (and BroadcastExchange still counts as an Exchange)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey == spark.table("b_customer").c_custkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_large_orders_having_before_join(spark, sf_dir):
     # Q18 shape: the total_qty > 150 filter must run on the aggregate
     # BEFORE the orders join (only qualifying keys reach the join)

@@ -44,3 +44,19 @@ def test_applyinpandas_zscore(spark):
     out = {(r["g"], r["v"]): r["zscore"] for r in grouped_zscore(df, "g", "v").collect()}
     assert abs(out[("a", 3.0)] - 0.7071) < 1e-3
     assert out[("b", 10.0)] == 0.0  # single-row group -> no std
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    # HLL++ count-distinct within 5% of exact; approx median between the
+    # exact 40th and 60th percentiles (GK with accuracy=10000 is much
+    # tighter; these are safe bounds, not the guarantee)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+    ).first()
+    assert abs(got["apx"] - got["exact"]) <= 0.05 * got["exact"]
+    assert got["p40"] <= got["amed"] <= got["p60"]
