@@ -402,6 +402,118 @@ FROM orders
 """
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window family breadth: ntile / percent_rank / first+last over an
+    explicit ROWS frame, plus a RANGE frame keyed on the order date —
+    one shuffle on the partition key serves all five functions (same
+    window spec ordering)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # RANGE frame needs a numeric/date single ordering key
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w_full).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("range_running"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER)             AS quartile,
+       round(percent_rank() OVER w, 6)              AS pct_rank,
+       first_value(o_orderkey) OVER w_full          AS first_key,
+       last_value(o_orderkey) OVER w_full           AS last_key,
+       round(sum(o_totalprice) OVER w_range, 2)     AS range_running
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       w_range AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): placeholder-cleaned keys where NULL
+    must match NULL — ordinary equality would silently drop those rows.
+    Still plans as a hash join (null-safe equality is a valid hash
+    key), not a nested loop."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    # sentinel 'none' strings → NULL on both sides (P5 semantics)
+    a = li.select(
+        F.when(F.col("l_returnflag") == "N", None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = spark.createDataFrame(
+        [("A", "accepted"), ("R", "returned"), (None, "pending")],
+        "flag string, flag_label string",
+    )
+    return a.join(F.broadcast(b), a["flag"].eqNullSafe(b["flag"])).select(
+        "l_orderkey", "l_linenumber", b["flag"], "flag_label"
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+SELECT l_orderkey, l_linenumber, b.flag, b.flag_label
+FROM (SELECT CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS flag,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_orderkey < 300) a
+JOIN (VALUES ('A', 'accepted'), ('R', 'returned'), (NULL, 'pending'))
+     AS b(flag, flag_label)
+  ON a.flag IS NOT DISTINCT FROM b.flag
+"""
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (duplicate-aware bag intersection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") < 300).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.where(F.col("l_quantity") > 25).select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+_SET_INTERSECT_ALL_SQL = """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 300
+INTERSECT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 25
+"""
+
+
+def q_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract / replace / rlike filter — all compiled
+    JVM-side (no Python), pushdown-friendly."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return orders.where(F.col("o_orderpriority").rlike("^[0-9]-")).select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-(\w+)", 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-(\w+)", 2).alias("prio_word"),
+        F.regexp_replace("o_orderpriority", r"[aeiou]", "_").alias("devoweled"),
+    )
+
+
+_SCALAR_REGEX_SQL = r"""
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\d+)-(\w+)', 1) AS prio_num,
+       regexp_extract(o_orderpriority, '^(\d+)-(\w+)', 2) AS prio_word,
+       regexp_replace(o_orderpriority, '[aeiou]', '_', 'g') AS devoweled
+FROM orders
+WHERE o_orderkey < 500 AND regexp_matches(o_orderpriority, '^[0-9]-')
+"""
+
+
 def q_topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k → TakeOrderedAndProject (no full sort)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1711,6 +1823,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_window_topk_per_customer": (q_window_topk_per_customer, _WINDOW_TOPK_SQL),
     "q_window_running_total": (q_window_running_total, _WINDOW_RUNNING_SQL),
     "q_window_lag_gap": (q_window_lag_gap, _WINDOW_LAG_SQL),
+    "q_window_frames": (q_window_frames, _WINDOW_FRAMES_SQL),
+    "q_join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
+    "q_set_intersect_all": (q_set_intersect_all, _SET_INTERSECT_ALL_SQL),
+    "q_scalar_regex": (q_scalar_regex, _SCALAR_REGEX_SQL),
     "q_topk_global_orders": (q_topk_global_orders, _TOPK_GLOBAL_SQL),
     "q_set_union": (q_set_union, _SET_UNION_SQL),
     "q_set_intersect": (q_set_intersect, _SET_INTERSECT_SQL),
