@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_pipeline_spark.operators import clean, dedup, distinct, enrich, mapping
-from ai_etl_pipeline_spark.operators import multimodal, relational, similarity, textstats
+from ai_etl_pipeline_spark.operators import multimodal, relational, sampling, similarity, textstats
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -1535,6 +1535,65 @@ SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc FROM fp GROUP BY 
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smooth IDF, sklearn formula) per (doc, term): two
+    aggregates + a broadcast scalar doc count."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return textstats.tf_idf(docs, "doc_id", "text")
+
+
+_TEXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE doc_id < 100
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs
+      FROM documents WHERE doc_id < 100)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash sample of the corpus: reproducible across
+    runs/engines (md5 bucket), nested (⊇ any smaller fraction, same
+    salt), pure per-row predicate — no shuffle, no state."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "source")
+
+
+_SAMPLE_HASH_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 < 200000
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep all purchases, 25% of
+    clicks, 5% of everything else — per-stratum threshold from a
+    literal map (codegen CASE, no join)."""
+    ev = _events(spark, sf_dir)
+    return sampling.stratified_hash_sample(
+        ev, "event_id", "event_type", {"purchase": 1.0, "click": 0.25}, 0.05
+    ).select("event_id", "event_type")
+
+
+_SAMPLE_STRATIFIED_SQL = """
+SELECT event_id, event_type FROM events
+WHERE CAST('0x' || substr(md5('sample|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000
+      < CASE event_type WHEN 'purchase' THEN 1000000
+                        WHEN 'click' THEN 250000
+                        ELSE 50000 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # event-time / streaming (streaming/windows.py)
 # ---------------------------------------------------------------------------
@@ -1867,6 +1926,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
     "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
+    "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
+    "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),

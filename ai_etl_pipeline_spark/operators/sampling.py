@@ -1,0 +1,61 @@
+"""Deterministic sampling for training-data pipelines (north-star
+extension; the reference's only sampling is driver-side ``random.sample``
+/ ``unique()[:n]`` prompt bounding — ``/root/reference/translate.py:64``,
+``/root/reference/mapper.py:48``).
+
+``rand()``-based sampling is not reproducible across runs, engines, or
+partitionings. At corpus scale the standard trick is HASH sampling:
+a row is in the p-sample iff ``md5(salt || id) mod M < p*M``. Properties
+that matter at 100 TB:
+
+- deterministic: the same row set every run, on every engine (the DuckDB
+  oracle replays it exactly) — resumable pipelines, reproducible evals;
+- consistent: a 10% sample is a superset of a 5% sample (same salt);
+- distributed: pure per-row predicate — no shuffle, no state, pushes
+  through any plan;
+- stratified: per-stratum thresholds via a broadcast map lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import md5_i64
+
+_M = 1_000_000  # threshold resolution: fractions are exact to 1e-6
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Stable per-row bucket in [0, 1e6): md5 of the salted id."""
+    return md5_i64(F.concat(F.lit(f"{salt}|"), id_col.cast("string"))) % F.lit(_M)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic p-sample on a stable id. Same (salt, id) always
+    lands in the same bucket, so samples are reproducible and nested
+    (fraction 0.1 ⊇ fraction 0.05)."""
+    return df.where(_bucket(F.col(id_col), salt) < F.lit(int(fraction * _M)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare
+    languages, 5% of English): threshold = map[stratum] with a literal
+    map — a codegen CASE, no join, no shuffle."""
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.extend([F.lit(k), F.lit(int(v * _M))])
+    thresh = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(default_fraction * _M)),
+    )
+    return df.where(_bucket(F.col(id_col), salt) < thresh)

@@ -96,3 +96,33 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     shuffled/duplicated-word docs fingerprint together."""
     toks = F.array_sort(F.array_distinct(tokens_col(F.col(text_col))))
     return df.withColumn(out_col, F.md5(F.array_join(toks, " ")))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF with smooth IDF
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's smoothing — never divides by
+    zero, never goes negative).
+
+    Two shuffles at corpus scale: the term-frequency aggregate on
+    (doc, term) and the document-frequency aggregate on term; the
+    doc count N is a scalar broadcast. Returns
+    (id, term, tf, df, tfidf)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

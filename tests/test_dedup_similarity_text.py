@@ -145,3 +145,50 @@ def test_fingerprint_collides_for_shuffled_docs(spark):
     )
     fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df, "text").collect()}
     assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from ai_etl_pipeline_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.10).collect()}
+    s10b = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.10).collect()}
+    s05 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.05).collect()}
+    assert s10 == s10b                      # reproducible
+    assert s05 <= s10                       # nested (same salt)
+    assert 0.06 < len(s10) / 2000 < 0.14    # near the target rate
+    other = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.10, salt="x").collect()}
+    assert other != s10                     # salt changes the sample
+
+
+def test_stratified_hash_sample_rates(spark):
+    from ai_etl_pipeline_spark.operators import sampling
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "grp", {"keep": 1.0}, default_fraction=0.0
+    ).collect()
+    assert len(out) == 1000
+    assert all(r["grp"] == "keep" for r in out)
+
+
+def test_tfidf_known_values(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r
+        for r in textstats.tf_idf(df, "doc_id", "text").collect()
+    }
+    # apple: tf=2 in doc0, df=1, N=2 -> 2 * (ln(3/2)+1)
+    expect = round(2 * (math.log(3 / 2) + 1), 6)
+    assert got[(0, "apple")]["tf"] == 2
+    assert got[(0, "apple")]["df"] == 1
+    assert abs(got[(0, "apple")]["tfidf"] - expect) < 1e-6
+    # banana appears in both docs -> df=2, idf = ln(3/3)+1 = 1
+    assert got[(1, "banana")]["tfidf"] == 1.0
