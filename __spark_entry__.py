@@ -1826,6 +1826,54 @@ FROM documents WHERE doc_id % 3 = 2
 # semantic pipelines (plans/pipeline.py) — T1/T2/T3/T5/M1/M2 end-to-end
 # ---------------------------------------------------------------------------
 
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the north-star composition:
+    canonical-fingerprint dedup (keep min doc id) → quality filter
+    (C4-style composite ≥ 0.8) → deterministic 50% hash sample. Every
+    stage is a pure DataFrame transform: one agg shuffle for the
+    fingerprint groups, a broadcast semi join back, per-row predicates
+    for the rest — nothing corpus-sized ever collects or caches."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(docs, "text")
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = docs.join(F.broadcast(keep.select("doc_id")), "doc_id", "left_semi")
+    good = textstats.quality_score(deduped, "text").where(F.col("quality") >= 0.8)
+    sampled = sampling.hash_sample(good, "doc_id", 0.5, salt="curate")
+    return sampled.select("doc_id", "lang", "n_words", "quality")
+
+
+_PIPELINE_CURATION_SQL = f"""
+WITH {_TOKS_CTE},
+fp AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS fingerprint
+  FROM toks GROUP BY doc_id
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+f AS (
+  SELECT d.doc_id, d.lang,
+         CAST(length(d.text) AS INTEGER) AS n_chars_q,
+         CAST(len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'), x -> x <> '')) AS INTEGER) AS n_words,
+         len(regexp_extract_all(d.text, '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(d.text, '[0-9]')) AS digits,
+         {_LANG_HITS_SQL['en'].replace('lower(text)', 'lower(d.text)')} AS stop_hits
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+),
+q AS (
+  SELECT doc_id, lang, n_words,
+         round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN round(punct / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN round(digits / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN round(stop_hits / greatest(n_words, 1), 6) >= 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+  FROM f
+)
+SELECT doc_id, lang, n_words, quality
+FROM q
+WHERE quality >= 0.8
+  AND CAST('0x' || substr(md5('curate|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 < 500000
+"""
+
+
 def q_pipeline_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stage-1 pipeline end-to-end on documents with the
     deterministic heuristic provider: clean → classify → detect →
@@ -1929,6 +1977,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
+    "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),

@@ -40,6 +40,10 @@ HEADLINE = [
     "q_knn_ivf",
     "q_text_quality",
     "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_sample_stratified",
+    "q_window_frames",
+    "q_pipeline_curation",
     "q_events_tumbling",
     "q_events_sessionize",
 ]
