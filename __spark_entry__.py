@@ -1598,6 +1598,29 @@ WHERE CAST('0x' || substr(md5('sample|' || CAST(event_id AS VARCHAR)), 1, 15) AS
 # event-time / streaming (streaming/windows.py)
 # ---------------------------------------------------------------------------
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion: parse the events' JSON props payload
+    with a declared schema (from_json → typed struct, JVM-side Jackson,
+    no Python) and aggregate on the extracted field."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+        F.round(F.avg(F.col("p.k")), 6).alias("avg_k"),
+    )
+
+
+_EVENTS_PROPS_JSON_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(min(CAST(props ->> '$.k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(props ->> '$.k' AS INTEGER)) AS INTEGER) AS max_k,
+       round(avg(CAST(props ->> '$.k' AS INTEGER)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return stream_windows.tumbling_window_agg(ev, "10 minutes")
@@ -1978,6 +2001,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
+    "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
