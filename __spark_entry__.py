@@ -986,6 +986,89 @@ WHERE p_retailprice = (SELECT max(p_retailprice) FROM part q WHERE q.p_brand = p
 """
 
 
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: sorted collect_set / collect_list — array
+    results compared element-wise against the oracle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenos"),
+        F.count("*").alias("n"),
+    )
+
+
+_AGG_COLLECT_SQL = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       list_sort(list(l_linenumber))          AS linenos,
+       count(*) AS n
+FROM lineitem WHERE l_orderkey < 100 GROUP BY l_returnflag
+"""
+
+
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: add_months, date_add, datediff,
+    last_day, quarter/week fields, date_format."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.date_add("o_orderdate", 45).alias("plus_45d"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_eoy98"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+_SCALAR_DATES_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)      AS plus_3m,
+       CAST(o_orderdate + INTERVAL 45 DAY AS DATE)       AS plus_45d,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_eoy98,
+       last_day(o_orderdate)                             AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER)             AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER)       AS dow,
+       strftime(o_orderdate, '%Y-%m')                    AS ym
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (two relations grouped on one key, each
+    pair of group batches handed to a pandas kernel): per-customer
+    order/lineitem count reconciliation. The kernel is SQL-equivalent on
+    purpose so the oracle verifies the cogroup plumbing exactly."""
+    from ai_etl_pipeline_spark.functions.pandas_udfs import cogrouped_ratio
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    li = _t(spark, sf_dir, "lineitem")
+    lik = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(F.col("o_custkey").alias("custkey"))
+    ords = orders.select(F.col("o_custkey").alias("custkey"))
+    return cogrouped_ratio(ords, lik, "custkey")
+
+
+_COGROUP_STATS_SQL = """
+WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_left
+           FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
+l AS (SELECT o_custkey AS custkey, count(*) AS n_right
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 200 GROUP BY o_custkey)
+SELECT coalesce(o.custkey, l.custkey) AS key,
+       coalesce(o.n_left, 0)  AS n_left,
+       coalesce(l.n_right, 0) AS n_right,
+       CASE WHEN coalesce(l.n_right, 0) = 0 THEN NULL
+            ELSE round(coalesce(o.n_left, 0) / l.n_right, 6) END AS ratio
+FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
+"""
+
+
 def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python-edge surface: Arrow-vectorized grouped-agg pandas UDF
     (quantity-weighted mean discount per return flag)."""
@@ -1978,6 +2061,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
+    "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
+    "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
+    "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
     "q_agg_approx": (q_agg_approx, None),  # sketch estimates are engine-specific
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),

@@ -65,3 +65,47 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         return pdf
 
     return df.groupBy(group_col).applyInPandas(score, schema=schema)
+
+
+def cogrouped_ratio(
+    left: DataFrame, right: DataFrame, key_col: str, out_key: str = "key"
+) -> DataFrame:
+    """Cogrouped applyInPandas template: the two relations are grouped
+    on the same key and each (left-batch, right-batch) pair arrives as
+    two pandas frames — the shape for per-entity reconciliation /
+    model-join logic that SQL can't express row-wise. Here the kernel is
+    deliberately SQL-equivalent (per-key counts + ratio) so the DuckDB
+    oracle can verify the plumbing exactly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(out_key, LongType()),
+            StructField("n_left", LongType()),
+            StructField("n_right", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        key = lpdf[key_col].iloc[0] if len(lpdf) else rpdf[key_col].iloc[0]
+        nl, nr = len(lpdf), len(rpdf)
+        return pd.DataFrame(
+            {
+                out_key: [int(key)],
+                "n_left": [nl],
+                "n_right": [nr],
+                "ratio": [round(nl / nr, 6) if nr else None],
+            }
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(merge, schema=schema)
+    )

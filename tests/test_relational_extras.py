@@ -60,3 +60,14 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
     ).first()
     assert abs(got["apx"] - got["exact"]) <= 0.05 * got["exact"]
     assert got["p40"] <= got["amed"] <= got["p60"]
+
+
+def test_cogrouped_ratio(spark):
+    from ai_etl_pipeline_spark.functions.pandas_udfs import cogrouped_ratio
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    right = spark.createDataFrame([(1,), (3,)], "k long")
+    got = {r["key"]: r for r in cogrouped_ratio(left, right, "k").collect()}
+    assert got[1]["n_left"] == 2 and got[1]["n_right"] == 1 and got[1]["ratio"] == 2.0
+    assert got[2]["n_right"] == 0 and got[2]["ratio"] is None  # right-empty group
+    assert got[3]["n_left"] == 0                               # left-empty group
