@@ -1069,6 +1069,98 @@ FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 lateralJoin): per order, the
+    top-2 lineitems by price — the inner plan references the outer row
+    (`.outer()`); Catalyst decorrelates it to the same window/limit
+    shape the oracle states directly."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    li = _t(spark, sf_dir, "lineitem")
+    inner = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber"))
+        .limit(2)
+        .select("l_linenumber", "l_extendedprice")
+    )
+    return orders.lateralJoin(inner).select(
+        "o_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT o_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY l.l_extendedprice DESC, l.l_linenumber) AS rn
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey < 200
+) WHERE rn <= 2
+"""
+
+
+from pyspark.sql.functions import udtf as _udtf  # noqa: E402
+
+
+@_udtf(returnType="pos int, token string")
+class _SplitWordsUDTF:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows, tokenization semantics identical to functions.portable.
+    tokens_col so the DuckDB oracle can replay it with positional
+    unnest."""
+
+    def eval(self, text):  # noqa: D102
+        import re
+
+        toks = [t for t in re.split(r"\s+", (text or "").strip().lower()) if t]
+        for i, t in enumerate(toks):
+            yield i, t
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied LATERAL per document row."""
+    spark.udtf.register("split_words", _SplitWordsUDTF)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM __docs_for_udtf d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+_UDTF_TOKENS_SQL = r"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS token
+FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokarr)
+"""
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json once into the
+    binary variant encoding, then typed path access — the
+    schema-on-read shape for ragged payloads at scale (no per-query
+    string re-parsing)."""
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 2000)
+    v = ev.withColumn("v", F.parse_json("props"))
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k_val"),
+    )
+
+
+_VARIANT_PROPS_SQL = """
+SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k_val
+FROM events WHERE event_id < 2000
+"""
+
+
 def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python-edge surface: Arrow-vectorized grouped-agg pandas UDF
     (quantity-weighted mean discount per return flag)."""
@@ -2064,6 +2156,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
+    "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
+    "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
+    "q_variant_props": (q_variant_props, _VARIANT_PROPS_SQL),
     "q_agg_approx": (q_agg_approx, None),  # sketch estimates are engine-specific
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),
