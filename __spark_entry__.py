@@ -583,6 +583,28 @@ SELECT DISTINCT o_custkey AS custkey FROM orders
 # scalar function coverage
 # ---------------------------------------------------------------------------
 
+def q_agg_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate family breadth: exact median (interpolated), filtered
+    count (count_if), and boolean aggregates (bool_and / bool_or)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+_AGG_LOGICAL_SQL = """
+SELECT l_returnflag,
+       round(median(l_quantity), 6)        AS med_qty,
+       count_if(l_discount > 0.05)         AS n_discounted,
+       bool_and(l_quantity > 0)            AS all_positive,
+       bool_or(l_tax > 0.07)               AS any_high_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact
     distinct/percentile: HLL++ count-distinct (order-insensitive sketch,
@@ -2159,6 +2181,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
     "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
     "q_variant_props": (q_variant_props, _VARIANT_PROPS_SQL),
+    "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
     "q_agg_approx": (q_agg_approx, None),  # sketch estimates are engine-specific
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),
