@@ -16,7 +16,9 @@ through a ``create_map`` literal instead — no join at all, pure codegen.
 
 from __future__ import annotations
 
+import time
 from itertools import chain
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -59,11 +59,20 @@ def read_excel_sheets(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
     Driver-side ``pd.read_excel(sheet_name=None)`` then promote. Excel
     data is bounded (≤ ~1M rows/sheet) so this never becomes the scale
-    bottleneck; huge inputs arrive as CSV/Parquet instead.
+    bottleneck; huge inputs arrive as CSV/Parquet instead. Falls back to
+    the vendored stdlib SpreadsheetML reader when openpyxl is absent.
     """
     import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=None)
+    try:
+        sheets = pd.read_excel(path, sheet_name=None)
+    except ImportError:
+        from . import _xlsx_lite
+
+        sheets = {
+            name: pd.DataFrame(rows, columns=cols)
+            for name, (cols, rows) in _xlsx_lite.read_xlsx(path).items()
+        }
     out: dict[str, DataFrame] = {}
     for name, pdf in sheets.items():
         # Spark can't infer a type for all-NaN object columns; stringify

@@ -81,10 +81,24 @@ def write_excel_sheets(tables: dict[str, DataFrame], path: str) -> None:
     limit (``mapper.py:134``). Data is collected per table — callers are
     expected to pass dimension-sized frames (the reference's destination
     tables); a 100 TB fact table has no business in an .xlsx file.
+    Falls back to the vendored stdlib SpreadsheetML writer when openpyxl
+    is absent.
     """
     import pandas as pd
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+    try:
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for name, df in tables.items():
+                df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
+    except ImportError:
+        from . import _xlsx_lite
+
+        sheets = {}
         for name, df in tables.items():
-            df.toPandas().to_excel(writer, sheet_name=name[:31], index=False)
+            pdf = df.toPandas()
+            sheets[name[:31]] = (
+                [str(c) for c in pdf.columns],
+                list(pdf.itertuples(index=False, name=None)),
+            )
+        _xlsx_lite.write_xlsx(path, sheets)

@@ -42,7 +42,7 @@ def test_json_checkpoint_timestamp_safe(tmp_path):
 
 
 def test_excel_roundtrip_sheet_truncation(spark, tmp_path):
-    pytest.importorskip("openpyxl")
+    # runs with openpyxl when present, else the vendored stdlib engine
     df = spark.createDataFrame([(1, "a")], "id bigint, v string")
     path = str(tmp_path / "book.xlsx")
     long_name = "S" * 40
@@ -50,6 +50,27 @@ def test_excel_roundtrip_sheet_truncation(spark, tmp_path):
     sheets = readers.read_excel_sheets(spark, path)
     assert set(sheets) == {"S" * 31, "Dim"}  # 31-char Excel limit, mapper.py:134
     assert sheets["Dim"].count() == 1
+    rows = sheets["Dim"].collect()
+    assert (rows[0]["id"], rows[0]["v"]) == (1, "a")
+
+
+def test_xlsx_lite_typed_roundtrip(tmp_path):
+    from ai_etl_pipeline_spark.sources import _xlsx_lite
+
+    path = str(tmp_path / "lite.xlsx")
+    cols = ["i", "f", "s", "b", "n"]
+    rows = [
+        (1, 2.5, "héllo <&> world", True, None),
+        (-7, 0.0, "", False, None),
+    ]
+    _xlsx_lite.write_xlsx(path, {"T": (cols, rows)})
+    back = _xlsx_lite.read_xlsx(path)
+    bcols, brows = back["T"]
+    assert bcols == cols
+    assert brows == [
+        (1, 2.5, "héllo <&> world", True, None),
+        (-7, 0, "", False, None),  # 0.0 round-trips as int 0 (integral float)
+    ]
 
 
 def test_nanos_parquet_reader(spark, sf_dir):

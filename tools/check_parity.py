@@ -2,16 +2,26 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column
-names, and order-insensitive values (columns sorted by name, rows sorted
-by stringified tuple). Floats are compared by repr after the queries'
-own rounding — mirroring a value-hash check, not an approx check.
+names, and order-insensitive values.
+
+Canonicalization deliberately mirrors the DRIVER, not a lenient local
+ideal (round-1 lesson: the old gate unified ints-with-floats and
+stringified list cells, which hid exactly the two driver failures):
+
+- both sides are materialized as *pandas* frames (``toPandas()`` /
+  ``rel.df()``) so type-coercion artifacts the driver sees — e.g.
+  DuckDB HUGEINT landing as float64 ``8963.0`` vs Spark bigint
+  ``8963`` — surface locally too;
+- rows are sorted with ``DataFrame.sort_values`` (crashes on list
+  cells exactly like the driver's canonicalizer → reported FAIL);
+- values are compared after ``astype(str)`` with NO int/float
+  unification.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -23,33 +33,20 @@ TABLES = [
 ]
 
 
-def normalize_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(float(v))
-        return repr(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat().replace("T", " ")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
+def frame_signature(pdf):
+    """Driver-style canonical form: columns sorted by name, rows sorted,
+    every cell stringified via pandas ``astype(str)``.
 
-
-def frame_signature(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    cols_sorted = [columns[i] for i in order]
-    normalized = sorted(
-        tuple(normalize_cell(r[i]) for i in order) for r in rows
-    )
-    return cols_sorted, normalized
+    Raises TypeError on unsortable (list/dict) cells — the same failure
+    mode as the driver's pandas canonicalizer, so queries returning raw
+    array columns FAIL here instead of passing silently.
+    """
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    spdf = pdf.astype(str)
+    rows = sorted(map(tuple, spdf.itertuples(index=False, name=None)))
+    return list(pdf.columns), rows
 
 
 def main() -> int:
@@ -75,25 +72,37 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = list(sdf.columns)
+            spark_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"okay {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"okay {name}: rows-only ({len(spark_pdf)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
             continue
         try:
-            rel = con.sql(oracles[name])
-            duck_cols = list(rel.columns)
-            duck_rows = rel.fetchall()
+            duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        sc, sv = frame_signature(spark_cols, spark_rows)
-        dc, dv = frame_signature(duck_cols, duck_rows)
+        try:
+            sc, sv = frame_signature(spark_pdf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark result not canonicalizable "
+                  f"(driver would crash): {e}")
+            continue
+        try:
+            dc, dv = frame_signature(duck_pdf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle result not canonicalizable "
+                  f"(driver would crash): {e}")
+            continue
         if sc != dc:
             failures.append(name)
             print(f"FAIL {name}: columns differ\n  spark={sc}\n  duck ={dc}")
