@@ -2160,6 +2160,69 @@ FROM documents
 """
 
 
+# Golden subset of the reference's real Azure-Translator output
+# (/root/reference/cache/translated-map.json; pipeline semantics
+# translate.py:151-226): German expense/trip strings → English. Used as
+# the provider overlay so the fixture pipeline ACTUALLY translates —
+# q_pipeline_translation on the synthetic corpus verifies plumbing only
+# (no NON-ENGLISH columns there).
+_GOLDEN_TRANSLATIONS = {
+    "Fernverkehr Inland (Bahn,Bus,Mietwagen,Flug)": "Long-distance domestic transport (train, bus, rental car, flight)",
+    "Frühstück Inland": "Breakfast Domestic",
+    "Büroausstattung": "Office",
+    "Nahverkehr Inland (Taxi, Bus, Bahn)": "Domestic public transport (taxi, bus, train)",
+    "Transport Ausland (Flug,Bahn, Bus,Taxi, Mietwagen)": "Transport abroad (flight, train, bus, taxi, rental car)",
+    "Verpflegungspauschale": "Meal package",
+    "ERP-Lounge, Nürnberg": "ERP Lounge, Nuremberg",
+    "Veranstaltung Fraunhofer Institut, Magdeburg": "Event Fraunhofer Institute, Magdeburg",
+    'Kundenworkshop "15 Jahre CC Magdeburg"': 'Customer workshop "15 years of CC Magdeburg"',
+    "Unterstützung dxs Consult SSC AG Schweiz": "Support dxs Consult SSC AG Switzerland",
+}
+
+_GOLDEN_ROWS = [
+    (1, "Fernverkehr Inland (Bahn,Bus,Mietwagen,Flug)", "ERP-Lounge, Nürnberg", "approved and paid"),
+    (2, "Frühstück Inland", "Veranstaltung Fraunhofer Institut, Magdeburg", "pending for the review"),
+    (3, "Büroausstattung", 'Kundenworkshop "15 Jahre CC Magdeburg"', "approved and paid"),
+    (4, "Nahverkehr Inland (Taxi, Bus, Bahn)", "ERP-Lounge, Nürnberg", "rejected by the manager"),
+    (5, "Transport Ausland (Flug,Bahn, Bus,Taxi, Mietwagen)", "Unterstützung dxs Consult SSC AG Schweiz", "approved and paid"),
+    (6, "Verpflegungspauschale", "ERP-Lounge, Nürnberg", "pending for the review"),
+]
+
+
+def q_pipeline_translation_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1→T2→T3→T5 end-to-end on a NON-ENGLISH fixture — unlike
+    q_pipeline_translation, the output DIFFERS from the input: the two
+    German columns are classified TEXT (T1), detected NON-ENGLISH (T2),
+    their distinct values translated through the golden provider overlay
+    (T3), and mapped back via the broadcast value-map join (T5); the
+    English status column is detected ENGLISH and passes through
+    untouched. Oracle = literal expected output (VALUES), so the driver
+    hash proves real translation, not a cleaning fixpoint."""
+    from ai_etl_pipeline_spark.plans import run_translation_pipeline
+    from ai_etl_pipeline_spark.semantic import HeuristicProvider
+
+    df = spark.createDataFrame(
+        _GOLDEN_ROWS,
+        schema="id int, `Expense Account` string, `Trip Name` string, Status string",
+    )
+    provider = HeuristicProvider(translation_overlay=dict(_GOLDEN_TRANSLATIONS))
+    out, artifacts = run_translation_pipeline(df, provider)
+    return out
+
+
+def _golden_translation_sql() -> str:
+    rows = []
+    for i, exp, trip, status in _GOLDEN_ROWS:
+        t_exp = _GOLDEN_TRANSLATIONS[exp].replace("'", "''")
+        t_trip = _GOLDEN_TRANSLATIONS[trip].replace("'", "''")
+        rows.append(f"({i}, '{t_exp}', '{t_trip}', '{status}')")
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(id, expense_account, trip_name, status)"
+    )
+
+
 def q_pipeline_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stage-2 pipeline: structure → M1 heuristic mapping
     → M2 cleanup → P9 split; returns the fact projection. Rows-only
@@ -2230,6 +2293,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
+    "q_pipeline_translation_golden": (
+        q_pipeline_translation_golden,
+        _golden_translation_sql(),
+    ),
     "q_pipeline_mapping": (q_pipeline_mapping, None),
     # --- round-1 red rows, fixed this round ---
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),

@@ -97,3 +97,77 @@ def translate_distinct_values(
             mapping.update(dict(zip(batch, translated)))
         out[c] = mapping
     return out
+
+
+def translate_distinct_values_distributed(
+    df: DataFrame,
+    column: str,
+    translate_batch: Callable[[list[str]], list[str]],
+    batch_size: int = 100,
+    throttle_s: float = 0.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S7's scale path (SURVEY §2.1): the ``mapInPandas`` variant of
+    ``translate_distinct_values`` — partition-batched provider calls
+    instead of a driver-side loop.
+
+    The driver-side path collects every distinct value (fine at the
+    reference's 33k values, ``translate.py:85``); when the distinct set
+    itself is large, this version keeps it distributed: distinct →
+    (optional) repartition to bound per-task call volume → each Arrow
+    batch is sliced into ``batch_size`` chunks (``translate.py:98``),
+    pushed through the provider with the reference's inter-call throttle
+    (0.15 s, ``translate.py:118``) and per-batch identity fallback
+    (``translate.py:111-116``), yielding an ``(original, translated)``
+    mapping relation. Feed it straight into a broadcast
+    ``apply_value_map`` join — the mapping never lands on the driver.
+
+    ``translate_batch`` must be picklable (providers in
+    semantic/providers.py are plain dataclasses / functions)."""
+    import pandas as pd
+
+    distinct = (
+        df.select(F.trim(F.col(column).cast("string")).alias("original"))
+        .where(F.col("original").isNotNull() & (F.col("original") != ""))
+        .distinct()
+    )
+    if num_partitions is not None:
+        distinct = distinct.repartition(num_partitions)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        first = True
+        for pdf in batches:
+            vals = pdf["original"].tolist()
+            translated: list[str] = []
+            for i in range(0, len(vals), batch_size):
+                batch = vals[i : i + batch_size]
+                if throttle_s and not first:
+                    time.sleep(throttle_s)
+                first = False
+                try:
+                    out = translate_batch(batch)
+                    if len(out) != len(batch):
+                        raise ValueError("provider returned wrong batch size")
+                except Exception:
+                    out = batch  # identity fallback, translate.py:111-116
+                translated.extend(out)
+            yield pd.DataFrame({"original": vals, "translated": translated})
+
+    return distinct.mapInPandas(run, schema="original string, translated string")
+
+
+def apply_value_map_df(
+    df: DataFrame, column: str, map_df: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """T5 with a mapping RELATION instead of a driver-side dict — the
+    closing half of the distributed path: the mapping produced by
+    ``translate_distinct_values_distributed`` joins onto the corpus
+    without ever being collected. ``broadcast_map=False`` falls back to
+    a shuffle join for mappings too large to broadcast."""
+    if column not in df.columns:
+        return df
+    build = F.broadcast(map_df) if broadcast_map else map_df
+    joined = df.join(build, on=F.trim(df[column]) == map_df["original"], how="left")
+    return joined.withColumn(column, F.coalesce(map_df["translated"], df[column])).drop(
+        "original", "translated"
+    )

@@ -1,3 +1,4 @@
+from .adapters import NetworkProvider, OpenAIChatClient, RestTranslatorClient
 from .providers import (
     HeuristicProvider,
     SemanticProvider,
@@ -8,6 +9,9 @@ from .providers import (
 
 __all__ = [
     "HeuristicProvider",
+    "NetworkProvider",
+    "OpenAIChatClient",
+    "RestTranslatorClient",
     "SemanticProvider",
     "classify_text_columns",
     "detect_column_languages",
