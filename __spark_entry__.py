@@ -1433,6 +1433,47 @@ WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → iterative hash-min
+    connected components → (doc_id, cluster_id, cluster_size) for every
+    document, canonical = min id. This is the consumable form of dedup
+    for a training pipeline (keep doc_id == cluster_id). Oracle replays
+    the pair generation bit-for-bit, then computes components with a
+    recursive CTE — fully independent of the Spark iteration."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    return dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
+
+
+def _clusters_sql() -> str:
+    base = _minhash_sql().strip()
+    head, tail = base.split("\nSELECT inter.id_a", 1)
+    pairs_select = "SELECT inter.id_a" + tail
+    return f"""{head.replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS ({pairs_select}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM clustered
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprint per document (majority vote per bit
     over portable token hashes)."""
@@ -1785,6 +1826,69 @@ n AS (SELECT count(DISTINCT doc_id) AS n_docs
 SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
        round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
 FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021): per-doc metrics
+    (word count, mean word length, symbol ratio, alpha-word fraction,
+    distinct stopword hits) + the composite keep flag — single codegen
+    projection, scan-speed at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.gopher_quality_flags(docs, "doc_id", "text")
+
+
+_TEXT_GOPHER_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_words,
+       round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') * 1.0
+             / greatest(len(toks), 1), 6) AS mean_word_len,
+       round(len(regexp_extract_all(text, '#|\.\.\.|…')) * 1.0
+             / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+       round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+             / greatest(len(toks), 1), 6) AS alpha_word_frac,
+       CAST(len(list_intersect(toks, ['the','and','of','to','with','for']))
+            AS INTEGER) AS stop_hits,
+       (len(toks) BETWEEN 5 AND 100000)
+         AND (round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') * 1.0
+              / greatest(len(toks), 1), 6) BETWEEN 3.0 AND 10.0)
+         AND (round(len(regexp_extract_all(text, '#|\.\.\.|…')) * 1.0
+              / greatest(len(toks), 1), 6) <= 0.1)
+         AND (round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+              / greatest(len(toks), 1), 6) >= 0.8)
+         AND (len(list_intersect(toks, ['the','and','of','to','with','for'])) >= 2)
+         AS keep_gopher
+FROM toked
+"""
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats) — the
+    repetition/boilerplate curation signal; two aggregates, same shuffle
+    shape as TF-IDF's TF leg."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_entropy(docs, "doc_id", "text")
+
+
+_TEXT_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, sum(c * ln(c)) AS clogc
+        FROM counts GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ln(n_tokens) - clogc / n_tokens, 6) AS entropy
+FROM agg
 """
 
 
@@ -2260,6 +2364,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- driver-unverified in r1: dedup tier ---
     "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
@@ -2273,6 +2378,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
     "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
+    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
+    "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
     # --- driver-unverified in r1: sampling + curation ---
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
@@ -2312,10 +2419,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
     "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
     "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
+    # ---------------- position >50: green r1 evidence stands ----------------
     "q_variant_props": (q_variant_props, _VARIANT_PROPS_SQL),
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),
-    # ---------------- position >50: green r1 evidence stands ----------------
     "q_join_broadcast_part": (q_join_broadcast_part, _JOIN_BROADCAST_SQL),
     "q_join_semi": (q_join_semi, _JOIN_SEMI_SQL),
     "q_join_anti": (q_join_anti, _JOIN_ANTI_SQL),

@@ -321,3 +321,97 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def near_duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR relation — the
+    step that turns any of the pair generators above (MinHash-LSH,
+    SimHash, n-gram Jaccard, embedding-cosine) into dedup CLUSTERS with
+    a deterministic canonical representative (min id), the form a
+    training-data pipeline actually consumes: keep ``doc_id ==
+    cluster_id``, drop the rest.
+
+    Algorithm: iterative hash-min label propagation (the Pregel-style
+    rendering of connected components). Each node starts labeled with
+    its own id; every iteration each node takes the min label over
+    itself and its neighbors; fixpoint = component minimum.
+
+    Scale shape: the ITERATION runs only over nodes that appear in a
+    pair (candidate-sized, orders of magnitude below the corpus);
+    singleton docs join back at the end with ``coalesce(label, id)`` and
+    never enter the loop. Each iteration is one candidate-sized shuffle;
+    iteration count = component diameter (near-dup clusters are
+    shallow). Edges and every label round are ``localCheckpoint``-ed:
+    persist alone does NOT truncate the logical plan, so Catalyst would
+    re-optimize a lineage that grows by one join+agg per round — with a
+    large pair-generator plan upstream, planning time (driver-side!)
+    quickly dominates the tiny per-round shuffles. Checkpointing makes
+    every round's plan O(1): join of two leaf relations.
+    Convergence is detected by the (monotonically decreasing) sum of
+    labels going stationary — one scalar aggregate per round instead of
+    a join-and-compare.
+
+    Returns (id_col, cluster_id, cluster_size) for EVERY doc in
+    ``all_ids``.
+    """
+    # eager-persist the pair relation BEFORE symmetrizing: the union has
+    # two branches over `pairs`, which would otherwise evaluate the whole
+    # upstream pair generator (minhash/LSH/verify) twice in one job.
+    # Candidate-sized by contract, so materializing it is cheap.
+    pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
+    pairs.count()
+    edges = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    # decimal(38,0): exact at any id range (a bigint sum can overflow at
+    # 100 TB id spaces, silently breaking convergence detection)
+    lab_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lab_sum).first()[0]
+    for it in range(max_iter):
+        msgs = edges.join(labels, edges["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("lab")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(lab_sum).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} iterations"
+        )
+    clustered = (
+        all_ids.select(F.col(id_col))
+        .join(labels, all_ids[id_col] == labels["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lab"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    pairs.unpersist()
+    from pyspark.sql import Window
+
+    return clustered.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )

@@ -126,3 +126,97 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document filter (Rae et al. 2021, public): per-doc
+    rule metrics + the composite keep flag. Defaults are the paper's
+    (word-count window relaxed for short synthetic docs).
+
+    Rules rendered: word-count window; mean word length in [3, 10];
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≥ 80% of words contain
+    an alphabetic character; ≥ 2 distinct English stopword hits.
+
+    Single projection, all codegen. The token array is materialized in
+    its own projection FIRST (see doc_shingles: higher-order lambdas
+    re-evaluate inlined outer expressions per element — inlining the
+    regex split here would make the filter O(tokens²))."""
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(tokens_col(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_n, 6
+    )
+    symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = F.round(symbols / safe_n, 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / safe_n, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+        )
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return toked.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep_gopher"),
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy over the token distribution (nats):
+    ``-sum(p ln p)`` where p = token frequency / doc length. Low entropy
+    flags boilerplate/repetition (a standard curation signal alongside
+    the Gopher rules); entropy 0 = a one-token or single-repeated-token
+    doc.
+
+    One shuffle on (doc, token) then one on doc — same shape as tf_idf's
+    TF leg, scale-safe."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.log("n_tokens") - F.col("__clogc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )

@@ -93,6 +93,11 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
     session_window_agg, SQL-expressible for the oracle."""
     from pyspark.sql import Window
 
+    # explicit fan-out on the session key (same guard as doc_tokens): a
+    # corpus arriving as few files would otherwise run the whole window
+    # stage on few tasks; the window's own hash(user_id) requirement is
+    # satisfied by this exchange, so no second shuffle is added
+    events = events.repartition(F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     gap = F.when(

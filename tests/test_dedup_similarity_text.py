@@ -192,3 +192,73 @@ def test_tfidf_known_values(spark):
     assert abs(got[(0, "apple")]["tfidf"] - expect) < 1e-6
     # banana appears in both docs -> df=2, idf = ln(3/3)+1 = 1
     assert got[(1, "banana")]["tfidf"] == 1.0
+
+
+def test_near_duplicate_clusters_components(spark):
+    """Chain A-B, B-C must merge into one component labeled min(id);
+    disconnected pair D-E its own; F (no pairs) is a singleton."""
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = dd.near_duplicate_clusters(pairs, all_ids, "doc_id")
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),   # chain closes transitively
+        4: (4, 2), 5: (4, 2),
+        6: (6, 1),                          # singleton never enters the loop
+    }
+
+
+def test_near_duplicate_clusters_long_chain_converges(spark):
+    """Diameter > 2 exercises multiple propagation rounds."""
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    chain = [(i, i + 1) for i in range(1, 10)]  # 1-2-3-...-10
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    out = dd.near_duplicate_clusters(pairs, all_ids, "doc_id")
+    rows = out.collect()
+    assert {r["cluster_id"] for r in rows} == {1}
+    assert all(r["cluster_size"] == 10 for r in rows)
+
+
+def test_gopher_flags_rules(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog ran off with food"),  # good prose
+            (2, "x y z"),                                   # too few words
+            (3, "### ### ### and the of to with for ok"),  # symbol-heavy
+            (4, "1 2 3 4 5 6 7 8 9 10 the and"),           # numeric words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ts.gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert got[1]["keep_gopher"] is True
+    assert got[2]["keep_gopher"] is False  # n_words < 5
+    assert got[3]["symbol_word_ratio"] > 0.1 and got[3]["keep_gopher"] is False
+    assert got[4]["alpha_word_frac"] < 0.8 and got[4]["keep_gopher"] is False
+    assert got[1]["stop_hits"] >= 2
+
+
+def test_token_entropy_bounds(spark):
+    import math
+
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),      # zero entropy
+            (2, "a b c d"),                  # uniform: ln(4)
+            (3, "a a b b"),                  # uniform over 2: ln(2)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["entropy"] for r in ts.token_entropy(df, "doc_id", "text").collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(4), 6)) < 1e-9
+    assert abs(got[3] - round(math.log(2), 6)) < 1e-9
