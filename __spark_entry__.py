@@ -1892,6 +1892,69 @@ FROM agg
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level repetition metrics (Gopher's duplicate-line-fraction
+    signal): single projection, scan-speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "doc_id", "text")
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       round((len(lines) - len(list_distinct(lines))) * 1.0
+             / greatest(len(lines), 1), 6) AS dup_line_frac
+FROM lined
+"""
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression tier for 100 TB ANN: symmetric per-vector
+    int8 quantization (scan/bucket over 4x-smaller vectors, exact
+    re-rank over floats only for candidates) + L2 normalization (cosine
+    becomes dot). q_vec serialized to CSV for the driver contract;
+    unit0 = first unit-vector component as the normalization probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings_int8(emb, "embedding")
+    u = similarity.normalize_embeddings(q, "embedding")
+    return u.select(
+        "vec_id",
+        "q_scale",
+        F.array_join(
+            F.transform(F.col("q_vec"), lambda x: x.cast("string")), ","
+        ).alias("q_vec"),
+        F.round(F.element_at("unit_vec", 1), 6).alias("unit0"),
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS scale,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+  FROM v
+)
+SELECT vec_id,
+       round(scale, 9) AS q_scale,
+       array_to_string(
+         CASE WHEN scale > 0
+              THEN list_transform(emb, x -> CAST(CAST(round(x / scale) AS TINYINT) AS VARCHAR))
+              ELSE list_transform(emb, x -> '0') END, ',') AS q_vec,
+       round(CASE WHEN nrm > 0 THEN emb[1] / nrm ELSE emb[1] END, 6) AS unit0
+FROM s
+"""
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% hash sample of the corpus: reproducible across
     runs/engines (md5 bucket), nested (⊇ any smaller fraction, same
@@ -2372,6 +2435,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
+    "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     # --- driver-unverified in r1: text analysis tier ---
     "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
@@ -2380,6 +2444,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
+    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     # --- driver-unverified in r1: sampling + curation ---
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
@@ -2417,9 +2482,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
     "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
+    # ---------------- position >50: green r1 evidence stands ----------------
     "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
     "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
-    # ---------------- position >50: green r1 evidence stands ----------------
     "q_variant_props": (q_variant_props, _VARIANT_PROPS_SQL),
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),
     "q_scalar_json": (q_scalar_json, _SCALAR_JSON_SQL),

@@ -230,3 +230,45 @@ def lsh_knn(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine = dot,
+    halving the per-pair arithmetic in every downstream kNN/dedup scan).
+    Zero vectors pass through unchanged rather than dividing by zero.
+    Materialized as its own projection — single codegen pass."""
+    v = F.expr(_dbl(vec_col))
+    df = df.withColumn("__v", v).withColumn("__n", norm_expr("__v"))
+    unit = F.when(
+        F.col("__n") > 0.0,
+        F.expr("transform(__v, x -> x / __n)"),
+    ).otherwise(F.col("__v"))
+    return df.withColumn(out_col, unit).drop("__v", "__n")
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). 4× memory/shuffle reduction for the ANN
+    candidate-generation tier at 100 TB (scan/bucket over int8, exact
+    re-rank over the float column for the candidate set only).
+
+    Emits (q_vec array<tinyint>, q_scale double); dequantized value is
+    q_i * q_scale. All-zero vectors get scale 0 and an all-zero q_vec.
+    Codegen-only, engine-portable (round-half-up on non-negative
+    magnitudes matches across engines)."""
+    df = df.withColumn("__v", F.expr(_dbl(vec_col)))
+    max_abs = F.expr("aggregate(__v, cast(0.0 as double), (acc, x) -> greatest(acc, abs(x)))")
+    df = df.withColumn("__s", max_abs / F.lit(127.0))
+    q = F.when(
+        F.col("__s") > 0.0,
+        F.expr("transform(__v, x -> cast(round(x / __s) as tinyint))"),
+    ).otherwise(F.expr("transform(__v, x -> cast(0 as tinyint))"))
+    return (
+        df.withColumn(out_col, q)
+        .withColumn("q_scale", F.round(F.col("__s"), 9))
+        .drop("__v", "__s")
+    )

@@ -220,3 +220,26 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher's repetition signals at line granularity: line count and
+    duplicate-line fraction (1 - distinct/total over non-empty trimmed
+    lines). High duplicate-line fraction flags boilerplate/templated
+    docs. Single codegen projection (split → filter → array_distinct) —
+    scan-speed; the array is materialized in its own projection first
+    (lambda-inlining rule, see gopher_quality_flags)."""
+    lined = df.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), F.trim),
+            lambda l: l != "",
+        ).alias("__lines"),
+    )
+    n = F.size(F.col("__lines"))
+    d = F.size(F.array_distinct(F.col("__lines")))
+    return lined.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        F.round((n - d) / F.greatest(n, F.lit(1)), 6).alias("dup_line_frac"),
+    )

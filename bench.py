@@ -35,10 +35,13 @@ HEADLINE = [
     "q_clean_numeric_cast",
     "q_map_values_broadcast",
     "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
     "q_dedup_embedding_cosine",
     "q_knn_bruteforce",
     "q_knn_ivf",
     "q_text_quality",
+    "q_text_gopher",
+    "q_text_entropy",
     "q_text_fingerprint",
     "q_text_tfidf",
     "q_sample_stratified",

@@ -262,3 +262,38 @@ def test_token_entropy_bounds(spark):
     assert got[1] == 0.0
     assert abs(got[2] - round(math.log(4), 6)) < 1e-9
     assert abs(got[3] - round(math.log(2), 6)) < 1e-9
+
+
+def test_normalize_and_quantize_embeddings(spark):
+    from ai_etl_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.27, 0.635])],
+        "vec_id long, embedding array<double>",
+    )
+    u = {r["vec_id"]: r["unit_vec"] for r in sim.normalize_embeddings(df).collect()}
+    assert [round(x, 6) for x in u[1]] == [0.6, 0.8]
+    assert u[2] == [0.0, 0.0]  # zero vector passes through
+    q = {r["vec_id"]: (r["q_vec"], r["q_scale"]) for r in
+         sim.quantize_embeddings_int8(df).collect()}
+    assert q[1][0] == [95, 127]  # 3/ (4/127) = 95.25 -> 95
+    assert q[2] == ([0, 0], 0.0)
+    assert q[3][0] == [-127, 64]  # scale=0.01, -1.27/0.01=-127; 63.5 rounds half-up
+    # dequantization error bounded by scale/2 per component
+    assert abs(q[1][0][0] * q[1][1] - 3.0) <= q[1][1] / 2 + 1e-12
+
+
+def test_repetition_stats_duplicate_lines(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\n\nheader"),  # 4 non-empty, 2 distinct
+            (2, "all\nunique\nlines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"]) for r in
+           ts.repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1] == (4, 0.5)
+    assert got[2] == (3, 0.0)
