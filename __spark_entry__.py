@@ -2105,6 +2105,48 @@ FROM events
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-RELATION as-of join (merge_asof semantics): every click/view
+    event picks up the user's most recent preceding purchase (ts +
+    value). Spark-side = relational.asof_join's union+window rendering
+    (one shuffle, no range explosion); oracle = DuckDB's NATIVE ASOF
+    LEFT JOIN — two independent implementations of the semantics."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = relational.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("__asof_ts").alias("purchase_ts"), "purchase_value",
+    )
+
+
+_EVENTS_ASOF_JOIN_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(max(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS purchase_ts, r.purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution: file source → tumbling
     event-time aggregate → memory sink (Trigger.AvailableNow), result
@@ -2455,6 +2497,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
+    "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
@@ -2482,8 +2525,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_correlated_max_per_brand": (q_correlated_max_per_brand, _CORRELATED_MAX_SQL),
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
     "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
-    # ---------------- position >50: green r1 evidence stands ----------------
     "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
+    # ---------------- position >50: green r1 evidence stands ----------------
     "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
     "q_variant_props": (q_variant_props, _VARIANT_PROPS_SQL),
     "q_scalar_arrays": (q_scalar_arrays, _SCALAR_ARRAYS_SQL),

@@ -197,3 +197,80 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_expr: Column | None = None,
+) -> DataFrame:
+    """As-of join (pandas ``merge_asof`` / kdb ``aj`` semantics): for
+    every left row, attach the payload of the single right row with the
+    largest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward'
+    = smallest right_ts >= left_ts) within the same ``on`` key. Ties
+    (right_ts == left_ts) match, like merge_asof's default.
+
+    Spark has no native as-of join; the scalable rendering is the
+    UNION + WINDOW idiom, NOT a range join: tag both relations, union,
+    and take ``last(payload ignoring nulls)`` over an ordered window per
+    key. ONE shuffle on the key, no join explosion, no per-left-row
+    range scan — O(n log n) at any scale, and skew only where the key
+    itself is skewed (same salting story as any keyed op).
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate if not
+    (the classic merge_asof contract). ``tolerance_expr``: optional
+    boolean Column over ``F.col("__t")`` (the left row's timestamp) and
+    ``F.col("__asof_ts")`` limiting the match age; out-of-tolerance rows
+    keep NULL payloads. Returns all left rows + an ``__asof_ts`` column
+    + the right payload columns."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = l.unionByName(r.select(*l.columns))
+    asc = direction == "backward"
+    # at equal __t the right row must be visible to the left row, so
+    # right sorts first: (ts asc, is_r desc) backward / (ts desc, is_r
+    # desc) forward
+    order = [F.col("__t").asc() if asc else F.col("__t").desc(), F.col("__is_r").desc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn(
+            "__asof_ts",
+            F.last(F.when(F.col("__is_r") == 1, F.col("__t")), ignorenulls=True).over(w),
+        )
+        .where(F.col("__is_r") == 0)
+    )
+    if tolerance_expr is not None:
+        matched = matched.withColumn(
+            "__m", F.when(tolerance_expr, F.col("__m"))
+        ).withColumn("__asof_ts", F.when(tolerance_expr, F.col("__asof_ts")))
+    return matched.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        F.col("__asof_ts"),
+        *[F.col("__m")[c].alias(c) for c in right_cols],
+    )

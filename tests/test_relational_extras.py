@@ -71,3 +71,43 @@ def test_cogrouped_ratio(spark):
     assert got[1]["n_left"] == 2 and got[1]["n_right"] == 1 and got[1]["ratio"] == 2.0
     assert got[2]["n_right"] == 0 and got[2]["ratio"] is None  # right-empty group
     assert got[3]["n_left"] == 0                               # left-empty group
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from ai_etl_pipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 31), (4, "v", 5)],
+        "event_id long, user string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 25, 2.5), ("w", 1, 9.9)],
+        "user string, ts long, px double",
+    )
+    back = {
+        r["event_id"]: (r["__asof_ts"], r["px"])
+        for r in rel.asof_join(left, right, on="user", right_cols=["px"]).collect()
+    }
+    assert back[1] == (10, 1.0)   # tie: equal ts matches (merge_asof default)
+    assert back[2] == (10, 1.0)
+    assert back[3] == (25, 2.5)
+    assert back[4] == (None, None)  # no right rows for key v
+    fwd = {
+        r["event_id"]: (r["__asof_ts"], r["px"])
+        for r in rel.asof_join(
+            left, right, on="user", right_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert fwd[2] == (25, 2.5)    # next right at/after 20
+    assert fwd[3] == (None, None)  # nothing after 31
+    tol = {
+        r["event_id"]: r["px"]
+        for r in rel.asof_join(
+            left, right, on="user", right_cols=["px"],
+            tolerance_expr=F.col("__t") - F.col("__asof_ts") <= F.lit(5),
+        ).collect()
+    }
+    assert tol[1] == 1.0 and tol[3] is None  # 31-25=6 exceeds tolerance 5
+    assert tol[2] is None                    # 20-10=10 exceeds tolerance
