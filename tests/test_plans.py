@@ -122,3 +122,60 @@ def test_large_orders_having_before_join(spark, sf_dir):
     agg_pos = plan.find("Aggregate")
     join_pos = plan.find("Join")
     assert agg_pos > join_pos >= 0  # optimized tree prints joins above aggs
+
+
+def test_minhash_band_join_reuses_exchange(spark, sf_dir):
+    # the 8 band projections must reuse ONE shuffled signature relation,
+    # not re-shuffle the corpus per band; and candidates come from the
+    # bucket equi-join, never a cross join
+    plan = _plan(spark, sf_dir, "q_dedup_minhash_lsh", execute=True)
+    assert "ReusedExchange" in plan  # AQE finalizes reuse only on execution
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # repartition(user_id) + both window functions must share ONE
+    # hash(user_id) exchange
+    plan = _plan(spark, sf_dir, "q_events_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    # union+window rendering: ONE shuffle on the key (both window
+    # functions share it), no join operator at all in the matching phase
+    from ai_etl_pipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame([(1, "u", 10)], "event_id long, user string, ts long")
+    right = spark.createDataFrame([("u", 5, 1.0)], "user string, ts long, px double")
+    out = rel.asof_join(left, right, on="user", right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no SortMerge/NestedLoop/Cartesian anywhere
+
+
+def test_text_tier_is_pure_codegen(spark, sf_dir):
+    # scan-speed contract: single projection, no shuffle, no Python
+    for q in ("q_text_gopher", "q_text_repetition", "q_emb_quantize",
+              "q_text_quality", "q_text_tokens"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange" not in plan, q
+        assert "EvalPython" not in plan, q  # no Batch/ArrowEvalPython
+
+
+def test_cluster_iteration_plans_stay_constant(spark):
+    # the hash-min loop must not grow the logical plan: every round joins
+    # two localCheckpoint-ed leaves, so round N's plan size equals round
+    # 1's (the r2 fix: persist alone left planning O(rounds^2))
+    from pyspark.sql import functions as F
+
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    chain = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    out = dd.near_duplicate_clusters(pairs, ids, "doc_id")
+    # the returned frame joins all_ids to the FINAL checkpointed labels:
+    # its plan must reference a checkpoint leaf, not the iteration tree
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan  # localCheckpoint leaf
+    assert "Union" not in plan   # no accumulated per-round unions
