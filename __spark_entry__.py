@@ -2147,6 +2147,45 @@ FROM l ASOF LEFT JOIN r
 """
 
 
+def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows on the real micro-batch engine
+    (session_window + stateful merging across triggers; the file source
+    feeds one file per trigger). Oracle = gaps-and-islands SQL with the
+    native semantics: sessions merge while consecutive gaps are
+    STRICTLY below the 5-minute gap (each event spans [ts, ts+gap);
+    windows merge only when they overlap), session_end = last ts +
+    gap."""
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = stream_windows.session_window_agg(stream, gap="5 minutes")
+    return stream_windows.run_stream_to_memory(agg, "complete")
+
+
+_EVENTS_STREAM_SESSIONS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution: file source → tumbling
     event-time aggregate → memory sink (Trigger.AvailableNow), result
@@ -2502,6 +2541,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
     "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
+    "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
     # --- driver-unverified in r1: multimodal ---
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
