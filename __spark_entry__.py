@@ -1868,6 +1868,13 @@ FROM toked
 """
 
 
+def _gopher_sql_min_stop(n: int) -> str:
+    """The gopher oracle with a relaxed stopword-hit threshold."""
+    return _TEXT_GOPHER_SQL.replace(
+        "'for'])) >= 2)\n         AS keep_gopher", f"'for'])) >= {n})\n         AS keep_gopher"
+    )
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token Shannon entropy (nats) — the
     repetition/boilerplate curation signal; two aggregates, same shuffle
@@ -2389,6 +2396,53 @@ WHERE quality >= 0.8
 """
 
 
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline over the round-2 operator tier — the full
+    100 TB shape: MinHash-LSH near-dup CLUSTER dedup (keep canonical
+    min-id doc) → Gopher rule filter → duplicate-line cap → token-entropy
+    floor → deterministic 50% hash sample. Cluster iteration is
+    candidate-sized; every filter is a scan-speed projection; the only
+    corpus shuffles are the minhash aggregate and the metric joins on
+    doc_id. Oracle recomputes every stage independently (recursive-CTE
+    components, list-function rules, hash predicate)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    clusters = dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
+    canon = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept = docs.join(F.broadcast(canon), "doc_id", "left_semi")
+    # min_stop_hits relaxed 2 -> 1: the synthetic corpus's tiny vocabulary
+    # rarely produces two distinct stopwords per doc (0 keeps at 2)
+    g = textstats.gopher_quality_flags(kept, "doc_id", "text", min_stop_hits=1).where(
+        F.col("keep_gopher")
+    )
+    r = textstats.repetition_stats(kept, "doc_id", "text").where(
+        F.col("dup_line_frac") <= 0.5
+    )
+    e = textstats.token_entropy(kept, "doc_id", "text").where(F.col("entropy") >= 1.0)
+    joined = (
+        g.select("doc_id", "n_words")
+        .join(r.select("doc_id", "dup_line_frac"), "doc_id")
+        .join(e.select("doc_id", "entropy"), "doc_id")
+    )
+    return sampling.hash_sample(joined, "doc_id", 0.5, salt="curate2")
+
+
+_PIPELINE_CURATION2_SQL = f"""
+WITH clus AS (SELECT * FROM ({_clusters_sql()})),
+canon AS (SELECT doc_id FROM clus WHERE doc_id = cluster_id),
+g AS (SELECT * FROM ({_gopher_sql_min_stop(1)}) WHERE keep_gopher),
+r AS (SELECT * FROM ({_TEXT_REPETITION_SQL}) WHERE dup_line_frac <= 0.5),
+e AS (SELECT * FROM ({_TEXT_ENTROPY_SQL}) WHERE entropy >= 1.0)
+SELECT g.doc_id, g.n_words, r.dup_line_frac, e.entropy
+FROM canon
+JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN e USING (doc_id)
+WHERE CAST('0x' || substr(md5('curate2|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 < 500000
+"""
+
+
 def q_pipeline_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stage-1 pipeline end-to-end on documents with the
     deterministic heuristic provider: clean → classify → detect →
@@ -2530,6 +2584,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
+    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
