@@ -47,8 +47,10 @@ HEADLINE = [
     "q_sample_stratified",
     "q_window_frames",
     "q_pipeline_curation",
+    "q_pipeline_curation_v2",
     "q_events_tumbling",
     "q_events_sessionize",
+    "q_events_asof_join",
 ]
 
 
