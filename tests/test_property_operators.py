@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the operators whose semantics
+have clean independent reference implementations:
+
+- near_duplicate_clusters vs a driver-side union-find over the same
+  random pair relation;
+- asof_join vs pandas.merge_asof (the semantics the operator claims).
+
+Examples are kept small and few: each example pays a Spark job, so the
+value is in randomized structure (chains, stars, ties, empty sides), not
+example count.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ai_etl_pipeline_spark.operators import dedup, relational
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labeling: fully compress, then label = root (root IS the
+    # component min because unions always parent the larger root)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=14),
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=20
+    ),
+)
+@settings(**_SETTINGS)
+def test_clusters_match_union_find(spark, n_nodes, edge_idx):
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_idx if a % n_nodes != b % n_nodes]
+    expected = _union_find_components(n_nodes, edges)
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.near_duplicate_clusters(pairs, ids, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == expected
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in out.collect()}
+    from collections import Counter
+
+    assert sizes == Counter(expected.values())
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    right_rows=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 30)), max_size=8
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+    # merge_asof contract: right unique per (key, ts)
+    right_rows = sorted({(k, t) for k, t in right_rows})
+    right_rows = [(k, t, float(t) + 0.5) for k, t in right_rows]
+
+    left = spark.createDataFrame(left_rows, "event_id long, k string, ts long")
+    if right_rows:
+        right = spark.createDataFrame(right_rows, "k string, ts long, px double")
+    else:
+        right = spark.createDataFrame([], "k string, ts long, px double")
+    got = {
+        r["event_id"]: (r["__asof_ts"], r["px"])
+        for r in relational.asof_join(
+            left, right, on="k", right_cols=["px"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "px"]).sort_values("ts")
+    if len(rp):
+        merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        expected = {
+            int(r.event_id): (
+                None if pd.isna(r.px) else int(round(r.px - 0.5)),
+                None if pd.isna(r.px) else r.px,
+            )
+            for r in merged.itertuples()
+        }
+    else:
+        expected = {int(i): (None, None) for i, _, _ in left_rows}
+    assert got == expected
