@@ -190,3 +190,30 @@ def test_sampling_helpers(spark, documents):
     rnd = distinct.random_value_sample(documents, "lang", 3, seed=42)
     assert len(rnd) == 3
     assert rnd == distinct.random_value_sample(documents, "lang", 3, seed=42)  # seeded
+
+
+def test_python_datasource_partitioned_generator(spark):
+    """Spark-4 custom Python DataSource: N rows across P independent
+    splits, deterministic content, no driver materialization."""
+    from ai_etl_pipeline_spark.sources.python_datasource import (
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 57)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 57
+    assert sorted(r["doc_id"] for r in rows) == list(range(57))
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n_chars"] == len(by_id[0]["text"])
+    # deterministic: a second read yields identical content
+    again = spark.read.format("synthetic_docs").option("n", 57).load().collect()
+    assert {r["doc_id"]: r["text"] for r in again} == {
+        r["doc_id"]: r["text"] for r in rows
+    }
