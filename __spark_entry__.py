@@ -1962,6 +1962,35 @@ FROM s
 """
 
 
+_PII_ROWS = [
+    (1, "contact john.doe@example.com or +1 (555) 123-4567 now"),
+    (2, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+    (3, "no pii here at all"),
+    (4, "mail admin@sub.domain.org from 8.8.8.8"),
+]
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone numbers → typed tags) on a
+    deterministic fixture; the oracle is the literal expected output, so
+    the driver hash checks real redaction behavior, not a no-op pass
+    over the PII-free synthetic corpus."""
+    df = spark.createDataFrame(_PII_ROWS, "doc_id int, text string")
+    return textstats.redact_pii(df, "text").select(
+        "doc_id", "text", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+_TEXT_PII_SQL = """
+SELECT * FROM (VALUES
+  (1, 'contact <EMAIL> or <PHONE> now', 1, 0, 1),
+  (2, 'server at <IPV4> and <IPV4> rebooted', 0, 2, 0),
+  (3, 'no pii here at all', 0, 0, 0),
+  (4, 'mail <EMAIL> from <IPV4>', 1, 1, 0)
+) AS t(doc_id, text, n_email, n_ipv4, n_phone)
+"""
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% hash sample of the corpus: reproducible across
     runs/engines (md5 bucket), nested (⊇ any smaller fraction, same
@@ -2580,6 +2609,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
+    "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     # --- driver-unverified in r1: sampling + curation ---
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),

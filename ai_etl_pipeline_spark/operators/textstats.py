@@ -243,3 +243,33 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n.alias("n_lines"),
         F.round((n - d) / F.greatest(n, F.lit(1)), 6).alias("dup_line_frac"),
     )
+
+
+# PII patterns kept to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d() -]{7,14}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Training-corpus PII scrubbing: replace emails / IPv4 addresses /
+    international-format phone numbers with ``<KIND>`` tags and count
+    the hits per kind. Pure regexp_replace/regexp_extract_all chain —
+    scan-speed, no Python; patterns are deliberately dialect-portable so
+    the oracle replays them verbatim. Order matters: emails first (an
+    email must not have its digits phone-matched), then IPs, then
+    phones."""
+    out_col = out_col or text_col
+    red = F.col(text_col)
+    for kind in ("email", "ipv4", "phone"):
+        df = df.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(red, F.lit(PII_PATTERNS[kind]), F.lit(0))),
+        )
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.withColumn(out_col, red)

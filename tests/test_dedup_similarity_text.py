@@ -297,3 +297,22 @@ def test_repetition_stats_duplicate_lines(spark):
            ts.repetition_stats(df, "doc_id", "text").collect()}
     assert got[1] == (4, 0.5)
     assert got[2] == (3, 0.0)
+
+
+def test_redact_pii_order_and_counts(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.io b@c.net"),                      # two emails, adjacent
+            (2, "ip 1.2.3.4 ends line 10.20.30.40"),
+            (3, "call +49 30 901820 today"),
+            (4, "edge: x@y.zz"),                         # 2-char TLD boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.redact_pii(df, "text").collect()}
+    assert out[1]["text"] == "<EMAIL> <EMAIL>" and out[1]["n_email"] == 2
+    assert out[2]["text"] == "ip <IPV4> ends line <IPV4>" and out[2]["n_ipv4"] == 2
+    assert out[3]["text"] == "call <PHONE> today" and out[3]["n_phone"] == 1
+    assert out[4]["text"] == "edge: <EMAIL>"
