@@ -2222,6 +2222,41 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day and day+hour
+    aggregates (plus the grand total) in ONE pass via ROLLUP on derived
+    time buckets — the continuous-aggregate pattern at 100 TB: a single
+    shuffle produces every resolution, coarser levels from map-side
+    partials of finer ones."""
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return b.rollup("day", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+
+
+_EVENTS_ROLLUP_MULTIRES_SQL = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(2 * grouping(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+            + grouping(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+            AS INTEGER) AS lvl
+FROM events
+GROUP BY ROLLUP (
+  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+)
+"""
+
+
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution: file source → tumbling
     event-time aggregate → memory sink (Trigger.AvailableNow), result
@@ -2622,6 +2657,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
+    "q_events_rollup_multires": (q_events_rollup_multires, _EVENTS_ROLLUP_MULTIRES_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
