@@ -2555,6 +2555,38 @@ _GOLDEN_ROWS = [
 ]
 
 
+def q_translate_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S7 SCALE path with a driver row: distinct values of the
+    golden fixture's expense column are translated through the
+    mapInPandas partition-batched provider (not the driver-side loop) —
+    the mapping relation itself is the result. Oracle = the literal
+    golden pairs."""
+    from ai_etl_pipeline_spark.operators.enrich import (
+        translate_distinct_values_distributed,
+    )
+    from ai_etl_pipeline_spark.semantic import HeuristicProvider
+
+    df = spark.createDataFrame(
+        _GOLDEN_ROWS,
+        schema="id int, `Expense Account` string, `Trip Name` string, Status string",
+    )
+    provider = HeuristicProvider(translation_overlay=dict(_GOLDEN_TRANSLATIONS))
+    return translate_distinct_values_distributed(
+        df, "Expense Account", provider.translate_batch, batch_size=3,
+        num_partitions=2,
+    )
+
+
+def _translate_distributed_sql() -> str:
+    rows = sorted({exp for _, exp, _, _ in _GOLDEN_ROWS})
+    vals = ",\n  ".join(
+        "('{}', '{}')".format(e.replace("'", "''"),
+                              _GOLDEN_TRANSLATIONS[e].replace("'", "''"))
+        for e in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {vals}\n) AS t(original, translated)"
+
+
 def q_pipeline_translation_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1→T2→T3→T5 end-to-end on a NON-ENGLISH fixture — unlike
     q_pipeline_translation, the output DIFFERS from the input: the two
@@ -2673,6 +2705,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_pipeline_translation_golden,
         _golden_translation_sql(),
     ),
+    "q_translate_distributed": (q_translate_distributed, _translate_distributed_sql()),
     "q_pipeline_mapping": (q_pipeline_mapping, None),
     # --- round-1 red rows, fixed this round ---
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),

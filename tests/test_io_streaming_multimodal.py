@@ -217,3 +217,45 @@ def test_python_datasource_partitioned_generator(spark):
     assert {r["doc_id"]: r["text"] for r in again} == {
         r["doc_id"]: r["text"] for r in rows
     }
+
+
+def test_xlsx_lite_reads_shared_strings(tmp_path):
+    """Files produced by real Excel/openpyxl store text in a
+    sharedStrings part (not inline) — build one by hand and read it."""
+    import zipfile
+
+    from ai_etl_pipeline_spark.sources import _xlsx_lite
+
+    path = str(tmp_path / "shared.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _xlsx_lite._CONTENT_TYPES.format(
+            sheet_overrides='<Override PartName="/xl/worksheets/sheet1.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        ))
+        zf.writestr("_rels/.rels", _xlsx_lite._ROOT_RELS)
+        zf.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><t>name</t></si><si><r><t>sp</t></r><r><t>lit</t></r></si></sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>7</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    cols, rows = _xlsx_lite.read_xlsx(path)["S"]
+    assert cols == ["name", "col1"]          # ragged header padded
+    assert rows == [("split", 7)]            # multi-run si concatenated
