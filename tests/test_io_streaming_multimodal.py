@@ -259,3 +259,28 @@ def test_xlsx_lite_reads_shared_strings(tmp_path):
     cols, rows = _xlsx_lite.read_xlsx(path)["S"]
     assert cols == ["name", "col1"]          # ragged header padded
     assert rows == [("split", 7)]            # multi-run si concatenated
+
+
+def test_streaming_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Durable sink semantics: parquet sink + checkpointLocation gives
+    exactly-once file output; re-running the query against the same
+    checkpoint (no new source files) must append NOTHING."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_once():
+        stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: source offset already committed
+    n2 = spark.read.parquet(out).count()
+    batch_n = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet").count()
+    assert n1 == n2 == batch_n
