@@ -2679,10 +2679,18 @@ def _golden_translation_sql() -> str:
     )
 
 
+_PIPELINE_MAPPING_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+"""
+
+
 def q_pipeline_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's stage-2 pipeline: structure → M1 heuristic mapping
-    → M2 cleanup → P9 split; returns the fact projection. Rows-only
-    check (the mapping itself is provider output, not SQL)."""
+    """The reference's stage-2 pipeline (``/root/reference/mapper.py:195-235``):
+    clean → structure (P10) → M1 heuristic mapping → M2 cleanup → P9
+    split; returns the fact projection. M1 is injective per destination
+    column (highest-scoring source wins), so the orders scan maps exactly
+    (o_orderkey, o_totalprice, o_orderdate) → FACT_Orders and the fact
+    projection is plain SQL — a full hash oracle, not rows-only."""
     from ai_etl_pipeline_spark.plans import run_mapping_pipeline
     from ai_etl_pipeline_spark.semantic import HeuristicProvider
 
@@ -2766,7 +2774,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _golden_translation_sql(),
     ),
     "q_translate_distributed": (q_translate_distributed, _translate_distributed_sql()),
-    "q_pipeline_mapping": (q_pipeline_mapping, None),
+    "q_pipeline_mapping": (q_pipeline_mapping, _PIPELINE_MAPPING_SQL),
     # --- round-1 red rows, fixed this round ---
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),

@@ -56,10 +56,16 @@ def split_into_tables(df: DataFrame, mapping: ColumnMapping) -> dict[str, DataFr
 
     Pure multi-projection — each output is a lazy column-pruned view of
     the same scan; nothing is materialized here. Source columns absent
-    from ``df`` are skipped (the ``mapper.py:117`` guard)."""
+    from ``df`` are skipped (the ``mapper.py:117`` guard). If a mapping
+    routes two sources to the same destination column, only the first
+    (in mapping order) is kept — mirroring P4's duplicate-column rule
+    (``/root/reference/preprocess.py:54-57``) so the output schema never
+    repeats a name."""
     by_table: dict[str, list[tuple[str, str]]] = {}
+    seen: set[tuple[str, str]] = set()
     for src, spec in mapping.items():
-        if src in df.columns:
+        if src in df.columns and (spec["table"], spec["column"]) not in seen:
+            seen.add((spec["table"], spec["column"]))
             by_table.setdefault(spec["table"], []).append((src, spec["column"]))
     return {
         table: df.select([F.col(f"`{s}`").alias(d) for s, d in pairs])

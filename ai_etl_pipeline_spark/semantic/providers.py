@@ -100,10 +100,16 @@ class HeuristicProvider:
         table_structure: dict[str, list[str]],
         column_samples: dict[str, list[str]],
     ) -> dict[str, str]:
+        # Injective per destination (table, column): when several source
+        # columns score against the same destination (e.g. every orders
+        # key column resembling ``o_orderkey``), only the highest-scoring
+        # source wins; the rest become 'Unclear' rather than producing a
+        # split frame with duplicate output column names. Ties break on
+        # source name for determinism.
         candidates = [
             (table, col) for table, cols in table_structure.items() for col in cols
         ]
-        out: dict[str, str] = {}
+        best_by_src: dict[str, tuple[tuple[str, str], float]] = {}
         for src in column_samples:
             key = src.lower().replace("_", " ")
             best, best_score = None, 0.0
@@ -114,7 +120,22 @@ class HeuristicProvider:
                 if score > best_score:
                     best, best_score = (table, col), score
             if best and best_score >= 0.5:
-                out[src] = f"{best[0]}.{best[1]}"
+                best_by_src[src] = (best, best_score)
+        winner_by_dest: dict[tuple[str, str], tuple[float, str]] = {}
+        for src, (dest, score) in best_by_src.items():
+            incumbent = winner_by_dest.get(dest)
+            if (
+                incumbent is None
+                or score > incumbent[0]
+                or (score == incumbent[0] and src < incumbent[1])
+            ):
+                winner_by_dest[dest] = (score, src)
+        winners = {src for _, src in winner_by_dest.values()}
+        out: dict[str, str] = {}
+        for src in column_samples:
+            if src in winners:
+                table, col = best_by_src[src][0]
+                out[src] = f"{table}.{col}"
             else:
                 out[src] = "Unclear (needs review)"
         return out

@@ -122,6 +122,48 @@ def test_m1_heuristic_schema_mapping(spark):
     assert "zzz_opaque" not in cleaned  # Unclear -> dropped by M2
 
 
+def test_m1_mapping_injective_per_destination(spark):
+    # Round-2 driver crash repro: every orders key-ish column scores >=0.5
+    # against FACT_Orders.o_orderkey; without the injectivity rule the
+    # split frame repeats o_orderkey 4x and the driver's canonicalizer
+    # dies on duplicate labels. The highest-scoring source must win and
+    # the losers must land on 'Unclear'.
+    p = HeuristicProvider()
+    structure = {"FACT_Orders": ["o_orderkey", "o_totalprice", "o_orderdate"]}
+    samples = {
+        c: ["x"]
+        for c in [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ]
+    }
+    raw = p.map_schema("orders fact", structure, samples)
+    assert raw["o_orderkey"] == "FACT_Orders.o_orderkey"
+    assert raw["o_totalprice"] == "FACT_Orders.o_totalprice"
+    assert raw["o_orderdate"] == "FACT_Orders.o_orderdate"
+    for loser in ["o_custkey", "o_orderstatus", "o_orderpriority"]:
+        assert raw[loser] == "Unclear (needs review)"
+    targets = [v for v in raw.values() if not v.startswith("Unclear")]
+    assert len(targets) == len(set(targets))  # injective
+
+
+def test_split_tables_keeps_first_on_duplicate_destination(spark):
+    # Defense in depth behind the injective mapper: even a hand-written
+    # mapping routing two sources to one destination column must not emit
+    # a duplicate-named schema (mirrors P4, reference preprocess.py:54-57).
+    df = spark.createDataFrame([(1, 2, 3.0)], "a long, b long, c double")
+    tables = mapping.split_into_tables(
+        df,
+        {
+            "a": {"table": "FACT", "column": "k"},
+            "b": {"table": "FACT", "column": "k"},  # duplicate dest -> dropped
+            "c": {"table": "FACT", "column": "amt"},
+        },
+    )
+    assert tables["FACT"].columns == ["k", "amt"]
+    assert tables["FACT"].collect()[0] == (1, 3.0)  # keep-first: src 'a'
+
+
 def test_distinct_profiles_single_pass(documents):
     prof = distinct.column_profiles(documents, approx=False)
     assert prof["lang"]["distinct"] == 5

@@ -78,6 +78,18 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            # Rows-only queries still go through the driver's pandas
+            # canonicalizer — run it here too, so a result the driver
+            # cannot canonicalize (duplicate column names, list cells)
+            # FAILs locally instead of printing "okay" (round-2 lesson:
+            # q_pipeline_mapping crashed the driver but passed this gate).
+            try:
+                frame_signature(spark_pdf)
+            except (TypeError, ValueError) as e:
+                failures.append(name)
+                print(f"FAIL {name}: rows-only result not canonicalizable "
+                      f"(driver would crash): {type(e).__name__}: {e}")
+                continue
             print(
                 f"okay {name}: rows-only ({len(spark_pdf)} rows, "
                 f"{time.time()-t0:.1f}s)"
@@ -91,14 +103,14 @@ def main() -> int:
             continue
         try:
             sc, sv = frame_signature(spark_pdf)
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
             failures.append(name)
             print(f"FAIL {name}: spark result not canonicalizable "
                   f"(driver would crash): {e}")
             continue
         try:
             dc, dv = frame_signature(duck_pdf)
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
             failures.append(name)
             print(f"FAIL {name}: oracle result not canonicalizable "
                   f"(driver would crash): {e}")
