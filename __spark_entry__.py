@@ -1927,10 +1927,20 @@ FROM toked
 
 
 def _gopher_sql_min_stop(n: int) -> str:
-    """The gopher oracle with a relaxed stopword-hit threshold."""
-    return _TEXT_GOPHER_SQL.replace(
-        "'for'])) >= 2)\n         AS keep_gopher", f"'for'])) >= {n})\n         AS keep_gopher"
+    """The gopher oracle with a relaxed stopword-hit threshold. Asserts
+    the splice actually changed the SQL — a silent no-op after a
+    reformat of _TEXT_GOPHER_SQL would leave the curation-v2 oracle at
+    threshold 2 and surface as a baffling parity failure far from the
+    cause."""
+    needle = "'for'])) >= 2)\n         AS keep_gopher"
+    out = _TEXT_GOPHER_SQL.replace(
+        needle, f"'for'])) >= {n})\n         AS keep_gopher"
     )
+    assert n == 2 or out != _TEXT_GOPHER_SQL, (
+        "_gopher_sql_min_stop: threshold splice found no match in "
+        "_TEXT_GOPHER_SQL — the template was reformatted"
+    )
+    return out
 
 
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,7 +2269,7 @@ WITH e AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 ),
 m AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
               THEN 1 ELSE 0 END AS brk
@@ -2267,8 +2277,12 @@ m AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- running sum MUST use the same (ts, event_id) order as brk: with
+  -- duplicate (user_id, ts) rows at a session boundary, ordering by ts
+  -- alone could place tied rows before the brk=1 row and assign them to
+  -- the previous session nondeterministically
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sess
   FROM m
 )
@@ -2474,13 +2488,20 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the north-star composition:
     canonical-fingerprint dedup (keep min doc id) → quality filter
     (C4-style composite ≥ 0.8) → deterministic 50% hash sample. Every
-    stage is a pure DataFrame transform: one agg shuffle for the
-    fingerprint groups, a broadcast semi join back, per-row predicates
-    for the rest — nothing corpus-sized ever collects or caches."""
+    stage is a pure DataFrame transform: ONE shuffle total (the window
+    over fingerprint groups — keep-min-id needs no join at all, and the
+    keeper set is ~corpus-sized so broadcasting it back would OOM at
+    scale), per-row predicates for the rest — nothing corpus-sized ever
+    collects, caches, or broadcasts."""
     docs = _t(spark, sf_dir, "documents")
     fp = textstats.fingerprint(docs, "text")
-    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    deduped = docs.join(F.broadcast(keep.select("doc_id")), "doc_id", "left_semi")
+    deduped = (
+        fp.withColumn(
+            "__min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .where(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id", "fingerprint")
+    )
     good = textstats.quality_score(deduped, "text").where(F.col("quality") >= 0.8)
     sampled = sampling.hash_sample(good, "doc_id", 0.5, salt="curate")
     return sampled.select("doc_id", "lang", "n_words", "quality")
@@ -2521,32 +2542,31 @@ WHERE quality >= 0.8
 def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline over the round-2 operator tier — the full
     100 TB shape: MinHash-LSH near-dup CLUSTER dedup (keep canonical
-    min-id doc) → Gopher rule filter → duplicate-line cap → token-entropy
-    floor → deterministic 50% hash sample. Cluster iteration is
-    candidate-sized; every filter is a scan-speed projection; the only
-    corpus shuffles are the minhash aggregate and the metric joins on
-    doc_id. Oracle recomputes every stage independently (recursive-CTE
+    min-id doc) → fused Gopher-rule + duplicate-line metric projection →
+    token-entropy floor → deterministic 50% hash sample. Cluster
+    iteration is candidate-sized; the dedup keep-join broadcasts only
+    the NON-canonical id set (docs that lost their cluster —
+    candidate-sized; the canonical set is ~the whole corpus and must
+    never be broadcast); gopher + dup-line metrics are ONE scan-speed
+    projection (curation_metrics); the only corpus shuffles are the
+    minhash aggregate, the entropy aggregate, and its single doc_id
+    join. Oracle recomputes every stage independently (recursive-CTE
     components, list-function rules, hash predicate)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
     )
     clusters = dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
-    canon = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    kept = docs.join(F.broadcast(canon), "doc_id", "left_semi")
+    non_canon = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(F.broadcast(non_canon), "doc_id", "left_anti")
     # min_stop_hits relaxed 2 -> 1: the synthetic corpus's tiny vocabulary
     # rarely produces two distinct stopwords per doc (0 keeps at 2)
-    g = textstats.gopher_quality_flags(kept, "doc_id", "text", min_stop_hits=1).where(
-        F.col("keep_gopher")
-    )
-    r = textstats.repetition_stats(kept, "doc_id", "text").where(
-        F.col("dup_line_frac") <= 0.5
+    m = textstats.curation_metrics(kept, "doc_id", "text", min_stop_hits=1).where(
+        F.col("keep_gopher") & (F.col("dup_line_frac") <= 0.5)
     )
     e = textstats.token_entropy(kept, "doc_id", "text").where(F.col("entropy") >= 1.0)
-    joined = (
-        g.select("doc_id", "n_words")
-        .join(r.select("doc_id", "dup_line_frac"), "doc_id")
-        .join(e.select("doc_id", "entropy"), "doc_id")
+    joined = m.select("doc_id", "n_words", "dup_line_frac").join(
+        e.select("doc_id", "entropy"), "doc_id"
     )
     return sampling.hash_sample(joined, "doc_id", 0.5, salt="curate2")
 

@@ -354,9 +354,13 @@ def near_duplicate_clusters(
     large pair-generator plan upstream, planning time (driver-side!)
     quickly dominates the tiny per-round shuffles. Checkpointing makes
     every round's plan O(1): join of two leaf relations.
-    Convergence is detected by the (monotonically decreasing) sum of
-    labels going stationary — one scalar aggregate per round instead of
-    a join-and-compare.
+    Convergence is detected by counting nodes whose label changed this
+    round — a candidate-sized join of two checkpointed leaf relations.
+    (A sum-of-labels stationarity check would be one aggregate cheaper
+    but is type-dependent: casting STRING ids to decimal yields NULL
+    sums on both sides and exits after one round with wrong clusters —
+    label propagation is min-based and works for any orderable id type,
+    so the convergence test must too.)
 
     Returns (id_col, cluster_id, cluster_size) for EVERY doc in
     ``all_ids``.
@@ -378,10 +382,6 @@ def near_duplicate_clusters(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    # decimal(38,0): exact at any id range (a bigint sum can overflow at
-    # 100 TB id spaces, silently breaking convergence detection)
-    lab_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
-    prev_sum = labels.agg(lab_sum).first()[0]
     for it in range(max_iter):
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("lab")
@@ -392,11 +392,15 @@ def near_duplicate_clusters(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(lab_sum).first()[0]
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
         labels = new_labels
-        if new_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected components did not converge in {max_iter} iterations"

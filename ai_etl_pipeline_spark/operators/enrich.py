@@ -39,6 +39,13 @@ def apply_value_map(
 
     Row count is preserved exactly (left join on a key that is unique on
     the build side — uniqueness holds by construction of dict keys).
+
+    Key contract: probes the RAW column value, because its companion
+    builder ``translate_distinct_values`` keys the dict by raw distinct
+    values. The distributed pair (``apply_value_map_df`` +
+    ``translate_distinct_values_distributed``) trims on BOTH sides
+    instead — each pair is internally consistent; don't mix a builder
+    from one pair with the applier from the other.
     """
     if column not in df.columns:  # skip-if-missing guard, translate.py:223-224
         return df
@@ -163,7 +170,11 @@ def apply_value_map_df(
     closing half of the distributed path: the mapping produced by
     ``translate_distinct_values_distributed`` joins onto the corpus
     without ever being collected. ``broadcast_map=False`` falls back to
-    a shuffle join for mappings too large to broadcast."""
+    a shuffle join for mappings too large to broadcast.
+
+    Key contract: probes ``trim(column)`` because the distributed
+    builder trims values before distinct-ing (see ``apply_value_map``
+    for the raw-key driver-side pair — don't mix the pairs)."""
     if column not in df.columns:
         return df
     build = F.broadcast(map_df) if broadcast_map else map_df

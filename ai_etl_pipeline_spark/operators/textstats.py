@@ -128,6 +128,72 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gopher_metric_cols(
+    text: Column,
+    toks: Column,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    min_alpha_word_frac: float,
+    min_stop_hits: int,
+) -> list[Column]:
+    """The Gopher rule metrics as named columns over a PRE-MATERIALIZED
+    token array (lambda-inlining rule: the caller must alias the token
+    array in its own projection first). Shared by gopher_quality_flags
+    and the fused curation_metrics."""
+    n_words = F.size(toks)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_n, 6
+    )
+    symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    symbol_ratio = F.round(symbols / safe_n, 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / safe_n, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+        )
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep_gopher"),
+    ]
+
+
+def _repetition_metric_cols(lines: Column) -> list[Column]:
+    """Line-repetition metrics over a PRE-MATERIALIZED non-empty-line
+    array. Shared by repetition_stats and curation_metrics."""
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return [
+        n.alias("n_lines"),
+        F.round((n - d) / F.greatest(n, F.lit(1)), 6).alias("dup_line_frac"),
+    ]
+
+
+def _toks_expr(text: Column) -> Column:
+    return F.filter(tokens_col(text), lambda t: t != "")
+
+
+def _lines_expr(text: Column) -> Column:
+    return F.filter(F.transform(F.split(text, "\n"), F.trim), lambda l: l != "")
+
+
 def gopher_quality_flags(
     df: DataFrame,
     id_col: str,
@@ -155,41 +221,21 @@ def gopher_quality_flags(
     toked = df.select(
         F.col(id_col),
         F.col(text_col),
-        F.filter(tokens_col(F.col(text_col)), lambda t: t != "").alias("__toks"),
-    )
-    toks = F.col("__toks")
-    n_words = F.size(toks)
-    safe_n = F.greatest(n_words, F.lit(1))
-    mean_wl = F.round(
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_n, 6
-    )
-    symbols = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
-    )
-    symbol_ratio = F.round(symbols / safe_n, 6)
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    alpha_frac = F.round(alpha_words / safe_n, 6)
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(toks, F.lower),
-            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
-        )
-    )
-    keep = (
-        n_words.between(min_words, max_words)
-        & mean_wl.between(min_mean_word_len, max_mean_word_len)
-        & (symbol_ratio <= max_symbol_word_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (stop_hits >= min_stop_hits)
+        _toks_expr(F.col(text_col)).alias("__toks"),
     )
     return toked.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
-        keep.alias("keep_gopher"),
+        *_gopher_metric_cols(
+            F.col(text_col),
+            F.col("__toks"),
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_word_ratio,
+            min_alpha_word_frac,
+            min_stop_hits,
+        ),
     )
 
 
@@ -231,17 +277,53 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (lambda-inlining rule, see gopher_quality_flags)."""
     lined = df.select(
         F.col(id_col),
-        F.filter(
-            F.transform(F.split(F.col(text_col), "\n"), F.trim),
-            lambda l: l != "",
-        ).alias("__lines"),
+        _lines_expr(F.col(text_col)).alias("__lines"),
     )
-    n = F.size(F.col("__lines"))
-    d = F.size(F.array_distinct(F.col("__lines")))
-    return lined.select(
+    return lined.select(F.col(id_col), *_repetition_metric_cols(F.col("__lines")))
+
+
+def curation_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Fused gopher_quality_flags + repetition_stats: ONE projection
+    computing all Gopher rule metrics and line-repetition metrics.
+
+    At corpus scale the separate operators each re-scan the input and
+    the caller joins them back on the id — two extra shuffles for
+    metrics that are all scan-speed projections. Fusing keeps the whole
+    metric block inside a single whole-stage-codegen span with zero
+    joins; only token_entropy (which genuinely needs its aggregate)
+    stays separate. Same column names and values as the two operators
+    run individually."""
+    prepped = df.select(
         F.col(id_col),
-        n.alias("n_lines"),
-        F.round((n - d) / F.greatest(n, F.lit(1)), 6).alias("dup_line_frac"),
+        F.col(text_col),
+        _toks_expr(F.col(text_col)).alias("__toks"),
+        _lines_expr(F.col(text_col)).alias("__lines"),
+    )
+    return prepped.select(
+        F.col(id_col),
+        *_gopher_metric_cols(
+            F.col(text_col),
+            F.col("__toks"),
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_word_ratio,
+            min_alpha_word_frac,
+            min_stop_hits,
+        ),
+        *_repetition_metric_cols(F.col("__lines")),
     )
 
 

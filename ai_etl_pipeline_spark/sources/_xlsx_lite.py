@@ -88,8 +88,11 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> N
                 f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
                 '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
             )
+            # attribute context: escape() alone leaves '"' unescaped,
+            # which would corrupt workbook.xml for quote-bearing names
             wb_sheets.append(
-                f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+                f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+                f'sheetId="{i}" r:id="rId{i}"/>'
             )
             wb_rels.append(
                 f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'

@@ -128,6 +128,12 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         base, fname = os.path.dirname(path), os.path.basename(path)
     else:
         base, fname = path, "*.parquet"
+    # Deliberately session-scoped (not set-and-restore): the scan is
+    # lazy and every micro-batch re-reads SQL conf at trigger time, so
+    # restoring the flag after plan construction would break trigger
+    # N+1. The setting is idempotent and strictly widens what the
+    # reader accepts (nanos files become readable; nothing else changes
+    # shape), so leaking it to the session is the safe direction.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_DDL)

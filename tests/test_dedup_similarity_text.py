@@ -225,6 +225,28 @@ def test_near_duplicate_clusters_long_chain_converges(spark):
     assert all(r["cluster_size"] == 10 for r in rows)
 
 
+def test_near_duplicate_clusters_string_ids(spark):
+    """String doc ids through a diameter-2 chain: the old decimal-sum
+    convergence check cast ids to NULL on both sides and exited after one
+    round, leaving 'c' labeled 'b'. The changed-label count is
+    type-independent, so the chain must close transitively."""
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("e", "d")], "id_a string, id_b string"
+    )
+    all_ids = spark.createDataFrame(
+        [(x,) for x in "abcdef"], "doc_id string"
+    )
+    out = dd.near_duplicate_clusters(pairs, all_ids, "doc_id")
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 2), "e": ("d", 2),
+        "f": ("f", 1),
+    }
+
+
 def test_gopher_flags_rules(spark):
     from ai_etl_pipeline_spark.operators import textstats as ts
 

@@ -73,6 +73,19 @@ def test_xlsx_lite_typed_roundtrip(tmp_path):
     ]
 
 
+def test_xlsx_lite_quoted_sheet_name_roundtrip(tmp_path):
+    # '"' in a sheet name lands in an XML *attribute*: plain escape()
+    # leaves it unescaped and corrupts workbook.xml
+    from ai_etl_pipeline_spark.sources import _xlsx_lite
+
+    path = str(tmp_path / "quoted.xlsx")
+    name = 'Q3 "final" & <draft>'
+    _xlsx_lite.write_xlsx(path, {name: (["a"], [(1,)])})
+    back = _xlsx_lite.read_xlsx(path)
+    assert list(back) == [name]
+    assert back[name] == (["a"], [(1,)])
+
+
 def test_nanos_parquet_reader(spark, sf_dir):
     ev = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ("ts",))
     assert dict(ev.dtypes)["ts"] == "timestamp"
