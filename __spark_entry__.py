@@ -608,15 +608,40 @@ FROM lineitem GROUP BY l_returnflag
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact
     distinct/percentile: HLL++ count-distinct (order-insensitive sketch,
-    fixed memory) and GK approximate percentile. No SQL oracle: sketch
-    estimates are engine-specific (DuckDB's HLL hashes differently), so
-    the driver records a rows-only check; accuracy bounds are asserted
-    against exact values in tests/test_relational_extras.py."""
+    fixed memory) and GK approximate percentile. Sketch ESTIMATES are
+    engine-specific (DuckDB hashes differently), so the oracle-able
+    rendering is the tolerance flag: per group, is the sketch within its
+    documented bound of the exact value computed in the same aggregate?
+    Oracle = literal TRUE rows per group — a hash-level driver check
+    that the sketches actually deliver their accuracy contract (HLL++
+    default rsd 5%; GK at accuracy 10000 well within 1% on a median)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    a = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+        F.median("l_extendedprice").alias("exact_med"),
     )
+    return a.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("distinct_within_5pct"),
+        (
+            F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med")
+            <= 0.01
+        ).alias("median_within_1pct"),
+    )
+
+
+_AGG_APPROX_SQL = """
+SELECT l_returnflag,
+       TRUE AS distinct_within_5pct,
+       TRUE AS median_within_1pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2724,6 +2749,40 @@ def q_pipeline_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables["FACT_Orders"]
 
 
+def q_source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource extensibility surface
+    (sources/python_datasource.py): a partitioned, deterministic
+    document generator registered as ``synthetic_docs`` — each of the 4
+    input splits generates its own id range with no driver
+    materialization (the template a paged-REST or LLM source fills in).
+    The generator is pure md5, so the oracle replays it exactly as a
+    VALUES literal."""
+    from ai_etl_pipeline_spark.sources.python_datasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", 20)
+        .option("partitions", 4)
+        .load()
+        .select("doc_id", "text", "n_chars")
+    )
+
+
+def _synthetic_docs_sql() -> str:
+    from ai_etl_pipeline_spark.sources.python_datasource import _doc_text
+
+    rows = []
+    for i in range(20):
+        t = _doc_text(i)
+        rows.append(f"({i}, '{t}', {len(t)})")
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(doc_id, text, n_chars)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2766,7 +2825,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     # --- driver-unverified in r1: sampling + curation ---
-    "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
@@ -2795,9 +2853,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "q_translate_distributed": (q_translate_distributed, _translate_distributed_sql()),
     "q_pipeline_mapping": (q_pipeline_mapping, _PIPELINE_MAPPING_SQL),
-    # --- round-1 red rows, fixed this round ---
-    "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
-    "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
+    # --- round-3 changed/new (ordering contract: must sit in 1-50) ---
+    # tolerance-flag sketch oracle (was rows-only), Python DataSource
+    # driver row (new), split-tables (its operator gained the keep-first
+    # duplicate-destination rule this round)
+    "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
+    "q_source_synthetic_docs": (q_source_synthetic_docs, _synthetic_docs_sql()),
+    "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
     # --- representative re-confirmations (green in r1) moved below: the
     # first-50 window is now fully occupied by queries needing rows ---
     "q_local_supplier_volume": (q_local_supplier_volume, _LOCAL_SUPPLIER_SQL),
@@ -2845,10 +2907,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_null_counts": (q_null_counts, _null_counts_sql()),
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
-    "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
-    "q_agg_approx": (q_agg_approx, None),  # sketch estimates are engine-specific
+    # rotated out of the window this round (r2-green, unchanged):
+    "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
+    "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
+    "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
 }
 
 
