@@ -2783,6 +2783,144 @@ def _synthetic_docs_sql() -> str:
     )
 
 
+def q_text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's n-gram repetition signals: duplicate token-n-gram
+    fraction for n=2,3,4 — catches looped boilerplate that line-level
+    dup detection misses. Pure projection (n-gram arrays via
+    slice/transform, no explode), scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ngram_repetition(docs, "doc_id", "text", ns=(2, 3, 4))
+
+
+def _ngram_rep_case(n: int) -> str:
+    return (
+        f"CASE WHEN len(ts) >= {n} THEN "
+        f"list_transform(range(1, len(ts) - {n - 2}), "
+        f"i -> array_to_string(ts[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+_TEXT_NGRAM_REP_SQL = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_words,
+         {_ngram_rep_case(2)} AS g2,
+         {_ngram_rep_case(3)} AS g3,
+         {_ngram_rep_case(4)} AS g4
+  FROM tokarr
+)
+SELECT doc_id, n_words,
+       round((len(g2) - len(list_distinct(g2))) * 1.0 / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+       round((len(g3) - len(list_distinct(g3))) * 1.0 / greatest(len(g3), 1), 6) AS dup_3gram_frac,
+       round((len(g4) - len(list_distinct(g4))) * 1.0 / greatest(len(g4), 1), 6) AS dup_4gram_frac
+FROM g
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-contamination gate every
+    public LLM training report describes: drop corpus docs sharing any
+    8-token n-gram with a (here: deterministic 5% hash-sampled)
+    benchmark set. The benchmark n-gram set broadcasts (eval sets are
+    tiny); the hit-id set is candidate-sized and broadcasts into the
+    anti-join, so the corpus is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = sampling.hash_sample(docs, "doc_id", 0.05, salt="bench")
+    out = dedup.decontaminate(docs, bench, "doc_id", "text", n=8)
+    return out.select("doc_id", "source", "n_chars")
+
+
+_DECONTAMINATE_SQL = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        FROM tokarr WHERE len(ts) >= 8)
+  UNION
+  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+  FROM tokarr WHERE len(ts) < 8 AND array_to_string(ts, ' ') <> ''
+),
+bench_grams AS (
+  SELECT DISTINCT shingle FROM grams
+  WHERE CAST('0x' || substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1000000 < 50000
+),
+hits AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench_grams b USING (shingle)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE h.doc_id IS NULL
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile — the statistics a mixing decision
+    reads: doc count, total tokens, exact vocabulary, mean and median
+    doc length. Two aggregates joined on the (tiny) stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.corpus_profile(docs, "doc_id", "text", "lang")
+
+
+_CORPUS_PROFILE_SQL = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+ta AS (
+  SELECT lang, count(*) AS total_tokens, count(DISTINCT tok) AS vocab
+  FROM tok GROUP BY lang
+),
+da AS (
+  SELECT lang, count(*) AS n_docs,
+         round(avg(length(text)), 6) AS mean_chars,
+         round(quantile_cont(length(text), 0.5), 6) AS p50_chars
+  FROM documents GROUP BY lang
+)
+SELECT da.lang, n_docs, mean_chars, p50_chars, total_tokens, vocab
+FROM da JOIN ta USING (lang)
+"""
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling with UP-sampling — the training
+    mix's epochs-per-domain knob: en×0.5, de×2.5 (every de doc twice,
+    a hash-chosen half a third time), zh×3, everything else ×1. Pure
+    per-row predicate + explode; the oracle replays the exact hash
+    thresholds and generate_series."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 2.5, "zh": 3.0}, salt="mix"
+    )
+    return out.select("doc_id", "lang", "copy_no")
+
+
+_SAMPLE_MIXTURE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END
+         + CASE WHEN CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1000000
+                < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 500000 ELSE 0 END
+           THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, lang, CAST(copy_no AS INTEGER) AS copy_no
+FROM (SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_no FROM w WHERE n > 0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2815,16 +2953,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
     "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     # --- driver-unverified in r1: text analysis tier ---
-    "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
-    "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
-    "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
-    "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     # --- driver-unverified in r1: sampling + curation ---
+    # --- round-3 NEW training-data ops (must sit in 1-50) ---
+    "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
+    "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
+    "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
+    "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
@@ -2910,6 +3049,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window this round (r2-green, unchanged):
+    "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
+    "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
+    "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "q_text_tfidf": (q_text_tfidf, _TEXT_TFIDF_SQL),
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),

@@ -419,3 +419,49 @@ def near_duplicate_clusters(
     return clustered.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
+
+
+def benchmark_ngram_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination, detection half: for every corpus doc
+    sharing at least one token ``n``-gram with ANY benchmark doc, the
+    count of distinct shared n-grams. The standard eval-contamination
+    check (n-gram collision, as in public LLM training reports).
+
+    Scale shape: the benchmark side is an EVAL SET — thousands of docs,
+    not a corpus — so its distinct n-gram set broadcasts; the corpus
+    side is the same distinct-shingle relation the MinHash path uses
+    (one shuffle), joined map-side against the broadcast set, then one
+    candidate-sized aggregate. Docs shorter than ``n`` tokens fall back
+    to a whole-doc shingle (doc_shingles' contract), so very short docs
+    hit only on exact text equality.
+
+    Returns (id_col, n_shared_ngrams) for HIT docs only — candidate-
+    sized, the relation decontaminate() anti-joins against."""
+    c = doc_shingles(corpus, id_col, text_col, k=n)
+    b = doc_shingles(benchmark, id_col, text_col, k=n).select("shingle").distinct()
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination, removal half: corpus rows sharing NO
+    token n-gram with the benchmark. The anti-join side is the HIT id
+    set (candidate-sized by construction), so it broadcasts no matter
+    how large the corpus is — the corpus itself is never shuffled."""
+    hit_ids = benchmark_ngram_hits(corpus, benchmark, id_col, text_col, n).select(id_col)
+    return corpus.join(F.broadcast(hit_ids), id_col, "left_anti")

@@ -59,3 +59,53 @@ def stratified_hash_sample(
         F.lit(int(default_fraction * _M)),
     )
     return df.where(_bucket(F.col(id_col), salt) < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixing with UP-sampling: weight 2.3 means
+    every row of that stratum appears twice and a hash-chosen 30% of
+    them a third time (so the expected multiplicity is exactly the
+    weight, and the realized multiset is identical on every run and
+    engine). Weights < 1 degrade to plain stratified down-sampling.
+    This is the "epochs per domain" knob of a training mix rendered as
+    one operator.
+
+    Pure per-row compute: two literal-map lookups (codegen CASE), the
+    hash predicate, and an explode over ``sequence(1, n_copies)`` —
+    no shuffle, no join, no state. Output adds ``copy_no`` (1-based)
+    so downstream shuffles can keep replicas distinct.
+
+    Fractional parts are split driver-side into exact integer
+    thresholds (floor + scaled remainder) — no floating-point ``w % 1``
+    in the plan, so the oracle replays thresholds bit-for-bit."""
+    base_pairs: list[Column] = []
+    frac_pairs: list[Column] = []
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"mixture weight for {k!r} must be >= 0, got {w}")
+        base_pairs.extend([F.lit(k), F.lit(int(w))])
+        frac_pairs.extend([F.lit(k), F.lit(int(round((w - int(w)) * _M)))])
+    base = F.coalesce(
+        F.element_at(F.create_map(*base_pairs), F.col(strata_col)) if base_pairs else F.lit(None),
+        F.lit(int(default_weight)),
+    )
+    frac = F.coalesce(
+        F.element_at(F.create_map(*frac_pairs), F.col(strata_col)) if frac_pairs else F.lit(None),
+        F.lit(int(round((default_weight - int(default_weight)) * _M))),
+    )
+    n_copies = (
+        base + (_bucket(F.col(id_col), salt) < frac).cast("int")
+    ).cast("int")
+    return (
+        df.withColumn("__copies", n_copies)
+        .where(F.col("__copies") > 0)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )

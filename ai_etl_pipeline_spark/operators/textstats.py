@@ -327,6 +327,85 @@ def curation_metrics(
     )
 
 
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Gopher's n-gram repetition signals (Rae et al. 2021 Table A1,
+    public): per document, the fraction of token n-grams that are
+    duplicates (``1 - distinct/total``) for each n. High values flag
+    templated/boilerplate text that line- and token-level signals miss
+    (a doc can have unique lines yet loop the same 3-gram).
+
+    Pure projection — n-gram arrays are built from the materialized
+    token array with slice/transform (no explode, no shuffle), so this
+    runs at scan speed like the other rule filters. Two-step projection
+    per the lambda-inlining rule: tokens first, then the n-gram arrays,
+    then the metrics."""
+    toked = df.select(
+        F.col(id_col), _toks_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+
+    def gram_at(n: int):
+        # closure, NOT a default arg: pyspark inspects lambda arity and a
+        # defaulted second parameter would be mistaken for the index slot
+        return lambda i: F.array_join(F.slice(toks, i, n), " ")
+
+    grams = toked.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        *[
+            F.when(
+                F.size(toks) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), gram_at(n)),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias(f"__g{n}")
+            for n in ns
+        ],
+    )
+    metric_cols = []
+    for n in ns:
+        g = F.col(f"__g{n}")
+        metric_cols.append(
+            F.round(
+                (F.size(g) - F.size(F.array_distinct(g)))
+                / F.greatest(F.size(g), F.lit(1)),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+        )
+    return grams.select(F.col(id_col), F.col("n_words"), *metric_cols)
+
+
+def corpus_profile(
+    df: DataFrame, id_col: str, text_col: str, strata_col: str
+) -> DataFrame:
+    """Per-stratum corpus statistics — the profile a mixing/curation
+    decision is made from: document count, total tokens, vocabulary
+    size, mean and median document length.
+
+    Two aggregates (doc-level and token-level, each one shuffle on the
+    stratum key) joined on the stratum — the join is stratum-sized
+    (languages/domains: tiny), so the plan is two scans + a broadcast
+    join at any corpus size. Exact vocabulary via count(distinct):
+    Spark plans it as a two-stage partial aggregate; swap in
+    approx_count_distinct for a one-pass sketch when exactness isn't
+    needed (see q_agg_approx for the verified-accuracy pattern)."""
+    toks = df.select(
+        F.col(strata_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    tok_agg = toks.groupBy(strata_col).agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    doc_agg = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length(F.col(text_col))), 6).alias("mean_chars"),
+        F.round(F.percentile(F.length(F.col(text_col)), 0.5), 6).alias("p50_chars"),
+    )
+    return doc_agg.join(tok_agg, strata_col)
+
+
 # PII patterns kept to the regex subset with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
 PII_PATTERNS: dict[str, str] = {

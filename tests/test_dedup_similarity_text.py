@@ -338,3 +338,94 @@ def test_redact_pii_order_and_counts(spark):
     assert out[2]["text"] == "ip <IPV4> ends line <IPV4>" and out[2]["n_ipv4"] == 2
     assert out[3]["text"] == "call <PHONE> today" and out[3]["n_phone"] == 1
     assert out[4]["text"] == "edge: <EMAIL>"
+
+
+def test_ngram_repetition_fractions(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),           # all n-grams unique
+            (3, "solo"),              # shorter than every n -> empty gram arrays
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in ts.ngram_repetition(df, "doc_id", "text").collect()}
+    assert out[1]["dup_2gram_frac"] == round(3 / 5, 6)
+    assert out[1]["dup_3gram_frac"] == round(2 / 4, 6)   # aba bab aba bab
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0  # empty -> 0/1
+    assert out[3]["n_words"] == 1
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine"),
+         (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "copied: one two three four five six seven eight and more"),  # shares an 8-gram
+            (2, "totally different content with no overlap at all here"),
+            (3, "tiny doc"),            # < 8 tokens: whole-doc fallback, exact match
+            (4, "tiny document"),       # < 8 tokens, no exact match -> clean
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_shared_ngrams"]
+            for r in dd.benchmark_ngram_hits(corpus, bench, "doc_id", "text", n=8).collect()}
+    assert 1 in hits and 3 in hits
+    assert 2 not in hits and 4 not in hits
+    kept = sorted(r["doc_id"] for r in dd.decontaminate(corpus, bench, "doc_id", "text", n=8).collect())
+    assert kept == [2, 4]
+
+
+def test_corpus_profile_stats(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat", "en"),
+            (2, "the dog runs", "en"),
+            (3, "el gato", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    prof = {r["lang"]: r.asDict() for r in ts.corpus_profile(df, "doc_id", "text", "lang").collect()}
+    assert prof["en"]["n_docs"] == 2
+    assert prof["en"]["total_tokens"] == 5
+    assert prof["en"]["vocab"] == 4          # the, cat, dog, runs
+    assert prof["en"]["p50_chars"] == 9.5    # lengths 7 and 12, linear interp
+    assert prof["es"]["vocab"] == 2
+
+
+def test_mixture_sample_upsampling(spark):
+    from ai_etl_pipeline_spark.operators import sampling
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.mixture_sample(
+        df, "doc_id", "grp", {"a": 2.0, "b": 0.5}, salt="t"
+    ).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_no"])
+    a_ids = [i for i in range(1000) if i % 2]
+    b_ids = [i for i in range(1000) if not i % 2]
+    # integral weight 2.0: every 'a' row exactly twice, copy_no 1 and 2
+    assert all(sorted(by_id.get(i, [])) == [1, 2] for i in a_ids)
+    # fractional weight 0.5: each 'b' row 0 or 1 times, ~half kept
+    b_kept = sum(1 for i in b_ids if i in by_id)
+    assert all(by_id[i] == [1] for i in b_ids if i in by_id)
+    assert 0.4 < b_kept / len(b_ids) < 0.6
+    # deterministic
+    out2 = sampling.mixture_sample(df, "doc_id", "grp", {"a": 2.0, "b": 0.5}, salt="t").collect()
+    assert sorted((r["doc_id"], r["copy_no"]) for r in out2) == sorted(
+        (r["doc_id"], r["copy_no"]) for r in out
+    )
+    # expected multiplicity matches the weights: |out| ~ 1000 + 250
+    assert 1150 < len(out) < 1350
