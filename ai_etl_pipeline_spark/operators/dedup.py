@@ -354,13 +354,16 @@ def near_duplicate_clusters(
     large pair-generator plan upstream, planning time (driver-side!)
     quickly dominates the tiny per-round shuffles. Checkpointing makes
     every round's plan O(1): join of two leaf relations.
-    Convergence is detected by counting nodes whose label changed this
-    round — a candidate-sized join of two checkpointed leaf relations.
-    (A sum-of-labels stationarity check would be one aggregate cheaper
-    but is type-dependent: casting STRING ids to decimal yields NULL
-    sums on both sides and exits after one round with wrong clusters —
-    label propagation is min-based and works for any orderable id type,
-    so the convergence test must too.)
+    Convergence is detected by a TYPE-INDEPENDENT stationarity check:
+    the exact decimal sum of md5 hashes over (id, label) pairs — one
+    scalar aggregate per round over the just-checkpointed labels, no
+    join. (Summing raw ids cast to decimal was type-DEPENDENT: STRING
+    ids cast to NULL on both sides and the loop exited after one round
+    with wrong clusters. Labels are monotonically non-increasing, so
+    any change flips at least one row's hash; a cancelling collision
+    across rows needs a 60-bit multi-row coincidence — negligible
+    against the exactness of the rest of the pipeline, and the sum is
+    decimal(38,0) so it never overflows at any corpus size.)
 
     Returns (id_col, cluster_id, cluster_size) for EVERY doc in
     ``all_ids``.
@@ -382,6 +385,12 @@ def near_duplicate_clusters(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    state_sum = F.sum(
+        md5_i64(
+            F.concat_ws("|", F.col("id").cast("string"), F.col("lab").cast("string"))
+        ).cast("decimal(38,0)")
+    )
+    prev_sum = labels.agg(state_sum).first()[0]
     for it in range(max_iter):
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("lab")
@@ -392,15 +401,11 @@ def near_duplicate_clusters(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        new_sum = new_labels.agg(state_sum).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected components did not converge in {max_iter} iterations"

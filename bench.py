@@ -44,7 +44,11 @@ HEADLINE = [
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_tfidf",
+    "q_text_ngram_repetition",
+    "q_decontaminate",
+    "q_corpus_profile",
     "q_sample_stratified",
+    "q_sample_mixture",
     "q_window_frames",
     "q_pipeline_curation",
     "q_pipeline_curation_v2",
