@@ -18,8 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_etl_pipeline_spark.operators import clean, dedup, distinct, enrich, mapping
-from ai_etl_pipeline_spark.operators import multimodal, relational, sampling, similarity, textstats
+from ai_etl_pipeline_spark.functions.portable import md5_i64_sql
+from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, mapping
+from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -2922,6 +2923,363 @@ FROM (SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_no FROM w WHERE
 
 
 # ---------------------------------------------------------------------------
+# training-batch tier: corpus shuffle/shard + sequence packing
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of the whitespace token count used by the packing
+# queries (same expression as _TEXT_TOKENS_SQL / textstats.token_counts).
+_WS_TOKENS_EXPR = (
+    "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))"
+)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the reproducible
+    pseudo-random reading order training jobs need. One hash shuffle on
+    the uniform shard key; rank sort stays within each shard."""
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.shuffle_shard(docs, "doc_id", 8, salt="shuf")
+    return out.select("doc_id", "shard", "pos")
+
+
+_CORPUS_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {md5_i64_sql("'shuf|' || CAST(doc_id AS VARCHAR)")} AS pos_hash
+  FROM documents
+)
+SELECT doc_id, CAST(pos_hash % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY pos_hash % 8 ORDER BY pos_hash, doc_id)
+            AS INTEGER) AS pos
+FROM h
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: the per-source token stream
+    cut into 512-token chunks, documents spanning boundaries. Pure
+    window cumsum + sequence/explode — whole-stage codegen, one shuffle
+    on the shard key (the scale path of the packing pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.token_counts(docs, "text").select(
+        "source", "doc_id", F.col("ws_tokens").cast("bigint").alias("n_tok")
+    )
+    out = packing.chunk_pack(toks, "doc_id", "n_tok", 512, "source")
+    return out.select("source", "doc_id", "n_tok", "chunk_id", "tok_from", "tok_to")
+
+
+_PACK_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST({_WS_TOKENS_EXPR} AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS strt
+  FROM t WHERE n_tok > 0
+),
+e AS (
+  SELECT source, doc_id, n_tok, strt,
+         unnest(generate_series(CAST(strt AS BIGINT) // 512,
+                                (CAST(strt AS BIGINT) + n_tok - 1) // 512)) AS chunk_id
+  FROM s
+)
+SELECT source, doc_id, n_tok, chunk_id,
+       CAST(GREATEST(chunk_id * 512, strt) - strt AS BIGINT) AS tok_from,
+       CAST(LEAST((chunk_id + 1) * 512, strt + n_tok) - strt AS BIGINT) AS tok_to
+FROM e
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit packing into 256-token sequences (docs
+    never split) — the genuinely sequential packing variant, run as
+    applyInPandas per source shard; the oracle replays the greedy scan
+    with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.token_counts(docs, "text").select(
+        "source", "doc_id", F.col("ws_tokens").cast("bigint").alias("n_tok")
+    )
+    out = packing.next_fit_pack(toks, ["source"], "doc_id", "n_tok", 256)
+    return out.select("source", "doc_id", "n_tok", "seq_id", "offset")
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, CAST({_WS_TOKENS_EXPR} AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset", n_tok AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN p.fill + t.n_tok <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + t.n_tok <= 256 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + t.n_tok <= 256 THEN p.fill + t.n_tok ELSE t.n_tok END
+  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tok, seq_id, "offset" FROM p
+"""
+
+
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated quality gate: drop each source's shortest quartile.
+    Exact per-stratum percentile (one dimension-sized aggregate) joined
+    back broadcast — the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quantile_threshold_filter(
+        docs, "n_chars", 0.25, strata_col="source", keep="above"
+    )
+    return out.select("source", "doc_id", "n_chars", "threshold")
+
+
+_QUALITY_QUANTILE_SQL = """
+WITH th AS (
+  SELECT source, round(quantile_cont(n_chars, 0.25), 6) AS threshold
+  FROM documents GROUP BY source
+)
+SELECT d.source, d.doc_id, d.n_chars, th.threshold
+FROM documents d JOIN th USING (source)
+WHERE d.n_chars >= th.threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC tier: latest-wins merge + SCD2 validity ranges
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge: the base order snapshot vs a simulated
+    change batch doubling every third order's price. Union + one key-window
+    shuffle (generalizes to any number of change sets, AQE-skew-safe)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("version", F.lit(2))
+    )
+    out = cdc.merge_upsert(base, updates, ["o_orderkey"], "version")
+    # the simulated reprice multiplies by 2.0 — exact in binary — so the
+    # doubles are bit-identical on both engines and need no rounding
+    # (x1.1 + round() drifts: the engines round half-cent boundaries of
+    # the same product double differently)
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice", "version")
+
+
+_MERGE_UPSERT_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS version
+FROM orders
+"""
+
+
+def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 layout of each customer's order history: validity
+    ranges closed by lead(), deterministic (date, orderkey) ordering,
+    open interval flagged current. One key-partitioned window shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    out = cdc.scd2_snapshot(orders, ["o_custkey"], "o_orderdate", "o_orderkey")
+    return out.select(
+        "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
+    )
+
+
+_SCD2_SQL = """
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H composite shapes: Q11 / Q14 / Q15 / Q20 / Q21
+# ---------------------------------------------------------------------------
+
+def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups clearing a global-scalar threshold.
+    Per-part revenue aggregate, then the total re-derived from the
+    SAME aggregate (parts-sized, not a second corpus scan) and joined
+    back as a broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_partkey").agg(F.sum(disc_price).alias("part_rev"))
+    total = rev.agg(F.sum("part_rev").alias("total_rev"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("part_rev") > 0.0005 * F.col("total_rev"))
+        .select("l_partkey", F.round("part_rev", 2).alias("part_rev"))
+    )
+
+
+_PART_REVENUE_SHARE_SQL = """
+WITH r AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(part_rev, 2) AS part_rev
+FROM r
+WHERE part_rev > 0.0005 * (SELECT sum(part_rev) FROM r)
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio — the share of 1996
+    revenue from PROMO parts. Broadcast part dim, one scan, one scalar
+    output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+            / F.sum(disc_price),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+_PROMO_REVENUE_SHARE_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the global revenue maximum
+    over a quarter. The max is a scalar re-aggregate of the per-supplier
+    aggregate, broadcast back; equality filter keeps all tied leaders
+    (deterministic, no LIMIT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price).alias("total_rev"))
+    )
+    mx = srev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+_TOP_SUPPLIER_REVENUE_SQL = """
+WITH r AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM r)
+"""
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join with an aggregate threshold —
+    suppliers who moved more than 50 units of at least one small part.
+    part filter → per-(supp, part) aggregate over the semi-joined
+    lineitem → threshold → semi join supplier. The part set broadcasts;
+    lineitem shuffles once on the aggregate key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    small_parts = part.where(F.col("p_size") <= 5).select("p_partkey")
+    qty = (
+        li.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(qty, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_BULK_PART_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+"""
+
+
+def q_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins on the fact
+    table — per supplier, how many multi-supplier orders had that
+    supplier ship last (someone else in the order exists; no line with
+    a later shipdate exists). Two self-joins on l_orderkey (semi with a
+    non-equi residual, then anti), one aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    multi = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    last = multi.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_shipdate") < F.col("c.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_last_orders"))
+    )
+
+
+_LAST_SHIPPER_SQL = """
+SELECT a.l_suppkey, count(DISTINCT a.l_orderkey) AS n_last_orders
+FROM lineitem a
+WHERE EXISTS (SELECT 1 FROM lineitem b
+              WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem c
+                  WHERE c.l_orderkey = a.l_orderkey AND c.l_shipdate > a.l_shipdate)
+GROUP BY a.l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2933,25 +3291,27 @@ FROM (SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_no FROM w WHERE
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- driver-unverified in r1: TPC-H composites ---
-    "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),
-    "q_large_orders": (q_large_orders, _LARGE_ORDERS_SQL),
-    "q_supplier_part_counts": (q_supplier_part_counts, _SUPPLIER_PART_COUNTS_SQL),
-    "q_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_CUSTOMERS_SQL),
-    "q_late_shipment_priority": (q_late_shipment_priority, _LATE_SHIPMENT_SQL),
-    "q_priority_line_buckets": (q_priority_line_buckets, _PRIORITY_BUCKETS_SQL),
-    # --- driver-unverified in r1: dedup tier ---
-    "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
+    # --- round-3 NEW: training-batch tier (ordering contract: 1-50) ---
+    "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
+    "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
+    "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
+    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
+    # --- round-3 NEW: CDC tier ---
+    "q_merge_upsert": (q_merge_upsert, _MERGE_UPSERT_SQL),
+    "q_scd2_customer_orders": (q_scd2_customer_orders, _SCD2_SQL),
+    # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
+    "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
+    "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
+    "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
+    "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
+    "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
+    # --- round-3 CHANGED operator code (convergence check rewritten in
+    # near_duplicate_clusters; minhash feeds it, keep both in-window) ---
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
-    "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
-    # --- driver-unverified in r1: similarity search tier ---
-    "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
-    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
-    "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     # --- driver-unverified in r1: text analysis tier ---
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
@@ -3048,7 +3408,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
-    # rotated out of the window this round (r2-green, unchanged):
+    # rotated out of the window (r2-green, unchanged):
+    "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),
+    "q_large_orders": (q_large_orders, _LARGE_ORDERS_SQL),
+    "q_supplier_part_counts": (q_supplier_part_counts, _SUPPLIER_PART_COUNTS_SQL),
+    "q_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_CUSTOMERS_SQL),
+    "q_late_shipment_priority": (q_late_shipment_priority, _LATE_SHIPMENT_SQL),
+    "q_priority_line_buckets": (q_priority_line_buckets, _PRIORITY_BUCKETS_SQL),
+    "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
+    "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
+    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
+    "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
     "q_text_fingerprint": (q_text_fingerprint, _TEXT_FINGERPRINT_SQL),

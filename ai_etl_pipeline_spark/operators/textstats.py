@@ -434,3 +434,49 @@ def redact_pii(
         )
         red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return df.withColumn(out_col, red)
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    metric_col: str,
+    quantile: float,
+    strata_col: str | None = None,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose ``metric_col`` clears the per-stratum exact
+    ``quantile`` threshold — the calibrated quality gate of a curation
+    pipeline ("drop the worst 25% per source" instead of a hand-picked
+    constant, so the gate self-adjusts as the corpus mix drifts).
+
+    Thresholds come from one grouped aggregate over the strata
+    (``F.percentile`` — exact, linearly interpolated, matching DuckDB's
+    ``quantile_cont``), then join back broadcast: strata counts are
+    dimension-sized (languages, sources) while the corpus never shuffles
+    — the filter is a map-side broadcast-hash-join probe. Adds the
+    ``threshold`` column (rounded to 6dp for stable cross-engine
+    rendering).
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {quantile}")
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    if strata_col is None:
+        th = df.agg(
+            F.round(F.percentile(F.col(metric_col), F.lit(quantile)), 6).alias(
+                "threshold"
+            )
+        )
+        joined = df.crossJoin(F.broadcast(th))
+    else:
+        th = df.groupBy(strata_col).agg(
+            F.round(F.percentile(F.col(metric_col), F.lit(quantile)), 6).alias(
+                "threshold"
+            )
+        )
+        joined = df.join(F.broadcast(th), strata_col)
+    cond = (
+        F.col(metric_col) >= F.col("threshold")
+        if keep == "above"
+        else F.col(metric_col) <= F.col("threshold")
+    )
+    return joined.where(cond)

@@ -1,0 +1,208 @@
+"""Tests for the training-batch packing tier (operators/packing.py),
+the CDC tier (operators/cdc.py), and the quantile quality gate
+(textstats.quantile_threshold_filter)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import cdc, packing, textstats
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shard
+# ---------------------------------------------------------------------------
+
+def test_shuffle_shard_deterministic_and_complete(spark, documents):
+    out1 = packing.shuffle_shard(documents, "doc_id", 8).select(
+        "doc_id", "shard", "pos"
+    )
+    out2 = packing.shuffle_shard(documents, "doc_id", 8).select(
+        "doc_id", "shard", "pos"
+    )
+    r1 = {r.doc_id: (r.shard, r.pos) for r in out1.collect()}
+    r2 = {r.doc_id: (r.shard, r.pos) for r in out2.collect()}
+    assert r1 == r2  # reproducible
+    assert len(r1) == documents.count()  # permutation: every doc placed once
+    # pos is 1..n contiguous within each shard
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in r1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    assert set(by_shard) <= set(range(8))
+
+
+def test_shuffle_shard_rejects_bad_shards(spark, documents):
+    with pytest.raises(ValueError):
+        packing.shuffle_shard(documents, "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_pack
+# ---------------------------------------------------------------------------
+
+def _chunk_rows(spark, rows, capacity):
+    df = spark.createDataFrame(rows, "grp string, id long, n long")
+    return packing.chunk_pack(df, "id", "n", capacity, "grp").select(
+        "grp", "id", "chunk_id", "tok_from", "tok_to"
+    )
+
+
+def test_chunk_pack_spans_boundaries(spark):
+    # stream: id1 has 3 tokens [0,3), id2 has 4 tokens [3,7) with cap 5
+    # -> id2 spans chunks 0 and 1: [3,5) are its tokens 0..2, [5,7) are 2..4
+    rows = [("a", 1, 3), ("a", 2, 4)]
+    got = {
+        (r.id, r.chunk_id): (r.tok_from, r.tok_to)
+        for r in _chunk_rows(spark, rows, 5).collect()
+    }
+    assert got == {
+        (1, 0): (0, 3),
+        (2, 0): (0, 2),
+        (2, 1): (2, 4),
+    }
+
+
+def test_chunk_pack_drops_empty_and_isolates_groups(spark):
+    rows = [("a", 1, 0), ("a", 2, 5), ("b", 3, 5)]
+    out = _chunk_rows(spark, rows, 5).collect()
+    ids = {r.id for r in out}
+    assert ids == {2, 3}  # zero-length doc dropped
+    # each group starts its own stream at chunk 0
+    assert {(r.id, r.chunk_id) for r in out} == {(2, 0), (3, 0)}
+
+
+def test_chunk_pack_token_conservation(spark, documents):
+    toks = textstats.token_counts(documents, "text").select(
+        "source", "doc_id", F.col("ws_tokens").cast("bigint").alias("n_tok")
+    )
+    out = packing.chunk_pack(toks, "doc_id", "n_tok", 128, "source")
+    # every token of every doc lands in exactly one chunk slice
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tok_to") - F.col("tok_from")).alias("covered"),
+            F.first("n_tok").alias("n_tok"),
+        )
+        .where(F.col("covered") != F.col("n_tok"))
+    )
+    assert per_doc.count() == 0
+    # chunk fill never exceeds capacity
+    fill = out.groupBy("source", "chunk_id").agg(
+        F.sum(F.col("tok_to") - F.col("tok_from")).alias("fill")
+    )
+    assert fill.where(F.col("fill") > 128).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# next_fit_pack
+# ---------------------------------------------------------------------------
+
+def test_next_fit_pack_semantics(spark):
+    rows = [("a", 1, 3), ("a", 2, 3), ("a", 3, 5), ("a", 4, 9), ("a", 5, 1)]
+    df = spark.createDataFrame(rows, "grp string, id long, n long")
+    out = {
+        r.id: (r.seq_id, r.offset)
+        for r in packing.next_fit_pack(df, ["grp"], "id", "n", 7).collect()
+    }
+    # cap 7: [1(3), 2(3)] -> seq0; 3(5) -> seq1; 4(9) oversized -> seq2 alone;
+    # 5(1) -> seq3 (next-fit never looks back at seq0's free space)
+    assert out == {1: (0, 0), 2: (0, 3), 3: (1, 0), 4: (2, 0), 5: (3, 0)}
+
+
+def test_next_fit_pack_never_splits_and_respects_capacity(spark, documents):
+    toks = textstats.token_counts(documents, "text").select(
+        "source", "doc_id", F.col("ws_tokens").cast("bigint").alias("n_tok")
+    )
+    out = packing.next_fit_pack(toks, ["source"], "doc_id", "n_tok", 256)
+    assert out.count() == documents.count()  # one row per doc, never split
+    fill = out.groupBy("source", "seq_id").agg(
+        F.sum("n_tok").alias("fill"), F.count("*").alias("n_docs")
+    )
+    # a sequence over capacity can only be a single oversized doc
+    assert fill.where((F.col("fill") > 256) & (F.col("n_docs") > 1)).count() == 0
+    # offsets tile each sequence exactly: max(offset + n_tok) == fill
+    tiled = (
+        out.groupBy("source", "seq_id")
+        .agg(
+            F.max(F.col("offset") + F.col("n_tok")).alias("hi"),
+            F.sum("n_tok").alias("fill"),
+        )
+        .where(F.col("hi") != F.col("fill"))
+    )
+    assert tiled.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quantile_threshold_filter
+# ---------------------------------------------------------------------------
+
+def test_quantile_filter_per_stratum(spark, documents):
+    out = textstats.quantile_threshold_filter(
+        documents, "n_chars", 0.25, strata_col="source"
+    )
+    # every survivor clears its own stratum's threshold
+    assert out.where(F.col("n_chars") < F.col("threshold")).count() == 0
+    # roughly the top 75% survive per stratum (exact percentile, >=)
+    kept = out.groupBy("source").count()
+    totals = documents.groupBy("source").count().withColumnRenamed("count", "total")
+    bad = (
+        kept.join(totals, "source")
+        .where(
+            (F.col("count") < F.col("total") * 0.7)
+            | (F.col("count") > F.col("total"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantile_filter_global_and_below(spark, documents):
+    out = textstats.quantile_threshold_filter(documents, "n_chars", 0.5, keep="below")
+    assert out.where(F.col("n_chars") > F.col("threshold")).count() == 0
+    with pytest.raises(ValueError):
+        textstats.quantile_threshold_filter(documents, "n_chars", 1.5)
+    with pytest.raises(ValueError):
+        textstats.quantile_threshold_filter(documents, "n_chars", 0.5, keep="sideways")
+
+
+# ---------------------------------------------------------------------------
+# cdc
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_latest_wins_and_tiebreak(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 5)], "k long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (3, "C", 5), (4, "D", 1)], "k long, v string, ver long"
+    )
+    out = {
+        r.k: (r.v, r.ver)
+        for r in cdc.merge_upsert(base, updates, ["k"], "ver").collect()
+    }
+    # k=1 untouched, k=2 newer version wins, k=3 tie -> updates side wins,
+    # k=4 pure insert
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("C", 5), 4: ("D", 1)}
+
+
+def test_scd2_snapshot_ranges(spark):
+    rows = [
+        (1, "2024-01-01", 10),
+        (1, "2024-02-01", 11),
+        (1, "2024-02-01", 12),  # same effective date: tiebreak on id
+        (2, "2024-03-01", 20),
+    ]
+    df = spark.createDataFrame(rows, "k long, eff string, id long").withColumn(
+        "eff", F.col("eff").cast("date")
+    )
+    out = cdc.scd2_snapshot(df, ["k"], "eff", "id")
+    rows_by_id = {r.id: r for r in out.collect()}
+    assert str(rows_by_id[10].valid_to) == "2024-02-01"
+    assert str(rows_by_id[11].valid_to) == "2024-02-01"  # closed by the tied row
+    assert rows_by_id[12].valid_to is None and rows_by_id[12].is_current
+    assert rows_by_id[20].valid_to is None and rows_by_id[20].is_current
+    # exactly one current row per key
+    cur = out.where("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)

@@ -179,3 +179,52 @@ def test_cluster_iteration_plans_stay_constant(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan  # localCheckpoint leaf
     assert "Union" not in plan   # no accumulated per-round unions
+
+
+def test_chunk_pack_single_shuffle(spark, sf_dir):
+    # concat-and-chunk packing: one exchange (the shard key), then pure
+    # window + explode arithmetic — the whole packing stage is codegen-able
+    plan = _plan(spark, sf_dir, "q_pack_chunks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in plan  # sequence/explode, not a UDF
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_next_fit_pack_is_arrow_grouped(spark, sf_dir):
+    # the sequential packing variant runs as ONE grouped Arrow stage on
+    # the shard key — no row-at-a-time Python, no second shuffle
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_filter_broadcasts_thresholds(spark, sf_dir):
+    # corpus joins the dimension-sized per-stratum thresholds broadcast;
+    # the documents relation itself must not shuffle
+    plan = _plan(spark, sf_dir, "q_quality_quantile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir):
+    # union + key window: one exchange total, regardless of source count
+    plan = _plan(spark, sf_dir, "q_merge_upsert")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" in plan
+
+
+def test_tpch_shapes_broadcast_dims_and_scalars(spark, sf_dir):
+    # Q14: part dim broadcast against the lineitem scan
+    plan = _plan(spark, sf_dir, "q_promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    # Q15: the global-max scalar reaches the per-supplier agg via a
+    # broadcast, never a shuffle of the agg output
+    plan15 = _plan(spark, sf_dir, "q_top_supplier_revenue")
+    assert "BroadcastHashJoin" in plan15 or "BroadcastNestedLoopJoin" in plan15
+
+
+def test_last_shipper_self_joins_are_semi_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_last_shipper")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
