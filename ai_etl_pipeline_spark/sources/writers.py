@@ -26,6 +26,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimizing sink: ``sortWithinPartitions`` clusters each
+    output file on ``sort_cols``, so parquet row-group min/max stats
+    become selective and point/range reads on those columns skip row
+    groups without a cluster-wide sort (no global Exchange beyond what
+    ``partition_by`` implies). The single-machine analogue is an index;
+    at 100 TB this is the cheap half of Z-ordering — right for one
+    dominant filter column."""
+    out = df.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -297,3 +297,46 @@ def test_streaming_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(out).count()
     batch_n = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet").count()
     assert n1 == n2 == batch_n
+
+
+def test_streaming_foreachbatch_upsert_keyed_state(spark, sf_dir, tmp_path):
+    """Streaming CDC sink: foreachBatch + cdc.merge_upsert maintain a
+    keyed latest-state table (one row per user, latest event wins)
+    across micro-batches — the standard 'streaming upsert into a
+    snapshot' pattern. End state must equal the batch answer."""
+    from ai_etl_pipeline_spark.operators import cdc
+
+    state_dir = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+
+    def upsert(batch_df, batch_id):
+        changes = batch_df.select("user_id", "ts", "event_type", "value")
+        try:
+            base = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            base = changes.limit(0)
+        # compact the batch first (max-ts row per key), then merge — the
+        # skew-safe order the cdc module documents; ts ties break on the
+        # incoming side, matching the batch oracle's last-wins ordering
+        merged = cdc.merge_upsert(base, changes, ["user_id"], "ts")
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        batch_df.sparkSession.read.parquet(state_dir + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.user_id: r.ts for r in spark.read.parquet(state_dir).collect()}
+    batch = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet")
+    want = {
+        r.user_id: r.mx
+        for r in batch.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    assert got == want

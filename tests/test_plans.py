@@ -228,3 +228,33 @@ def test_last_shipper_self_joins_are_semi_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_last_shipper")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # hive-style partition layout: a filter on the partition key must
+    # become a PartitionFilter (directory pruning) — the scan never
+    # touches other partitions' files
+    from ai_etl_pipeline_spark.sources.writers import write_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+    back = spark.read.parquet(path).where("lang = 'en'").select("doc_id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    # sortWithinPartitions clusters files on the filter column, so the
+    # point predicate is pushed to the scan where row-group min/max
+    # stats can skip; correctness is unchanged
+    from ai_etl_pipeline_spark.sources.writers import write_sorted_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(orders, path, sort_cols=["o_custkey"])
+    back = spark.read.parquet(path).where("o_custkey = 7").select("o_orderkey")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+    assert back.count() == orders.where("o_custkey = 7").count()
