@@ -46,7 +46,8 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     """(id, shingle) distinct pairs, k-word shingles.
 
     Built JVM-side: tokenize → transform over indices joining k
-    consecutive tokens — no Python in the loop.
+    consecutive tokens — no Python in the loop, and no shuffle: the
+    per-document shingle dedup is an in-row ``array_distinct``.
 
     The token array is materialized as its own projection FIRST: the
     shingle expression references it O(tokens) times (size, sequence,
@@ -65,10 +66,13 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         n >= k,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
     ).otherwise(F.array(F.array_join(toks, " ")))
+    # shingle dedup is PER-DOCUMENT, so it happens in-row
+    # (array_distinct before the explode) — a row-level .distinct()
+    # here would shuffle the entire exploded corpus (~tokens× the
+    # input) just to deduplicate within each doc's own shingles
     return (
-        toked.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 

@@ -49,6 +49,17 @@ HEADLINE = [
     "q_corpus_profile",
     "q_sample_stratified",
     "q_sample_mixture",
+    "q_corpus_shuffle",
+    "q_pack_chunks",
+    "q_pack_sequences",
+    "q_quality_quantile",
+    "q_merge_upsert",
+    "q_scd2_customer_orders",
+    "q_part_revenue_share",
+    "q_promo_revenue_share",
+    "q_top_supplier_revenue",
+    "q_bulk_part_suppliers",
+    "q_last_shipper",
     "q_window_frames",
     "q_pipeline_curation",
     "q_pipeline_curation_v2",
