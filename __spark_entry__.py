@@ -3048,6 +3048,199 @@ WHERE d.n_chars >= th.threshold
 """
 
 
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document passage dedup (Lee et al. 2022 shape): 20-token
+    passages, corpus-wide first occurrence wins, docs reassembled from
+    surviving passages. One shuffle on the passage key + one rebuild
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.passage_dedup(docs, "doc_id", "text", window=20)
+    return out.select("doc_id", "kept_text", "n_kept", "n_total")
+
+
+_DEDUP_PASSAGES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(toks[seg_idx * 20 + 1 : least((seg_idx + 1) * 20, len(toks))], ' ')
+           AS passage
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1, 0))) AS seg_idx
+    FROM t WHERE len(toks) > 0
+  )
+),
+marked AS (
+  SELECT doc_id, seg_idx, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, seg_idx) = 1 AS kept
+  FROM segs
+),
+rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(passage, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+           AS kept_text,
+         count(*) FILTER (WHERE kept) AS n_kept,
+         count(*) AS n_total
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.kept_text, '') AS kept_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.n_total, 0) AS n_total
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd k-means over the embedding
+    column (k=8) — the SemDeDup/domain-discovery clustering primitive.
+    The oracle replays init, both assignment passes, and the rounded
+    centroid update entirely in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, "vec_id", "embedding", k=8, iterations=2)
+
+
+_KMEANS_HASH = md5_i64_sql("CAST(vec_id AS VARCHAR)")
+_KMEANS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_KMEANS_HASH}, vec_id) - 1 AS INTEGER)
+           AS cluster, vv AS c
+  FROM (SELECT * FROM embeddings ORDER BY {_KMEANS_HASH}, vec_id LIMIT 8)
+       JOIN v USING (vec_id)
+),
+a1 AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM (
+      SELECT v.vec_id, c0.cluster,
+             round(list_dot_product(v.vv, v.vv)
+                   - 2 * list_dot_product(v.vv, c0.c)
+                   + list_dot_product(c0.c, c0.c), 6) AS d
+      FROM v CROSS JOIN c0
+    ) s
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT a1.cluster, pos, round(avg(x), 6) AS mx
+  FROM a1 JOIN v USING (vec_id),
+       LATERAL (SELECT unnest(v.vv) AS x,
+                       unnest(generate_series(1, len(v.vv))) AS pos) u
+  GROUP BY a1.cluster, pos
+),
+c0x AS (
+  SELECT cluster, unnest(c) AS x, unnest(generate_series(1, len(c))) AS pos FROM c0
+),
+c1 AS (
+  SELECT c0x.cluster, list(coalesce(m.mx, c0x.x) ORDER BY c0x.pos) AS c
+  FROM c0x LEFT JOIN m ON m.cluster = c0x.cluster AND m.pos = c0x.pos
+  GROUP BY c0x.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM (
+      SELECT v.vec_id, c1.cluster,
+             round(list_dot_product(v.vv, v.vv)
+                   - 2 * list_dot_product(v.vv, c1.c)
+                   + list_dot_product(c1.c, c1.c), 6) AS d
+      FROM v CROSS JOIN c1
+    ) s
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster, d AS sq_dist FROM a2
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each stage's timestamp must
+    follow the previous stage's FIRST occurrence per user. Three
+    key-grouped aggregates; stage relations are user-sized."""
+    ev = _events(spark, sf_dir)
+    viewed = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicked = (
+        ev.where(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchased = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        viewed.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(purchased.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = first-activity week, cell =
+    distinct users active N weeks later. Two aggregates on user-sized
+    relations; the (cohort, offset) matrix is output-sized."""
+    ev = _events(spark, sf_dir)
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH e AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+           FROM events),
+weekly AS (SELECT DISTINCT user_id, wk FROM e),
+cohort AS (SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC tier: latest-wins merge + SCD2 validity ranges
 # ---------------------------------------------------------------------------
@@ -3305,6 +3498,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
     "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
     "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
+    # --- round-3 NEW: passage dedup, k-means, event analytics ---
+    "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
+    "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
+    "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
+    "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     # --- round-3 CHANGED operator code (convergence check rewritten in
     # near_duplicate_clusters; minhash feeds it, keep both in-window) ---
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
@@ -3313,11 +3511,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
     # --- driver-unverified in r1: text analysis tier ---
-    "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
-    "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
-    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
-    "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     # --- driver-unverified in r1: sampling + curation ---
     # --- round-3 NEW training-data ops (must sit in 1-50) ---
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
@@ -3409,6 +3603,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window (r2-green, unchanged):
+    "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
+    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
+    "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),
     "q_large_orders": (q_large_orders, _LARGE_ORDERS_SQL),
     "q_supplier_part_counts": (q_supplier_part_counts, _SUPPLIER_PART_COUNTS_SQL),

@@ -70,3 +70,10 @@ def minhash_signature_cols(token_col_name: str, num_hashes: int) -> list[Column]
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
+
+
+def md5_i64_py(value: str) -> int:
+    """Driver-side rendering of :func:`md5_i64` — same 60-bit integer for
+    the same string, for code that orders a tiny collected sample the
+    way the engines order it (e.g. k-means centroid init)."""
+    return int(hashlib.md5(value.encode()).hexdigest()[:15], 16)

@@ -474,3 +474,79 @@ def decontaminate(
     how large the corpus is — the corpus itself is never shuffled."""
     hit_ids = benchmark_ngram_hits(corpus, benchmark, id_col, text_col, n).select(id_col)
     return corpus.join(F.broadcast(hit_ids), id_col, "left_anti")
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Sub-document (passage-level) exact dedup — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): cut
+    each document's token stream into consecutive ``window``-token
+    passages, keep only the corpus-wide FIRST occurrence of each
+    passage (ordered by (id, passage index) — deterministic on every
+    engine), and reassemble documents from their surviving passages.
+    Boilerplate repeated across documents (headers, license blocks,
+    navigation chrome) disappears from all but one document even when
+    the documents as wholes are not duplicates.
+
+    Shape at 100 TB: token split and passage slicing are in-row
+    (``transform``+``posexplode``); the first-occurrence rule is ONE
+    row_number window over the passage hash key (same shuffle an exact
+    dedup pays), and reassembly is ONE aggregate back on the id. Docs
+    whose every passage was seen elsewhere survive with empty text —
+    dropping them is the caller's policy decision.
+
+    Returns (id_col, kept_text, n_kept, n_total) for every input doc.
+    """
+    from pyspark.sql import Window
+
+    toked = df.repartition(F.col(id_col)).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_seg = F.ceil(n / F.lit(window)).cast("int")
+    seg_idx = F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0)))
+    passages = F.when(n > 0, F.transform(
+        seg_idx, lambda i: F.array_join(F.slice(toks, i * window + 1, window), " ")
+    )).otherwise(F.array())
+    segs = toked.select(
+        F.col(id_col), F.posexplode(passages).alias("seg_idx", "passage")
+    )
+    first = Window.partitionBy("passage").orderBy(id_col, "seg_idx")
+    kept = (
+        segs.withColumn("__rn", F.row_number().over(first))
+        .withColumn("__kept", F.col("__rn") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__kept"),
+                            F.struct(F.col("seg_idx"), F.col("passage")),
+                        )
+                    )
+                ),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+        F.count("*").alias("n_total"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_total", F.lit(0)).cast("bigint").alias("n_total"),
+        )
+    )

@@ -272,3 +272,107 @@ def quantize_embeddings_int8(
         .withColumn("q_scale", F.round(F.col("__s"), 9))
         .drop("__v", "__s")
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column — the
+    clustering primitive behind semantic dedup (SemDeDup: drop
+    near-identical members within a cluster), domain discovery, and a
+    trained IVF coarse quantizer (drop-in upgrade of ivf_centroids'
+    hash-sampled init, which is exactly this operator's round 0).
+
+    Deterministic and engine-portable by construction, so a SQL oracle
+    can replay it bit-for-bit:
+
+    - init: the ``k`` vectors with smallest ``(md5(id), id)`` —
+      ivf_centroids' reproducible sample; cluster label = position in
+      that order (0-based);
+    - assignment: argmin over ``(round(dist², 6), label)`` — the
+      squared distance goes through the dot-product identity
+      ``v·v - 2 v·c + c·c`` with the same sequential fold on both
+      engines, and the 6-dp round absorbs last-bit float drift before
+      the comparison;
+    - update: per-(cluster, dimension) mean, rounded to 6 dp; a
+      cluster that loses every point keeps its previous centroid.
+
+    ``iterations`` counts ASSIGNMENT passes: assign → update repeats
+    ``iterations - 1`` times, then one final assign. Scale shape: each
+    assignment is a map-only pass over the corpus with the k×d centroid
+    table broadcast as literals; each update is one (cluster, dim)
+    aggregate (k×d rows out) — the corpus shuffles only for the update
+    aggregate, and the centroid table lands on the driver (k×d doubles,
+    dimension-sized by contract).
+
+    Returns (id_col, cluster, sq_dist).
+    """
+    from ..functions.portable import md5_i64_py
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    emb = corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
+    init = ivf_centroids(corpus, id_col, vec_col, k).collect()
+    ordered = sorted(
+        ((md5_i64_py(str(r["centroid_id"])), r["centroid_id"], r["centroid_vec"]) for r in init)
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (pos, [float(x) for x in vec]) for pos, (_, _, vec) in enumerate(ordered)
+    ]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        vv = F.expr(
+            "aggregate(transform(__v, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        choices = []
+        for label, vec in cents:
+            lit_vec = F.array(*[F.lit(x) for x in vec])
+            vc = F.expr(
+                "aggregate(zip_with(__v, {c}, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, v) -> acc + v)".format(
+                    c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec))
+                )
+            )
+            cc = F.lit(_seq_dot(vec, vec))
+            choices.append(
+                F.struct(
+                    F.round(vv - 2.0 * vc + cc, 6).alias("d"),
+                    F.lit(label).alias("c"),
+                )
+            )
+        best = F.array_min(F.array(*choices))
+        return frame.withColumn("sq_dist", best["d"]).withColumn("cluster", best["c"])
+
+    for it in range(iterations - 1):
+        assigned = _assign(emb)
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                label,
+                [by_cluster[label][p] for p in range(len(vec))]
+                if label in by_cluster
+                else vec,  # empty cluster keeps its previous centroid
+            )
+            for label, vec in cents
+        ]
+    return _assign(emb).select(F.col(id_col), "cluster", "sq_dist")
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential-order fold, matching the engines' aggregate/fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc

@@ -49,6 +49,10 @@ HEADLINE = [
     "q_corpus_profile",
     "q_sample_stratified",
     "q_sample_mixture",
+    "q_dedup_passages",
+    "q_embed_kmeans",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
     "q_corpus_shuffle",
     "q_pack_chunks",
     "q_pack_sequences",

@@ -429,3 +429,66 @@ def test_mixture_sample_upsampling(spark):
     )
     # expected multiplicity matches the weights: |out| ~ 1000 + 250
     assert 1150 < len(out) < 1350
+
+
+def test_passage_dedup_removes_cross_doc_boilerplate(spark):
+    from ai_etl_pipeline_spark.operators.dedup import passage_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    uniq1 = " ".join(f"u{i}" for i in range(20))
+    uniq2 = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1),
+            (2, boiler + " " + uniq2),   # boilerplate passage repeats
+            (3, boiler),                 # nothing but the boilerplate
+            (4, ""),                     # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(df, window=20).collect()}
+    assert out[1].kept_text == boiler + " " + uniq1  # first occurrence keeps all
+    assert out[2].kept_text == uniq2                 # boilerplate stripped
+    assert out[3].kept_text == "" and out[3].n_kept == 0 and out[3].n_total == 1
+    assert out[4].kept_text == "" and out[4].n_total == 0
+    assert (out[2].n_kept, out[2].n_total) == (1, 2)
+
+
+def test_passage_dedup_first_occurrence_is_deterministic(spark):
+    from ai_etl_pipeline_spark.operators.dedup import passage_dedup
+
+    text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_kept for r in passage_dedup(df, window=20).collect()}
+    assert out[0] == 1 and all(out[i] == 0 for i in range(1, 10))
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from ai_etl_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    # two tight planted blobs far apart -> k=2 must split them exactly
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + 0.01 * i, 0.0]))
+        rows.append((100 + i, [-10.0 - 0.01 * i, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, iterations=3).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id < 100, set()).add(r.cluster)
+    assert len(by_blob[True]) == 1 and len(by_blob[False]) == 1
+    assert by_blob[True] != by_blob[False]
+    assert all(r.sq_dist < 1.0 for r in out)
+
+
+def test_kmeans_lloyd_is_deterministic_and_total(spark, sf_dir):
+    from ai_etl_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r.vec_id: (r.cluster, r.sq_dist) for r in kmeans_lloyd(emb, k=4).collect()}
+    b = {r.vec_id: (r.cluster, r.sq_dist) for r in kmeans_lloyd(emb, k=4).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+    assert set(c for c, _ in a.values()) <= set(range(4))
