@@ -3160,6 +3160,45 @@ SELECT vec_id, cluster, d AS sq_dist FROM a2
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means blocks (k=8, 2 Lloyd iterations), then drop
+    vectors with a lower-id cosine-twin (≥0.35) inside their cluster.
+    The quadratic comparison never leaves a cluster block. Output drops
+    the raw embedding array (driver canonicalizer contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iterations=2, threshold=0.35
+    )
+    return out.select("vec_id", "label", "cluster")
+
+
+def _semantic_dedup_sql() -> str:
+    needle = "SELECT vec_id, cluster, d AS sq_dist FROM a2"
+    assert needle in _KMEANS_SQL, (
+        "_semantic_dedup_sql: kmeans oracle tail changed — update the splice"
+    )
+    # keep the kmeans CTE chain, swap the final SELECT for the twin anti-join
+    head = _KMEANS_SQL[: _KMEANS_SQL.rindex(needle)].rstrip()
+    assert head.endswith(")"), "_semantic_dedup_sql: unexpected kmeans CTE tail"
+    return f"""{head},
+assigned AS (
+  SELECT a2.vec_id, a2.cluster, v.vv FROM a2 JOIN v USING (vec_id)
+),
+twins AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assigned hi JOIN assigned lo
+    ON hi.cluster = lo.cluster AND hi.vec_id > lo.vec_id
+  WHERE round(list_dot_product(hi.vv, lo.vv)
+              / (sqrt(list_dot_product(hi.vv, hi.vv))
+                 * sqrt(list_dot_product(lo.vv, lo.vv))), 6) >= 0.35
+)
+SELECT e.vec_id, e.label, a.cluster
+FROM embeddings e
+JOIN a2 a USING (vec_id)
+WHERE e.vec_id NOT IN (SELECT vec_id FROM twins)
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: each stage's timestamp must
     follow the previous stage's FIRST occurrence per user. Three
@@ -3238,6 +3277,75 @@ SELECT cohort_week,
        count(DISTINCT user_id) AS n_users
 FROM weekly JOIN cohort USING (user_id)
 GROUP BY cohort_week, week_offset
+"""
+
+
+def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-batch prep — the corpus-to-batches story in
+    one plan: passage dedup (cross-doc boilerplate out) → per-source
+    quantile quality gate on the SURVIVING token counts → deterministic
+    shuffle into 8 shards → 512-token concat-and-chunk packing in
+    shuffled reading order. Output is the (shard, chunk) manifest with
+    doc and token counts. Corpus-wide shuffles: passage key, rebuild
+    id, shard key — each one load-bearing."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.passage_dedup(docs, "doc_id", "text", window=20).where(
+        F.col("n_kept") > 0
+    )
+    tok = (
+        textstats.token_counts(
+            kept.join(docs.select("doc_id", "source"), "doc_id"), "kept_text"
+        )
+        .select("doc_id", "source", F.col("ws_tokens").cast("bigint").alias("n_tok"))
+    )
+    gated = textstats.quantile_threshold_filter(
+        tok, "n_tok", 0.25, strata_col="source"
+    ).select("doc_id", "n_tok")
+    sharded = packing.shuffle_shard(gated, "doc_id", 8, salt="shuf")
+    chunks = packing.chunk_pack(sharded, "pos", "n_tok", 512, "shard")
+    return chunks.groupBy("shard", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("tok_to") - F.col("tok_from")).alias("n_tokens"),
+    )
+
+
+_TRAINING_PREP_SQL = f"""
+WITH pd AS ({_DEDUP_PASSAGES_SQL}),
+tok AS (
+  SELECT d.doc_id, d.source,
+         CAST({_WS_TOKENS_EXPR.replace("text", "pd.kept_text")} AS BIGINT) AS n_tok
+  FROM pd JOIN documents d USING (doc_id)
+  WHERE pd.n_kept > 0
+),
+th AS (SELECT source, round(quantile_cont(n_tok, 0.25), 6) AS threshold
+       FROM tok GROUP BY source),
+gated AS (SELECT tok.doc_id, tok.n_tok
+          FROM tok JOIN th USING (source) WHERE tok.n_tok >= th.threshold),
+sh AS (
+  SELECT doc_id, n_tok,
+         {md5_i64_sql("'shuf|' || CAST(doc_id AS VARCHAR)")} AS pos_hash
+  FROM gated
+),
+pos AS (
+  SELECT doc_id, n_tok, CAST(pos_hash % 8 AS INTEGER) AS shard,
+         row_number() OVER (PARTITION BY pos_hash % 8 ORDER BY pos_hash, doc_id) AS pos
+  FROM sh
+),
+st AS (
+  SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM pos WHERE n_tok > 0
+),
+e AS (
+  SELECT shard, doc_id, n_tok, strt,
+         unnest(generate_series(CAST(strt AS BIGINT) // 512,
+                                (CAST(strt AS BIGINT) + n_tok - 1) // 512)) AS chunk_id
+  FROM st
+)
+SELECT shard, chunk_id, count(*) AS n_docs,
+       CAST(SUM(LEAST((chunk_id + 1) * 512, strt + n_tok)
+                - GREATEST(chunk_id * 512, strt)) AS BIGINT) AS n_tokens
+FROM e GROUP BY shard, chunk_id
 """
 
 
@@ -3501,6 +3609,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-3 NEW: passage dedup, k-means, event analytics ---
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
+    "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     # --- round-3 CHANGED operator code (convergence check rewritten in
@@ -3510,15 +3620,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_knn_ivf": (q_knn_ivf, _KNN_IVF_SQL),
-    # --- driver-unverified in r1: text analysis tier ---
-    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     # --- driver-unverified in r1: sampling + curation ---
     # --- round-3 NEW training-data ops (must sit in 1-50) ---
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
     "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
-    "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
@@ -3603,6 +3710,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window (r2-green, unchanged):
+    "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
+    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),

@@ -376,3 +376,59 @@ def _seq_dot(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += x * y
     return acc
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
+    every vector that has a LOWER-id near-twin (cosine ≥ ``threshold``)
+    inside its own cluster. Semantic near-duplicates — paraphrases,
+    templated rewrites — land in the same cluster, so the quadratic
+    comparison is confined to cluster-sized blocks instead of the
+    corpus (the whole point of the method at scale; cluster count is
+    the knob that bounds block size).
+
+    Keep rule = "no lower-id twin" (anti-join on the pair relation) —
+    deterministic, single-pass, and exactly the canonical-min rule the
+    exact-dedup tier uses.
+
+    Returns the KEPT rows of ``corpus`` with their ``cluster`` label.
+    """
+    assigned = kmeans_lloyd(corpus, id_col, vec_col, k, iterations).select(
+        F.col(id_col), "cluster"
+    )
+    vecs = corpus.select(
+        F.col(id_col), F.expr(_dbl(vec_col)).alias("__v")
+    ).join(assigned, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("__id_a"), F.col("cluster"), F.col("__v").alias("__va")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("__id_b"), F.col("cluster"), F.col("__v").alias("__vb")
+    )
+    # pairs only within a cluster, higher id vs lower id — the dropped
+    # side is the HIGHER id, so survivors are the canonical minima
+    twins = (
+        a.join(b, ["cluster"])
+        .where(F.col("__id_a") > F.col("__id_b"))
+        .where(
+            F.round(
+                dot_expr("__va", "__vb")
+                / (norm_expr("__va") * norm_expr("__vb")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        corpus.join(assigned, id_col)
+        .join(twins, id_col, "left_anti")
+    )

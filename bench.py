@@ -51,6 +51,8 @@ HEADLINE = [
     "q_sample_mixture",
     "q_dedup_passages",
     "q_embed_kmeans",
+    "q_semantic_dedup",
+    "q_pipeline_training_prep",
     "q_funnel_conversion",
     "q_retention_cohorts",
     "q_corpus_shuffle",

@@ -492,3 +492,21 @@ def test_kmeans_lloyd_is_deterministic_and_total(spark, sf_dir):
     assert a == b
     assert len(a) == emb.count()
     assert set(c for c, _ in a.values()) <= set(range(4))
+
+
+def test_semantic_dedup_drops_higher_id_twin_within_cluster(spark):
+    from ai_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-twin of 1 -> dropped (higher id)
+        (3, [-1.0, 0.0]),
+        (4, [0.0, 1.0]),      # same cluster as 1/2 possibly, but orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=2, iterations=2, threshold=0.95)
+    kept = {r.vec_id for r in out.collect()}
+    assert 1 in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+    # survivors carry their cluster label
+    assert "cluster" in out.columns
