@@ -403,14 +403,25 @@ def semantic_dedup(
     assigned = kmeans_lloyd(corpus, id_col, vec_col, k, iterations).select(
         F.col(id_col), "cluster"
     )
-    vecs = corpus.select(
-        F.col(id_col), F.expr(_dbl(vec_col)).alias("__v")
-    ).join(assigned, id_col)
+    # norms are computed ONCE per vector before the pair join — inside
+    # the join condition they would be re-folded for every candidate
+    # pair (3 array folds per pair instead of 1)
+    vecs = (
+        corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
+        .withColumn("__n", norm_expr("__v"))
+        .join(assigned, id_col)
+    )
     a = vecs.select(
-        F.col(id_col).alias("__id_a"), F.col("cluster"), F.col("__v").alias("__va")
+        F.col(id_col).alias("__id_a"),
+        F.col("cluster"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = vecs.select(
-        F.col(id_col).alias("__id_b"), F.col("cluster"), F.col("__v").alias("__vb")
+        F.col(id_col).alias("__id_b"),
+        F.col("cluster"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     # pairs only within a cluster, higher id vs lower id — the dropped
     # side is the HIGHER id, so survivors are the canonical minima
@@ -419,9 +430,7 @@ def semantic_dedup(
         .where(F.col("__id_a") > F.col("__id_b"))
         .where(
             F.round(
-                dot_expr("__va", "__vb")
-                / (norm_expr("__va") * norm_expr("__vb")),
-                6,
+                dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
             )
             >= threshold
         )
