@@ -107,3 +107,102 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     else:
         expected = {int(i): (None, None) for i, _, _ in left_rows}
     assert got == expected
+
+
+def _ref_next_fit(lengths: list[int], cap: int) -> list[tuple[int, int]]:
+    """Reference next-fit packer: (seq_id, offset) per doc in order."""
+    out, seq, fill = [], -1, cap + 1
+    for n in lengths:
+        if fill + n > cap:
+            seq, fill = seq + 1, n
+            out.append((seq, 0))
+        else:
+            out.append((seq, fill))
+            fill += n
+    return out
+
+
+@given(
+    lengths=st.lists(st.integers(0, 12), min_size=1, max_size=24),
+    cap=st.integers(min_value=1, max_value=16),
+)
+@settings(**_SETTINGS)
+def test_next_fit_pack_matches_reference(spark, lengths, cap):
+    from ai_etl_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("g", i, n) for i, n in enumerate(lengths)], "grp string, id long, n long"
+    )
+    out = {
+        r.id: (r.seq_id, r.offset)
+        for r in packing.next_fit_pack(df, ["grp"], "id", "n", cap).collect()
+    }
+    expected = dict(enumerate(_ref_next_fit(lengths, cap)))
+    assert out == expected
+
+
+@given(
+    lengths=st.lists(st.integers(0, 40), min_size=1, max_size=24),
+    cap=st.integers(min_value=1, max_value=16),
+)
+@settings(**_SETTINGS)
+def test_chunk_pack_tiles_the_stream_exactly(spark, lengths, cap):
+    from ai_etl_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("g", i, n) for i, n in enumerate(lengths)], "grp string, id long, n long"
+    )
+    rows = packing.chunk_pack(df, "id", "n", cap, "grp").collect()
+    # per-doc coverage: slices tile [0, n) without gaps or overlap
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append((r.tok_from, r.tok_to))
+    for i, n in enumerate(lengths):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        spans = sorted(by_doc[i])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # per-chunk fill: every chunk except the last is exactly full
+    fills: dict[int, int] = {}
+    for r in rows:
+        fills[r.chunk_id] = fills.get(r.chunk_id, 0) + (r.tok_to - r.tok_from)
+    if fills:
+        last = max(fills)
+        assert all(v == cap for c, v in fills.items() if c != last)
+        assert 0 < fills[last] <= cap
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5)), max_size=12),
+    updates=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5)), max_size=12),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_reference(spark, base, updates):
+    from ai_etl_pipeline_spark.operators import cdc
+
+    # reference: per key, max version wins; ties -> updates side; within
+    # one side the operator may pick either tied row, so make rows
+    # unique per (side, key, version) to keep the reference well-defined
+    base = list({(k, v): None for k, v in base})
+    updates = list({(k, v): None for k, v in updates})
+    bdf = spark.createDataFrame(
+        [(k, v, f"b{k}-{v}") for k, v in base] or [], "k int, ver int, payload string"
+    ) if base else spark.createDataFrame([], "k int, ver int, payload string")
+    udf_ = spark.createDataFrame(
+        [(k, v, f"u{k}-{v}") for k, v in updates] or [], "k int, ver int, payload string"
+    ) if updates else spark.createDataFrame([], "k int, ver int, payload string")
+    # reference: rank all rows, updates preferred on version ties
+    allrows = [(k, v, 0, f"b{k}-{v}") for k, v in base] + [
+        (k, v, 1, f"u{k}-{v}") for k, v in updates
+    ]
+    expected = {}
+    for k, v, src, payload in allrows:
+        cur = expected.get(k)
+        if cur is None or (v, src) > (cur[0], cur[1]):
+            expected[k] = (v, src, payload)
+    out = {
+        r.k: r.payload for r in cdc.merge_upsert(bdf, udf_, ["k"], "ver").collect()
+    }
+    assert out == {k: p for k, (v, s, p) in expected.items()}
