@@ -307,7 +307,11 @@ def kmeans_lloyd(
     table broadcast as literals; each update is one (cluster, dim)
     aggregate (k×d rows out) — the corpus shuffles only for the update
     aggregate, and the centroid table lands on the driver (k×d doubles,
-    dimension-sized by contract).
+    dimension-sized by contract). The literal-embedding trick bounds
+    k×d to what a codegen'd expression tolerates (~10^4 literals);
+    beyond that, swap the assignment for a broadcast join on an
+    exploded (cluster, dim) centroid table — the shuffle story is
+    unchanged.
 
     Returns (id_col, cluster, sq_dist).
     """
