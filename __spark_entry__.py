@@ -614,8 +614,10 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering is the tolerance flag: per group, is the sketch within its
     documented bound of the exact value computed in the same aggregate?
     Oracle = literal TRUE rows per group — a hash-level driver check
-    that the sketches actually deliver their accuracy contract (HLL++
-    default rsd 5%; GK at accuracy 10000 well within 1% on a median)."""
+    that the sketches actually deliver their accuracy contract. Bounds
+    are 3-sigma-style, not 1-sigma: HLL++ default rsd is 5%, so a 5%
+    gate would fail ~1/3 of fresh groups by design — the gate is 15%;
+    GK at accuracy 10000 is well within 1% on a median."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -628,8 +630,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             / F.col("exact_parts")
-            <= 0.05
-        ).alias("distinct_within_5pct"),
+            <= 0.15
+        ).alias("distinct_within_15pct"),
         (
             F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med")
             <= 0.01
@@ -639,7 +641,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_APPROX_SQL = """
 SELECT l_returnflag,
-       TRUE AS distinct_within_5pct,
+       TRUE AS distinct_within_15pct,
        TRUE AS median_within_1pct
 FROM lineitem GROUP BY l_returnflag
 """
@@ -2889,8 +2891,10 @@ da AS (
          round(quantile_cont(length(text), 0.5), 6) AS p50_chars
   FROM documents GROUP BY lang
 )
-SELECT da.lang, n_docs, mean_chars, p50_chars, total_tokens, vocab
-FROM da JOIN ta USING (lang)
+SELECT da.lang, n_docs, mean_chars, p50_chars,
+       coalesce(total_tokens, 0) AS total_tokens,
+       coalesce(vocab, 0) AS vocab
+FROM da LEFT JOIN ta USING (lang)
 """
 
 
@@ -3613,8 +3617,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
-    # --- round-3 CHANGED operator code (convergence check rewritten in
-    # near_duplicate_clusters; minhash feeds it, keep both in-window) ---
+    # --- round-3 CHANGED operator code (gopher/repetition refactored
+    # into shared metric helpers; clusters convergence check rewritten;
+    # minhash feeds clusters — all stay in-window) ---
+    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
+    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
@@ -3629,9 +3636,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
-    "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
-    "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
@@ -3710,11 +3715,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window (r2-green, unchanged):
+    "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),
+    "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
-    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
     "q_text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "q_text_entropy": (q_text_entropy, _TEXT_ENTROPY_SQL),
-    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_text_pii_redact": (q_text_pii_redact, _TEXT_PII_SQL),
     "q_order_distribution": (q_order_distribution, _ORDER_DISTRIBUTION_SQL),
     "q_large_orders": (q_large_orders, _LARGE_ORDERS_SQL),

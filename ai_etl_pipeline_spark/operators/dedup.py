@@ -502,6 +502,8 @@ def passage_dedup(
 
     Returns (id_col, kept_text, n_kept, n_total) for every input doc.
     """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
     from pyspark.sql import Window
 
     toked = df.repartition(F.col(id_col)).select(

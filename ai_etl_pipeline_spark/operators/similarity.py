@@ -319,6 +319,8 @@ def kmeans_lloyd(
 
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     emb = corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
     init = ivf_centroids(corpus, id_col, vec_col, k).collect()
     ordered = sorted(
@@ -334,7 +336,6 @@ def kmeans_lloyd(
         )
         choices = []
         for label, vec in cents:
-            lit_vec = F.array(*[F.lit(x) for x in vec])
             vc = F.expr(
                 "aggregate(zip_with(__v, {c}, (x, y) -> x * y), cast(0.0 as double),"
                 " (acc, v) -> acc + v)".format(

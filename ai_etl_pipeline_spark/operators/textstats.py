@@ -403,7 +403,17 @@ def corpus_profile(
         F.round(F.avg(F.length(F.col(text_col))), 6).alias("mean_chars"),
         F.round(F.percentile(F.length(F.col(text_col)), 0.5), 6).alias("p50_chars"),
     )
-    return doc_agg.join(tok_agg, strata_col)
+    # LEFT join from the doc side: a stratum whose documents are all
+    # empty has no token rows, but the profile must still show it
+    # (n_docs > 0, zero tokens) — an inner join would hide it entirely
+    return doc_agg.join(tok_agg, strata_col, "left").select(
+        strata_col,
+        "n_docs",
+        "mean_chars",
+        "p50_chars",
+        F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        F.coalesce("vocab", F.lit(0)).alias("vocab"),
+    )
 
 
 # PII patterns kept to the regex subset with identical semantics in Java

@@ -206,3 +206,26 @@ def test_scd2_snapshot_ranges(spark):
     # exactly one current row per key
     cur = out.where("is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_guards_reject_nonpositive_knobs(spark, documents):
+    from ai_etl_pipeline_spark.operators.dedup import passage_dedup
+    from ai_etl_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    with pytest.raises(ValueError):
+        passage_dedup(documents, window=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(documents.limit(1), "doc_id", "n_chars", k=0)
+
+
+def test_corpus_profile_keeps_all_empty_strata(spark):
+    from ai_etl_pipeline_spark.operators.textstats import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "", "xx"), (3, "   ", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in corpus_profile(df, "doc_id", "text", "lang").collect()}
+    assert out["xx"].n_docs == 2
+    assert out["xx"].total_tokens == 0 and out["xx"].vocab == 0
+    assert out["en"].total_tokens == 2
