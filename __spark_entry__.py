@@ -3617,6 +3617,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
+    # value-map apply operators gained trim-consistency this round
+    "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
+    "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     # --- round-3 CHANGED operator code (gopher/repetition refactored
     # into shared metric helpers; clusters convergence check rewritten;
     # minhash feeds clusters — all stay in-window) ---
@@ -3638,9 +3641,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- driver-unverified in r1: events / streaming ---
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
-    "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
-    "q_events_rollup_multires": (q_events_rollup_multires, _EVENTS_ROLLUP_MULTIRES_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
@@ -3710,11 +3711,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_dedup_rows": (q_clean_dedup_rows, _CLEAN_DEDUP_SQL),
     "q_distinct_values": (q_distinct_values, _DISTINCT_VALUES_SQL),
     "q_null_counts": (q_null_counts, _null_counts_sql()),
-    "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
-    "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window (r2-green, unchanged):
+    "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
+    "q_events_rollup_multires": (q_events_rollup_multires, _EVENTS_ROLLUP_MULTIRES_SQL),
     "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),
     "q_events_sliding": (q_events_sliding, _EVENTS_SLIDING_SQL),
     "q_sample_stratified": (q_sample_stratified, _SAMPLE_STRATIFIED_SQL),
