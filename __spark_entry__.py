@@ -3100,6 +3100,54 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: every fifth doc (scale-invariant 20%
+    slice) arrives as the delta batch and is checked against the
+    indexed corpus plus itself — corpus-internal pairs are never
+    regenerated. Signatures are per-document, so the result is exactly
+    the full rerun's pairs restricted to those touching the delta (the
+    oracle states it that way)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_lsh_incremental(
+        corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
+        threshold=0.5,
+    )
+
+
+def _incremental_sql() -> str:
+    return (
+        f"SELECT * FROM ({_minhash_sql()})\n"
+        "WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization kernel on deliberately messed input: control
+    chars injected and padding added, then stripped/collapsed/trimmed
+    back — proves the scrubber, not the identity."""
+    docs = _t(spark, sf_dir, "documents")
+    messed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  \t"), F.col("text"), F.lit(" \x01\x02  ")
+        ).alias("messy"),
+    )
+    out = textstats.normalize_text(messed, "messy", "norm_text")
+    return out.select("doc_id", "norm_text")
+
+
+_TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+              '  ' || chr(9) || text || ' ' || chr(1) || chr(2) || '  ',
+              '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 2-iteration Lloyd k-means over the embedding
     column (k=8) — the SemDeDup/domain-discovery clustering primitive.
@@ -3612,6 +3660,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
     # --- round-3 NEW: passage dedup, k-means, event analytics ---
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
@@ -3639,8 +3689,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
-    "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
-    "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
@@ -3714,6 +3762,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
     # rotated out of the window (r2-green, unchanged):
+    "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
+    "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
     "q_events_rollup_multires": (q_events_rollup_multires, _EVENTS_ROLLUP_MULTIRES_SQL),
     "q_events_props_json": (q_events_props_json, _EVENTS_PROPS_JSON_SQL),

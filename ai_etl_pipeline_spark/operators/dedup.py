@@ -552,3 +552,72 @@ def passage_dedup(
             F.coalesce("n_total", F.lit(0)).cast("bigint").alias("n_total"),
         )
     )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: pairs TOUCHING the delta only — each new
+    batch checks itself against the already-indexed corpus (and within
+    itself) without regenerating corpus-internal pairs. MinHash
+    signatures are per-document, so a signature computed at index time
+    is exactly the signature a full rerun would compute; the delta's
+    band keys probe the corpus band index plus the delta's own bands.
+    Production shape at 100 TB: persist the corpus band relation as a
+    bucketed table on (band, sig) — ``writers.write_bucketed_table`` —
+    and every nightly delta joins it with NO corpus-side shuffle; here
+    both sides are derived in-plan, which only adds the one signature
+    shuffle a full index build pays anyway.
+
+    Output (id_a, id_b, jaccard), id_a < id_b, every pair containing at
+    least one delta document. Union of this with the corpus's own
+    indexed pairs = exactly the full-rerun answer.
+    """
+    sig_c = minhash_signatures(
+        doc_shingles(corpus, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    )
+    sig_d = minhash_signatures(
+        doc_shingles(delta, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        cols = []
+        for b in range(bands):
+            parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            cols.append(
+                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+            )
+        return sigs.select(
+            F.col(id_col), F.explode(F.array(*cols)).alias("bk")
+        ).select(id_col, "bk.band", "bk.sig")
+
+    probe = banded(sig_d).withColumnRenamed(id_col, "__id_d")
+    index = banded(sig_c).unionByName(banded(sig_d)).withColumnRenamed(id_col, "__id_x")
+    cands = (
+        probe.join(index, ["band", "sig"])
+        .where(F.col("__id_d") != F.col("__id_x"))
+        .select(
+            F.least("__id_d", "__id_x").alias("id_a"),
+            F.greatest("__id_d", "__id_x").alias("id_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    full = corpus.unionByName(delta)
+    cand_docs = full.join(F.broadcast(cand_ids), id_col, "left_semi")
+    cand_shingles = doc_shingles(cand_docs, id_col, text_col, shingle_k).persist()
+    out = jaccard_verify(cands, cand_shingles, id_col, "shingle", threshold)
+    return out

@@ -490,3 +490,22 @@ def quantile_threshold_filter(
         else F.col(metric_col) <= F.col("threshold")
     )
     return joined.where(cond)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Scan-speed text normalization — the first kernel of every web
+    curation pipeline: strip C0/C1 control characters (tab/newline
+    included; they are whitespace and collapse in the next step),
+    collapse whitespace runs to single spaces, trim. Pure
+    regexp_replace chain, dialect-portable patterns (hex classes, no
+    lookaround) so the oracle replays them verbatim. NFC/accent
+    normalization is deliberately out: Spark has no JVM-side unicode
+    normalizer, and a per-row Python UDF is the wrong trade at corpus
+    scale — normalize at ingest or in an Arrow batch stage instead."""
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(c))

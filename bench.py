@@ -50,6 +50,8 @@ HEADLINE = [
     "q_sample_stratified",
     "q_sample_mixture",
     "q_dedup_passages",
+    "q_dedup_incremental",
+    "q_text_normalize",
     "q_embed_kmeans",
     "q_semantic_dedup",
     "q_pipeline_training_prep",

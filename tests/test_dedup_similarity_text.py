@@ -510,3 +510,46 @@ def test_semantic_dedup_drops_higher_id_twin_within_cluster(spark):
     assert 3 in kept and 4 in kept
     # survivors carry their cluster label
     assert "cluster" in out.columns
+
+
+def test_incremental_minhash_equals_full_rerun_delta_slice(spark, documents):
+    from ai_etl_pipeline_spark.operators import dedup
+
+    full = dedup.minhash_lsh_near_duplicates(
+        documents, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
+        threshold=0.5,
+    )
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in full.collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    corpus = documents.where("doc_id % 5 != 0")
+    delta = documents.where("doc_id % 5 = 0")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_incremental(
+            corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16,
+            bands=8, threshold=0.5,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_normalize_text_scrubs_controls_and_whitespace(spark):
+    from ai_etl_pipeline_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  a\tb\n\nc  "),
+            (2, "x\x00\x01y"),
+            (3, "\x7f"),
+            (4, "already clean"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.text for r in normalize_text(df, "text").collect()}
+    assert out[1] == "a b c"
+    assert out[2] == "xy"
+    assert out[3] == ""
+    assert out[4] == "already clean"
