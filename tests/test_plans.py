@@ -258,3 +258,12 @@ def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
     assert back.count() == orders.where("o_custkey = 7").count()
+
+
+def test_incremental_dedup_no_cartesian_and_semi_pruned(spark, sf_dir):
+    # delta probes the band index on an equi-key; the verify stage is
+    # semi-join-pruned to candidate docs — never an all-pairs product
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
