@@ -86,9 +86,10 @@ def compact_parquet(
     files (default: total bytes / ``target_bytes_per_file``, min 1)
     using ``coalesce`` — a narrow, shuffle-free plan; use an explicit
     ``repartition`` upstream instead if the data must also be
-    rebalanced. Writes to a sibling temp dir first and swaps via the
-    second write, so a failed compaction never corrupts the source.
-    Returns the number of files written."""
+    rebalanced. Writes to a sibling temp dir first and atomically swaps
+    directories, so a failed compaction never corrupts the source (on
+    an object store, where rename is a copy, point the second leg at a
+    versioned prefix instead). Returns the number of files written."""
     import glob
     import shutil
 
@@ -100,9 +101,10 @@ def compact_parquet(
         target_files = max(1, total // target_bytes_per_file)
     tmp = path.rstrip("/") + ".compact.tmp"
     df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
-    back = spark.read.parquet(tmp)
-    back.coalesce(int(target_files)).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    old = path.rstrip("/") + ".compact.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
