@@ -3123,6 +3123,40 @@ def _incremental_sql() -> str:
     )
 
 
+def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION incremental-dedup shape, end-to-end: the corpus
+    band relation (``dedup.minhash_band_relation``) is persisted as a
+    bucketed table on (band, sig) — the artifact a 100 TB deployment
+    writes once at index time — and the delta batch probes THAT table.
+    The probe join runs with no corpus-side Exchange (plan-gated in
+    tests/test_plans.py); only the delta's bands shuffle to the bucket
+    layout. Same delta split and same oracle as ``q_dedup_incremental``:
+    the output pair set is identical by construction, and the driver's
+    hash check proves it."""
+    import tempfile
+
+    from ai_etl_pipeline_spark.sources import writers
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    bands = dedup.minhash_band_relation(
+        corpus, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8
+    )
+    writers.write_bucketed_table(
+        bands,
+        "__band_index_documents",
+        ["band", "sig"],
+        num_buckets=8,
+        sort_cols=["band", "sig"],
+        path=tempfile.mkdtemp(prefix="band_index_"),
+    )
+    return dedup.minhash_lsh_incremental(
+        corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
+        threshold=0.5, corpus_bands=spark.table("__band_index_documents"),
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization kernel on deliberately messed input: control
     chars injected and padding added, then stripped/collapsed/trimmed
@@ -3661,6 +3695,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-3 NEW: passage dedup, k-means, event analytics ---
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
     "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),

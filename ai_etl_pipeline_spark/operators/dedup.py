@@ -554,6 +554,38 @@ def passage_dedup(
     )
 
 
+def minhash_band_relation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, sig) — the LSH band INDEX relation for a corpus, the
+    persistable artifact of an incremental-dedup deployment. MinHash
+    signatures are per-document, so a band row computed at index time is
+    exactly the row a full rerun would compute; persist this relation as
+    a bucketed table on (band, sig) — ``writers.write_bucketed_table`` —
+    and every nightly delta batch probes it with NO corpus-side shuffle
+    (the probe side alone shuffles to the bucket layout).
+    ``sig`` is md5 over the band's signature rows, so band-key collisions
+    across bands are impossible (band is part of the join key anyway)."""
+    sigs = minhash_signatures(
+        doc_shingles(df, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    )
+    rows_per_band = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.sig")
+
+
 def minhash_lsh_incremental(
     corpus: DataFrame,
     delta: DataFrame,
@@ -563,46 +595,46 @@ def minhash_lsh_incremental(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: pairs TOUCHING the delta only — each new
     batch checks itself against the already-indexed corpus (and within
-    itself) without regenerating corpus-internal pairs. MinHash
-    signatures are per-document, so a signature computed at index time
-    is exactly the signature a full rerun would compute; the delta's
-    band keys probe the corpus band index plus the delta's own bands.
-    Production shape at 100 TB: persist the corpus band relation as a
-    bucketed table on (band, sig) — ``writers.write_bucketed_table`` —
-    and every nightly delta joins it with NO corpus-side shuffle; here
-    both sides are derived in-plan, which only adds the one signature
-    shuffle a full index build pays anyway.
+    itself) without regenerating corpus-internal pairs. The delta's band
+    keys probe the corpus band index (``minhash_band_relation``) plus the
+    delta's own bands. Production shape at 100 TB: pass ``corpus_bands``
+    read from the bucketed (band, sig) table written at index time —
+    the probe join then runs with NO corpus-side Exchange (plan-gated in
+    tests/test_plans.py); when ``corpus_bands`` is None both sides are
+    derived in-plan, which only adds the one signature shuffle a full
+    index build pays anyway.
 
     Output (id_a, id_b, jaccard), id_a < id_b, every pair containing at
     least one delta document. Union of this with the corpus's own
     indexed pairs = exactly the full-rerun answer.
     """
-    sig_c = minhash_signatures(
-        doc_shingles(corpus, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    if corpus_bands is None:
+        corpus_bands = minhash_band_relation(
+            corpus, id_col, text_col, shingle_k, num_hashes, bands
+        )
+    # delta-sized by contract: persist so the corpus-probe join and the
+    # delta self-join don't each recompute the delta's signatures
+    probe = minhash_band_relation(
+        delta, id_col, text_col, shingle_k, num_hashes, bands
+    ).withColumnRenamed(id_col, "__id_d").persist()
+    # the corpus probe and the delta self-probe are SEPARATE joins (not a
+    # union of the index sides): a union would discard the corpus index's
+    # bucketed output partitioning and force the corpus side to shuffle
+    cand_corpus = probe.join(
+        corpus_bands.withColumnRenamed(id_col, "__id_x"), ["band", "sig"]
     )
-    sig_d = minhash_signatures(
-        doc_shingles(delta, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
+    cand_delta = probe.join(
+        probe.select(
+            F.col("__id_d").alias("__id_x"), F.col("band"), F.col("sig")
+        ),
+        ["band", "sig"],
     )
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        rows_per_band = num_hashes // bands
-        cols = []
-        for b in range(bands):
-            parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            cols.append(
-                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
-            )
-        return sigs.select(
-            F.col(id_col), F.explode(F.array(*cols)).alias("bk")
-        ).select(id_col, "bk.band", "bk.sig")
-
-    probe = banded(sig_d).withColumnRenamed(id_col, "__id_d")
-    index = banded(sig_c).unionByName(banded(sig_d)).withColumnRenamed(id_col, "__id_x")
     cands = (
-        probe.join(index, ["band", "sig"])
+        cand_corpus.unionByName(cand_delta)
         .where(F.col("__id_d") != F.col("__id_x"))
         .select(
             F.least("__id_d", "__id_x").alias("id_a"),

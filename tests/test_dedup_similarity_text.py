@@ -536,6 +536,46 @@ def test_incremental_minhash_equals_full_rerun_delta_slice(spark, documents):
     assert got == want
 
 
+def test_incremental_bucketed_index_equals_in_plan_derivation(
+    spark, documents, tmp_path
+):
+    """The production path (corpus band relation persisted as a
+    bucketed table, probed by the delta) returns bit-identical pairs to
+    the in-plan derivation — the signature rows are the same relation,
+    just persisted."""
+    from ai_etl_pipeline_spark.operators import dedup
+    from ai_etl_pipeline_spark.sources.writers import write_bucketed_table
+
+    corpus = documents.where("doc_id % 5 != 0")
+    delta = documents.where("doc_id % 5 = 0")
+    kw = dict(shingle_k=3, num_hashes=16, bands=8, threshold=0.5)
+    in_plan = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_incremental(
+            corpus, delta, "doc_id", "text", **kw
+        ).collect()
+    }
+    write_bucketed_table(
+        dedup.minhash_band_relation(corpus, "doc_id", "text", 3, 16, 8),
+        "t_band_index_eq",
+        ["band", "sig"],
+        num_buckets=8,
+        sort_cols=["band", "sig"],
+        path=str(tmp_path / "band_index_eq"),
+    )
+    try:
+        bucketed = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_lsh_incremental(
+                corpus, delta, "doc_id", "text",
+                corpus_bands=spark.table("t_band_index_eq"), **kw
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_index_eq")
+    assert bucketed == in_plan and len(in_plan) > 0
+
+
 def test_normalize_text_scrubs_controls_and_whitespace(spark):
     from ai_etl_pipeline_spark.operators.textstats import normalize_text
 

@@ -267,3 +267,55 @@ def test_incremental_dedup_no_cartesian_and_semi_pruned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_incremental_probe_of_bucketed_band_index_no_corpus_exchange(
+    spark, sf_dir, tmp_path
+):
+    # the flagship 100 TB claim: the persisted (band, sig)-bucketed
+    # corpus band index is probed by a delta batch with NO Exchange on
+    # the corpus side — only the (small) probe shuffles to the bucket
+    # layout. Broadcast is forced off so a BroadcastExchange can't mask
+    # the bucketing.
+    from ai_etl_pipeline_spark.operators import dedup
+    from ai_etl_pipeline_spark.sources.writers import write_bucketed_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    write_bucketed_table(
+        dedup.minhash_band_relation(corpus, "doc_id", "text", 3, 16, 8),
+        "t_band_index",
+        ["band", "sig"],
+        num_buckets=8,
+        sort_cols=["band", "sig"],
+        path=str(tmp_path / "band_index"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx = spark.table("t_band_index").withColumnRenamed("doc_id", "__id_x")
+        probe = dedup.minhash_band_relation(
+            delta, "doc_id", "text", 3, 16, 8
+        ).withColumnRenamed("doc_id", "__id_d")
+        joined = idx.join(probe, ["band", "sig"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the index is the join's LEFT child, so every line of the
+        # corpus branch carries the ':' tree prefix
+        corpus_branch = [
+            ln for ln in plan.splitlines() if ln.lstrip().startswith(":")
+        ]
+        assert any("Bucketed: true" in ln for ln in corpus_branch)
+        assert not any("Exchange" in ln for ln in corpus_branch)
+        # and the probe DID land on the bucket layout: a probe-side
+        # Exchange hash-partitioned on (band, sig) with the bucket count
+        # (the probe's own signature shuffle is the only other Exchange)
+        assert any(
+            "Exchange hashpartitioning(band" in ln and ", 8)" in ln
+            for ln in plan.splitlines()
+            if not ln.lstrip().startswith(":")
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_band_index")

@@ -63,6 +63,24 @@ def test_module_constant_change_tracked():
     assert report["violations"] == ["q1"]
 
 
+def test_parameter_shadowing_is_not_a_reference():
+    # a parameter that shares its name with a changed module symbol must
+    # NOT create a phantom dependency edge (the q_knn 'queries' lesson)
+    base = {
+        "__spark_entry__.py": (
+            "def q1(spark, sf):\n    return shadow(1, helper_b=2)\n\n"
+            "def shadow(x, helper_b):\n    return helper_b\n\n"
+            '_REGISTRY = {\n    "q1": (q1, "SELECT 1")\n}\n'
+        ),
+        "pkg/ops.py": BASE_PKG,
+    }
+    head = dict(base)
+    head["pkg/ops.py"] = BASE_PKG.replace("return 2", "return 99")
+    report = audit(base, head, window=0)  # ANY affected query would violate
+    assert "helper_b" in report["changed_symbols"]
+    assert report["ok"], report["affected_queries"]
+
+
 def test_real_registry_parses_with_full_window():
     entry_src = (Path(__file__).resolve().parent.parent / "__spark_entry__.py").read_text()
     order = registry_order(entry_src)

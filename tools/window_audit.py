@@ -81,6 +81,34 @@ def _hash_node(node: ast.AST) -> str:
     return hashlib.sha256(ast.dump(node).encode()).hexdigest()
 
 
+def _free_references(node: ast.AST) -> set[str]:
+    """Names a symbol MIGHT resolve outside itself: loaded names minus
+    locally-bound ones (parameters, assignments, loop/comprehension
+    targets), plus attribute names (``dedup.foo`` links by ``foo``).
+    Without the local-binding subtraction, a parameter that happens to
+    share a name with a module function (e.g. a ``queries`` argument vs
+    the ``queries()`` contract function) creates a phantom edge."""
+    loaded = {
+        n.id for n in ast.walk(node)
+        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+    }
+    bound = {
+        n.id for n in ast.walk(node)
+        if isinstance(n, ast.Name) and not isinstance(n.ctx, ast.Load)
+    }
+    for fn in ast.walk(node):
+        if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            a = fn.args
+            for arg in a.posonlyargs + a.args + a.kwonlyargs:
+                bound.add(arg.arg)
+            if a.vararg:
+                bound.add(a.vararg.arg)
+            if a.kwarg:
+                bound.add(a.kwarg.arg)
+    attrs = {n.attr for n in ast.walk(node) if isinstance(n, ast.Attribute)}
+    return (loaded - bound) | attrs
+
+
 def extract_symbols(sources: dict[str, str]) -> dict[str, dict]:
     """``{bare_name: {"hash": h, "refs": {names...}, "file": f}}``.
 
@@ -103,11 +131,7 @@ def extract_symbols(sources: dict[str, str]) -> dict[str, dict]:
             if not names:
                 continue
             h = _hash_node(node)
-            refs = {
-                n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-            } | {
-                n.attr for n in ast.walk(node) if isinstance(n, ast.Attribute)
-            }
+            refs = _free_references(node)
             for name in names:
                 if name in symbols:
                     prev = symbols[name]
