@@ -274,12 +274,16 @@ def quantize_embeddings_int8(
     )
 
 
+LITERAL_ASSIGN_BOUND = 10_000  # max k×d a codegen'd literal plan tolerates
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 2,
+    assignment: str = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column — the
     clustering primitive behind semantic dedup (SemDeDup: drop
@@ -303,15 +307,25 @@ def kmeans_lloyd(
 
     ``iterations`` counts ASSIGNMENT passes: assign → update repeats
     ``iterations - 1`` times, then one final assign. Scale shape: each
-    assignment is a map-only pass over the corpus with the k×d centroid
-    table broadcast as literals; each update is one (cluster, dim)
-    aggregate (k×d rows out) — the corpus shuffles only for the update
-    aggregate, and the centroid table lands on the driver (k×d doubles,
-    dimension-sized by contract). The literal-embedding trick bounds
-    k×d to what a codegen'd expression tolerates (~10^4 literals);
-    beyond that, swap the assignment for a broadcast join on an
-    exploded (cluster, dim) centroid table — the shuffle story is
-    unchanged.
+    assignment is a MAP-ONLY pass over the corpus; each update is one
+    (cluster, dim) aggregate (k×d rows out) — the corpus shuffles only
+    for the update aggregate, and the centroid table lands on the driver
+    (k×d doubles, dimension-sized by contract). Two assignment
+    renderings, selected by ``assignment``:
+
+    - ``"literal"`` — the k×d centroid table is inlined as codegen'd
+      array literals. Fastest plan, but a codegen'd expression only
+      tolerates ~10^4 literals (``LITERAL_ASSIGN_BOUND``).
+    - ``"broadcast"`` — the centroid table travels as broadcast DATA:
+      one single-row frame holding array<struct<c, v, cc>>, cross-joined
+      (BroadcastNestedLoopJoin over exactly one row — still map-only, no
+      shuffle) and folded with the same transform/array_min expression.
+      Identical arithmetic (same sequential fold, same 6-dp round, same
+      (d, label) tiebreak), so both paths return bit-identical labels —
+      asserted in tests.
+    - ``"auto"`` (default) — ``"literal"`` while k×d stays under the
+      bound, ``"broadcast"`` beyond it (the SemDeDup regime: k in the
+      tens of thousands).
 
     Returns (id_col, cluster, sq_dist).
     """
@@ -321,6 +335,8 @@ def kmeans_lloyd(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if assignment not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assignment mode: {assignment!r}")
     emb = corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
     init = ivf_centroids(corpus, id_col, vec_col, k).collect()
     ordered = sorted(
@@ -329,8 +345,11 @@ def kmeans_lloyd(
     cents: list[tuple[int, list[float]]] = [
         (pos, [float(x) for x in vec]) for pos, (_, _, vec) in enumerate(ordered)
     ]
+    if assignment == "auto":
+        dim = len(cents[0][1]) if cents else 0
+        assignment = "literal" if k * dim <= LITERAL_ASSIGN_BOUND else "broadcast"
 
-    def _assign(frame: DataFrame) -> DataFrame:
+    def _assign_literal(frame: DataFrame) -> DataFrame:
         vv = F.expr(
             "aggregate(transform(__v, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
         )
@@ -351,6 +370,48 @@ def kmeans_lloyd(
             )
         best = F.array_min(F.array(*choices))
         return frame.withColumn("sq_dist", best["d"]).withColumn("cluster", best["c"])
+
+    def _assign_broadcast(frame: DataFrame) -> DataFrame:
+        # centroids as DATA: one row, array<struct>, broadcast to every
+        # task. ||c||² is precomputed driver-side exactly like the
+        # literal path's F.lit(_seq_dot(...)), so the arithmetic per
+        # (vector, centroid) is identical expression-for-expression.
+        spark = frame.sparkSession
+        cent_rows = [(label, vec, _seq_dot(vec, vec)) for label, vec in cents]
+        packed = spark.createDataFrame(
+            [(cent_rows,)],
+            "cents array<struct<c:int,v:array<double>,cc:double>>",
+        )
+        # __vv is its own projection: referencing it inside the transform
+        # lambda would re-fold ||v||² once per centroid
+        out = (
+            frame.withColumn(
+                "__vv",
+                F.expr(
+                    "aggregate(transform(__v, x -> x * x), cast(0.0 as double),"
+                    " (acc, v) -> acc + v)"
+                ),
+            )
+            .crossJoin(F.broadcast(packed))
+            .withColumn(
+                "__best",
+                F.array_min(
+                    F.expr(
+                        "transform(cents, s -> struct("
+                        "round(__vv - 2 * aggregate(zip_with(__v, s.v, (x, y) -> x * y),"
+                        " cast(0.0 as double), (acc, v) -> acc + v) + s.cc, 6) AS d,"
+                        " s.c AS c))"
+                    )
+                ),
+            )
+        )
+        return (
+            out.withColumn("sq_dist", F.col("__best")["d"])
+            .withColumn("cluster", F.col("__best")["c"])
+            .drop("cents", "__vv", "__best")
+        )
+
+    _assign = _assign_literal if assignment == "literal" else _assign_broadcast
 
     for it in range(iterations - 1):
         assigned = _assign(emb)

@@ -494,6 +494,58 @@ def test_kmeans_lloyd_is_deterministic_and_total(spark, sf_dir):
     assert set(c for c, _ in a.values()) <= set(range(4))
 
 
+def test_kmeans_broadcast_assignment_matches_literal(spark, sf_dir):
+    """The broadcast-join assignment (centroids as data) must be
+    bit-identical to the literal rendering — same fold order, same
+    rounding, same tiebreak."""
+    from ai_etl_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit = {
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in kmeans_lloyd(emb, k=8, iterations=2, assignment="literal").collect()
+    }
+    bc = {
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in kmeans_lloyd(emb, k=8, iterations=2, assignment="broadcast").collect()
+    }
+    assert lit == bc and len(lit) > 0
+
+
+def test_kmeans_auto_uses_broadcast_join_beyond_literal_bound(spark):
+    """k×d > LITERAL_ASSIGN_BOUND must auto-select the broadcast-join
+    assignment (map-only: BroadcastNestedLoopJoin over one row, no
+    hash-partition shuffle) and agree with the literal path exactly."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_pipeline_spark.operators.similarity import (
+        LITERAL_ASSIGN_BOUND,
+        kmeans_lloyd,
+    )
+
+    vecs = spark.range(1500).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8),"
+            " j -> cast(pmod(id * j * 2654435761, 1000) as double) / 100.0)"
+        ).alias("embedding"),
+    )
+    k = 1400  # k*d = 11200 > 10_000
+    assert k * 8 > LITERAL_ASSIGN_BOUND
+    auto = kmeans_lloyd(vecs, "vec_id", "embedding", k=k, iterations=1)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # assignment is map-only
+    got = {(r.vec_id, r.cluster, r.sq_dist) for r in auto.collect()}
+    want = {
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in kmeans_lloyd(
+            vecs, "vec_id", "embedding", k=k, iterations=1, assignment="literal"
+        ).collect()
+    }
+    assert got == want and len(got) == 1500
+
+
 def test_semantic_dedup_drops_higher_id_twin_within_cluster(spark):
     from ai_etl_pipeline_spark.operators.similarity import semantic_dedup
 
