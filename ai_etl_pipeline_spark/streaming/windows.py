@@ -19,10 +19,19 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)  # ts declared long: the file stores TIMESTAMP(NANOS); converted on read
+def _events_ddl(ts_type: str) -> str:
+    """Events schema DDL with the ``ts`` rendering the file actually
+    uses. The testdata generator has shipped BOTH TIMESTAMP(NANOS)
+    (reads back ``bigint`` under ``nanosAsLong``, needs ``div 1000``)
+    and timestamp[us] (reads back ``timestamp_ntz``, needs nothing) —
+    so the type is probed per file, never assumed."""
+    return (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+EVENTS_DDL = _events_ddl("long")  # the TIMESTAMP(NANOS) rendering
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -120,8 +129,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet data; schema is
     declared (streams can't infer). ``path`` may be the parquet file
     itself — the file source wants a directory, so we stream its parent
-    with a glob filter. Nanos timestamps are read as long
-    (``nanosAsLong``) and converted with exact integer division."""
+    with a glob filter.
+
+    The ``ts`` unit is NOT assumed: one driver-side batch footer read
+    probes what Spark renders the column as. TIMESTAMP(NANOS) files
+    read back ``bigint`` under ``nanosAsLong`` and get the exact
+    integer-division conversion; micros files read back a timestamp
+    type and stream through unchanged (applying ``div 1000`` to micros
+    would collapse the corpus 1000×, which is exactly the r4 defect)."""
     import os
 
     if path.endswith(".parquet") and os.path.isfile(path):
@@ -135,13 +150,22 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # reader accepts (nanos files become readable; nothing else changes
     # shape), so leaking it to the session is the safe direction.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # footer-only probe — no data scan; mirrors the dtype guard in
+    # sources/readers.py::read_parquet_nanos_ts
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "long")
+    # micros files: declare TIMESTAMP outright (NTZ is only the batch
+    # inference default; watermarks/windows require TIMESTAMP, and the
+    # session tz is pinned UTC so the wall-clock values are identical)
     stream = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(_events_ddl("long" if ts_type == "bigint" else "timestamp"))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "bigint":
+        # true nanos: exact integer division (float would lose micros)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def stream_stream_interval_join(

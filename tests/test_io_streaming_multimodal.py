@@ -88,8 +88,59 @@ def test_xlsx_lite_quoted_sheet_name_roundtrip(tmp_path):
 
 def test_nanos_parquet_reader(spark, sf_dir):
     ev = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ("ts",))
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # nanos files convert to "timestamp"; micros files read back
+    # "timestamp_ntz" untouched — the generator has shipped both units,
+    # and session tz is pinned UTC so the wall clock is identical
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert ev.count() > 0
+
+
+def _write_events_fixture(path, unit):
+    """Tiny events parquet in the requested ts unit — the generator has
+    changed units once (nanos→micros between r3 and r4) and may change
+    back, so BOTH renderings stay under test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC in micros
+    ts_us = [base_us + i * 90_000_000 for i in range(8)]  # 90 s apart
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array(
+                [t * 1000 for t in ts_us] if unit == "ns" else ts_us,
+                pa.timestamp(unit),
+            ),
+            "user_id": pa.array([i % 3 for i in range(8)], pa.int64()),
+            "event_type": pa.array(["click", "view"] * 4),
+            "value": pa.array([float(i) for i in range(8)]),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    pq.write_table(tbl, path, version="2.6", coerce_timestamps=None)
+    return ts_us
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_event_readers_unit_adaptive(spark, tmp_path, unit):
+    """Batch AND stream readers must produce the same wall-clock
+    timestamps whether the file stores TIMESTAMP(NANOS) or micros —
+    the r4 regression was the stream reader dividing micros by 1000."""
+    d = tmp_path / f"ev_{unit}"
+    d.mkdir()
+    path = str(d / "events.parquet")
+    ts_us = _write_events_fixture(path, unit)
+
+    # compare epoch-micros Spark-side (session tz is UTC in conftest;
+    # collect-side datetime conversion would depend on driver-local tz)
+    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+
+    batch = readers.read_parquet_nanos_ts(spark, path, ("ts",))
+    assert sorted(r["us"] for r in batch.select(us).collect()) == sorted(ts_us)
+
+    stream = sw.read_events_stream(spark, path)
+    streamed = sw.run_stream_to_memory(stream.select("ts"), "append")
+    assert sorted(r["us"] for r in streamed.select(us).collect()) == sorted(ts_us)
 
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
