@@ -633,6 +633,12 @@ def minhash_lsh_incremental(
         ),
         ["band", "sig"],
     )
+    # candidate pairs are delta-sized by contract: materialize them once
+    # (eager localCheckpoint truncates lineage, so the probe frames can
+    # be released NOW instead of leaking for the session's lifetime —
+    # checkpoint blocks are reclaimed by the ContextCleaner when the
+    # caller drops the result, unlike persist() which pins until an
+    # explicit unpersist)
     cands = (
         cand_corpus.unionByName(cand_delta)
         .where(F.col("__id_d") != F.col("__id_x"))
@@ -641,8 +647,9 @@ def minhash_lsh_incremental(
             F.greatest("__id_d", "__id_x").alias("id_b"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    probe.unpersist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -650,6 +657,8 @@ def minhash_lsh_incremental(
     )
     full = corpus.unionByName(delta)
     cand_docs = full.join(F.broadcast(cand_ids), id_col, "left_semi")
-    cand_shingles = doc_shingles(cand_docs, id_col, text_col, shingle_k).persist()
+    # candidate-sized: recomputing the shingles for each side of the
+    # verify join is cheaper than pinning another persisted frame
+    cand_shingles = doc_shingles(cand_docs, id_col, text_col, shingle_k)
     out = jaccard_verify(cands, cand_shingles, id_col, "shingle", threshold)
     return out
