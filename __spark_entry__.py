@@ -3490,6 +3490,72 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_merge_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with tombstones: the change batch repriced every third
+    order but DELETES the even ones among them (op='D'). Latest-wins
+    then tombstone-filter — one key-window shuffle, deleted keys vanish
+    from the snapshot."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.withColumn("version", F.lit(1)).withColumn("op", F.lit("U"))
+    updates = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("version", F.lit(2))
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 2 == 0, "D").otherwise("U")
+        )
+    )
+    out = cdc.merge_upsert(base, updates, ["o_orderkey"], "version", op_col="op")
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice", "version")
+
+
+# keys divisible by 6 have a winning tombstone (in the %3 batch AND even)
+_MERGE_UPSERT_DELETES_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS version
+FROM orders
+WHERE o_orderkey % 6 <> 0
+"""
+
+
+def q_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with delete events: every tenth order is a tombstone — it
+    closes the preceding version's validity (participates in lead())
+    but emits no dimension row, so a key whose LAST event is a delete
+    has no current row."""
+    orders = _t(spark, sf_dir, "orders")
+    log = orders.withColumn(
+        "op", F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U")
+    )
+    out = cdc.scd2_snapshot(
+        log, ["o_custkey"], "o_orderdate", "o_orderkey", op_col="op"
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
+    )
+
+
+# QUALIFY filters AFTER window evaluation, so the tombstone still closes
+# its predecessor — same shape as the operator's post-window filter.
+# Window specs are inlined: DuckDB 1.0.0 silently IGNORES QUALIFY when a
+# named WINDOW clause is present (verified), which would make the oracle
+# wrong, not just fail.
+_SCD2_DELETES_SQL = """
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       lead(o_orderdate)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM orders
+QUALIFY o_orderkey % 10 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H composite shapes: Q11 / Q14 / Q15 / Q20 / Q21
 # ---------------------------------------------------------------------------
@@ -3686,6 +3752,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-3 NEW: CDC tier ---
     "q_merge_upsert": (q_merge_upsert, _MERGE_UPSERT_SQL),
     "q_scd2_customer_orders": (q_scd2_customer_orders, _SCD2_SQL),
+    # --- round-5 NEW: CDC deletes ---
+    "q_merge_upsert_deletes": (q_merge_upsert_deletes, _MERGE_UPSERT_DELETES_SQL),
+    "q_scd2_deletes": (q_scd2_deletes, _SCD2_DELETES_SQL),
     # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
     "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),

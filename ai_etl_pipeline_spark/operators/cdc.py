@@ -38,14 +38,23 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     version_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Latest-wins merge of a base snapshot and a change set.
 
     Rows are matched on ``key_cols``; for each key the row with the
     highest ``version_col`` wins (ties break toward ``updates`` — the
     change set is newer by contract). Schemas must match by name
-    (``unionByName``). Deletes are modeled upstream as tombstone rows
-    the caller filters afterwards — keeping this operator a pure merge.
+    (``unionByName``).
+
+    Deletes: when ``op_col`` is given, rows whose value equals
+    ``delete_op`` are tombstones. They participate in latest-wins like
+    any other change — so a later re-insert revives the key — and a key
+    whose WINNING row is a tombstone is dropped from the snapshot
+    (latest-wins-then-filter, the standard CDC merge rendering; a NULL
+    op is treated as an upsert). Without ``op_col`` the merge is
+    upsert-only, as before.
     """
     key_cols = list(key_cols)
     tagged = base.withColumn("__src", F.lit(0)).unionByName(
@@ -54,11 +63,18 @@ def merge_upsert(
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(), F.col("__src").desc()
     )
-    return (
+    merged = (
         tagged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+    if op_col is not None:
+        # same single exchange: the tombstone filter is a post-window
+        # predicate, evaluated in the window stage
+        merged = merged.where(
+            F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
+        )
+    return merged
 
 
 def scd2_snapshot(
@@ -66,6 +82,8 @@ def scd2_snapshot(
     key_cols: Sequence[str],
     effective_col: str,
     tiebreak_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: turn a change-event log into
     validity ranges.
@@ -76,11 +94,24 @@ def scd2_snapshot(
     oracle). Adds ``valid_from`` (= effective time), ``valid_to`` (next
     change's effective time, NULL for the open interval) and
     ``is_current``.
+
+    Deletes: when ``op_col`` is given, ``delete_op`` rows close the
+    preceding version (its ``valid_to`` becomes the delete's effective
+    time — the delete participates in the lead() ordering) but produce
+    no dimension row themselves, so a deleted key ends with NO current
+    row; a later re-insert opens a fresh interval. NULL ops are kept.
     """
     key_cols = list(key_cols)
     w = Window.partitionBy(*key_cols).orderBy(effective_col, tiebreak_col)
-    return (
+    out = (
         df.withColumn("valid_from", F.col(effective_col))
         .withColumn("valid_to", F.lead(effective_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+    if op_col is not None:
+        # post-window filter: evaluated after lead(), so a tombstone
+        # still closes its predecessor before being dropped
+        out = out.where(
+            F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
+        )
+    return out

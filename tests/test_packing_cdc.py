@@ -187,6 +187,59 @@ def test_merge_upsert_latest_wins_and_tiebreak(spark):
     assert out == {1: ("a", 1), 2: ("B", 2), 3: ("C", 5), 4: ("D", 1)}
 
 
+def test_merge_upsert_delete_then_reinsert(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1, "U"), (2, "b", 1, "U"), (3, "c", 1, "U")],
+        "k long, v string, ver long, op string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, None, 2, "D"),   # delete k=1 -> gone
+            (2, None, 2, "D"),   # delete k=2 ...
+            (2, "b2", 3, "U"),   # ... then re-insert at a later version
+            (3, None, 1, "D"),   # stale tombstone: ties break to updates
+        ],
+        "k long, v string, ver long, op string",
+    )
+    out = {
+        r.k: (r.v, r.ver)
+        for r in cdc.merge_upsert(base, updates, ["k"], "ver", op_col="op").collect()
+    }
+    # k=1 deleted; k=2 revived by the later upsert; k=3's same-version
+    # tombstone wins the tie (updates side is newer by contract)
+    assert out == {2: ("b2", 3)}
+
+
+def test_merge_upsert_null_op_is_upsert(spark):
+    base = spark.createDataFrame([(1, "a", 1, None)], "k long, v string, ver long, op string")
+    updates = spark.createDataFrame([(1, "A", 2, None)], "k long, v string, ver long, op string")
+    out = cdc.merge_upsert(base, updates, ["k"], "ver", op_col="op").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "A")]
+
+
+def test_scd2_delete_closes_key(spark):
+    rows = [
+        (1, "2024-01-01", 10, "U"),
+        (1, "2024-02-01", 11, "D"),   # closes v10, emits nothing
+        (1, "2024-03-01", 12, "U"),   # re-insert opens a new interval
+        (2, "2024-01-15", 20, "U"),
+        (2, "2024-04-01", 21, "D"),   # key 2 ends deleted: no current row
+    ]
+    df = spark.createDataFrame(rows, "k long, eff string, id long, op string").withColumn(
+        "eff", F.col("eff").cast("date")
+    )
+    out = cdc.scd2_snapshot(df, ["k"], "eff", "id", op_col="op")
+    rows_by_id = {r.id: r for r in out.collect()}
+    assert set(rows_by_id) == {10, 12, 20}  # tombstones emit no rows
+    assert str(rows_by_id[10].valid_to) == "2024-02-01"  # closed by delete
+    assert not rows_by_id[10].is_current
+    assert rows_by_id[12].valid_to is None and rows_by_id[12].is_current
+    assert str(rows_by_id[20].valid_to) == "2024-04-01"
+    assert not rows_by_id[20].is_current
+    # key 2 was deleted last: zero current rows for it
+    assert out.where("k = 2 and is_current").count() == 0
+
+
 def test_scd2_snapshot_ranges(spark):
     rows = [
         (1, "2024-01-01", 10),
