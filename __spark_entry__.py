@@ -2508,6 +2508,67 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: deterministic PCM16 WAV payloads
+    are synthesized per media id (sample k = ((id*31 + k*17)*257) %
+    65536 - 32768 — a closed-form waveform), ENCODED with the stdlib
+    wave writer, then DECODED by the stdlib wave parser inside an
+    Arrow-batched mapInPandas — and the oracle recomputes the sample
+    statistics directly from the closed form in SQL, so the whole
+    encode→decode→featurize path is verified against an independent
+    rendering, not against itself."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            rows = []
+            for i in ids:
+                n = 50 + (i % 7) * 10
+                rate = 8000 + (i % 3) * 4000
+                samples = [((i * 31 + k * 17) * 257) % 65536 - 32768 for k in range(n)]
+                rows.append((i, multimodal.encode_wav_pcm16(samples, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id", "n_channels", "sample_rate", "n_samples", "peak", "rms"
+    )
+
+
+# the oracle recomputes peak/rms from the SAME closed-form waveform with
+# generate_series — fully independent of the wave encode/decode under test
+_MEDIA_WAV_SQL = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 40),
+samp AS (
+  SELECT media_id, k,
+         ((media_id*31 + k*17) * 257) % 65536 - 32768 AS s
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 50 + (media_id % 7)*10 - 1)) AS k
+  ) t
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 + (media_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       count(*) AS n_samples,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       round(sqrt(avg((s*s)::DOUBLE)), 3) AS rms
+FROM samp GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic pipelines (plans/pipeline.py) — T1/T2/T3/T5/M1/M2 end-to-end
 # ---------------------------------------------------------------------------
@@ -3803,6 +3864,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
+    # --- round-5 NEW: real stdlib WAV decode ---
+    "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -4,16 +4,24 @@ the reference).
 Images/audio/video are opaque ``binary`` columns + typed metadata
 structs. The Spark-side plumbing — schemas, partition-sized Arrow
 batches through ``mapInPandas``, deterministic feature extraction — is
-real and tested; the actual media DECODE step is stubbed (no
-image/audio libraries in this container) behind ``decode_stub``:
-deterministic fake features derived from the bytes, or
-``NotImplementedError`` in strict mode. Swapping in a real decoder means
-replacing ONE pandas function; the distributed plan is unchanged.
+real and tested. Decoding:
+
+- **WAV (PCM16) is REAL**: stdlib-only (``wave`` + ``array``) parse of
+  header and payload — see :func:`decode_wav` /
+  :func:`extract_audio_features`. No third-party media lib needed.
+- other kinds remain stubbed (no image/video libraries in this
+  container) behind ``decode_stub``: deterministic fake features
+  derived from the bytes, or ``NotImplementedError`` in strict mode.
+  Swapping in a real decoder means replacing ONE pandas function; the
+  distributed plan is unchanged (the WAV path demonstrates exactly
+  that swap).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -71,6 +79,129 @@ def decode_stub(content: bytes, kind: str, dim: int = 8, strict: bool = False) -
     return [round(b / 255.0, 6) for b in digest[:dim]]
 
 
+def is_wav(content: bytes | None) -> bool:
+    """RIFF/WAVE magic check — the cheap dispatch a mixed-media corpus
+    runs per row before choosing a decoder."""
+    return (
+        content is not None
+        and len(content) >= 44
+        and bytes(content[:4]) == b"RIFF"
+        and bytes(content[8:12]) == b"WAVE"
+    )
+
+
+def decode_wav(content: bytes) -> dict:
+    """REAL stdlib-only WAV decode: ``wave`` parses the RIFF header,
+    ``array('h')`` turns the PCM16 payload into samples. Returns header
+    fields plus exact integer/float sample statistics (peak, RMS, mean).
+    Raises ``ValueError`` on non-WAV or non-PCM16 payloads — callers
+    dispatch with :func:`is_wav` first."""
+    import array
+
+    if not is_wav(content):
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(bytes(content))) as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sampwidth}")
+    samples = array.array("h")
+    samples.frombytes(raw)  # little-endian on all supported platforms
+    n = len(samples)
+    sq = sum(s * s for s in samples)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": n,
+        "duration_ms": int(n_frames * 1000 // sample_rate) if sample_rate else 0,
+        "peak": max((abs(s) for s in samples), default=0),
+        "rms": round((sq / n) ** 0.5, 3) if n else 0.0,
+        "mean": round(sum(samples) / n, 3) if n else 0.0,
+    }
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) -> bytes:
+    """Stdlib WAV writer (tests + synthetic corpora): PCM16 payload via
+    ``wave``. The inverse of :func:`decode_wav`."""
+    import array
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL audio decode via ``mapInPandas``: WAV payloads are parsed
+    with the stdlib decoder; non-WAV rows are skipped (decode AFTER a
+    metadata/magic filter has pruned the corpus — same contract as
+    :func:`extract_features`). Arrow-batched, schema fixed, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                if not is_wav(content):
+                    continue
+                d = decode_wav(content)
+                rows.append(
+                    (
+                        mid,
+                        d["n_channels"],
+                        d["sample_rate"],
+                        d["n_samples"],
+                        d["duration_ms"],
+                        d["peak"],
+                        d["rms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def decode_media(content: bytes, kind: str, dim: int = 8, strict: bool = False) -> list[float]:
+    """Decoder dispatch — the ONE function a real deployment extends per
+    format. WAV payloads get the REAL stdlib decode (works even in
+    strict mode); everything else falls through to the stub (which
+    raises in strict mode)."""
+    if is_wav(content):
+        d = decode_wav(content)
+        feats = [
+            float(d["n_channels"]),
+            float(d["sample_rate"]),
+            float(d["n_samples"]),
+            float(d["peak"]),
+            d["rms"],
+            d["mean"],
+            float(d["duration_ms"]),
+        ]
+        feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+        return [round(x, 6) for x in feats]
+    return decode_stub(content, kind, dim, strict)
+
+
 def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 256) -> DataFrame:
     """Decode + featurize via ``mapInPandas``: Arrow-batched, one python
     worker per partition, output schema fixed. The expensive step — run
@@ -87,7 +218,7 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 256) -> Data
                         lambda b: "" if b is None else hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "feature": [
-                        decode_stub(c, k, dim) for c, k in zip(pdf["content"], pdf["kind"])
+                        decode_media(c, k, dim) for c, k in zip(pdf["content"], pdf["kind"])
                     ],
                 }
             )

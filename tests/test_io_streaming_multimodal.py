@@ -208,6 +208,39 @@ def test_multimodal_strict_decode_raises():
         multimodal.decode_stub(b"bytes", "image", strict=True)
 
 
+def test_wav_roundtrip_exact_samples():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    blob = multimodal.encode_wav_pcm16(samples, 16000)
+    assert multimodal.is_wav(blob) and not multimodal.is_wav(b"RIFFxxxx")
+    d = multimodal.decode_wav(blob)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 16000
+    assert d["n_samples"] == len(samples)
+    assert d["peak"] == 32768  # abs(-32768)
+    import math
+
+    assert d["rms"] == round(math.sqrt(sum(s * s for s in samples) / len(samples)), 3)
+
+
+def test_wav_decode_is_real_even_in_strict_mode():
+    blob = multimodal.encode_wav_pcm16([100, -100], 8000)
+    feats = multimodal.decode_media(blob, "audio", dim=8, strict=True)
+    assert feats[0] == 1.0 and feats[1] == 8000.0 and feats[2] == 2.0
+    # non-WAV still raises in strict mode
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"not audio at all" * 4, "audio", strict=True)
+
+
+def test_extract_audio_features_skips_non_wav(spark):
+    blob = multimodal.encode_wav_pcm16([5, -5, 7], 8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"plain text payload" * 4))],
+        "media_id long, content binary",
+    )
+    out = multimodal.extract_audio_features(df).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert out[0]["n_samples"] == 3 and out[0]["peak"] == 7
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, "x" * 200)], "doc_id long, text string")
     media = multimodal.documents_as_media(df)
