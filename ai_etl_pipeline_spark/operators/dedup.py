@@ -350,9 +350,12 @@ def near_duplicate_clusters(
     Scale shape: the ITERATION runs only over nodes that appear in a
     pair (candidate-sized, orders of magnitude below the corpus);
     singleton docs join back at the end with ``coalesce(label, id)`` and
-    never enter the loop. Each iteration is one candidate-sized shuffle;
-    iteration count = component diameter (near-dup clusters are
-    shallow). Edges and every label round are ``localCheckpoint``-ed:
+    never enter the loop. Each iteration is two candidate-sized
+    shuffles — neighbor-min propagation plus a pointer-halving
+    self-join (``lab <- lab(lab)``) that compresses label chains, so
+    convergence is O(log diameter) rounds rather than O(diameter):
+    a 64-node path converges in ~7 rounds, not 63 (property-tested).
+    Edges and every label round are ``localCheckpoint``-ed:
     persist alone does NOT truncate the logical plan, so Catalyst would
     re-optimize a lineage that grows by one join+agg per round — with a
     large pair-generator plan upstream, planning time (driver-side!)
@@ -399,10 +402,27 @@ def near_duplicate_clusters(
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("lab")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer halving: lab <- lab(lab). Every label is itself a node
+        # id in the same component (labels start as own-id and only min
+        # over other labels), so one self-join compresses label chains —
+        # a path of length d collapses in O(log d) rounds instead of
+        # O(d). The join is candidate-sized like everything else here;
+        # one extra shuffle per round buys exponentially fewer rounds on
+        # chain-shaped components (passage-overlap graphs produce them).
+        lablab = propagated.select(
+            F.col("id").alias("__lid"), F.col("lab").alias("__llab")
+        )
+        new_labels = (
+            propagated.join(lablab, propagated["lab"] == lablab["__lid"], "left")
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("__llab"), F.col("lab")).alias("lab"),
+            )
             .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(state_sum).first()[0]

@@ -225,6 +225,21 @@ def test_near_duplicate_clusters_long_chain_converges(spark):
     assert all(r["cluster_size"] == 10 for r in rows)
 
 
+def test_near_duplicate_clusters_chain_logarithmic_rounds(spark):
+    """Pointer halving makes convergence O(log diameter): a 64-node
+    path must close in ≤ 8 rounds (plain min-propagation would need 63
+    — max_iter=8 is the discriminator; simulation says exactly 7)."""
+    from ai_etl_pipeline_spark.operators import dedup as dd
+
+    chain = [(i, i + 1) for i in range(64 - 1)]  # 0-1-2-...-63
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    out = dd.near_duplicate_clusters(pairs, all_ids, "doc_id", max_iter=8)
+    rows = out.collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert all(r["cluster_size"] == 64 for r in rows)
+
+
 def test_near_duplicate_clusters_string_ids(spark):
     """String doc ids through a diameter-2 chain: the old decimal-sum
     convergence check cast ids to NULL on both sides and exited after one
