@@ -2631,16 +2631,16 @@ WHERE quality >= 0.8
 def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline over the round-2 operator tier — the full
     100 TB shape: MinHash-LSH near-dup CLUSTER dedup (keep canonical
-    min-id doc) → fused Gopher-rule + duplicate-line metric projection →
-    token-entropy floor → deterministic 50% hash sample. Cluster
+    min-id doc) → fused Gopher-rule + duplicate-line + token-entropy
+    metric projection → deterministic 50% hash sample. Cluster
     iteration is candidate-sized; the dedup keep-join broadcasts only
     the NON-canonical id set (docs that lost their cluster —
     candidate-sized; the canonical set is ~the whole corpus and must
-    never be broadcast); gopher + dup-line metrics are ONE scan-speed
-    projection (curation_metrics); the only corpus shuffles are the
-    minhash aggregate, the entropy aggregate, and its single doc_id
-    join. Oracle recomputes every stage independently (recursive-CTE
-    components, list-function rules, hash predicate)."""
+    never be broadcast); gopher + dup-line + entropy metrics are ONE
+    scan-speed projection (curation_metrics with include_entropy) —
+    the only corpus shuffle left is the minhash aggregate. Oracle
+    recomputes every stage independently (recursive-CTE components,
+    list-function rules, hash predicate)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
@@ -2649,14 +2649,17 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_canon = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     kept = docs.join(F.broadcast(non_canon), "doc_id", "left_anti")
     # min_stop_hits relaxed 2 -> 1: the synthetic corpus's tiny vocabulary
-    # rarely produces two distinct stopwords per doc (0 keeps at 2)
-    m = textstats.curation_metrics(kept, "doc_id", "text", min_stop_hits=1).where(
-        F.col("keep_gopher") & (F.col("dup_line_frac") <= 0.5)
+    # rarely produces two distinct stopwords per doc (0 keeps at 2).
+    # include_entropy folds the token-entropy leg into the SAME fused
+    # scan — the pipeline's only corpus shuffle is now the minhash
+    # aggregate (the separate entropy explode-aggregate + id join are
+    # gone; in-row rendering is exact for these bounded-length docs)
+    m = textstats.curation_metrics(
+        kept, "doc_id", "text", min_stop_hits=1, include_entropy=True
+    ).where(
+        F.col("keep_gopher") & (F.col("dup_line_frac") <= 0.5) & (F.col("entropy") >= 1.0)
     )
-    e = textstats.token_entropy(kept, "doc_id", "text").where(F.col("entropy") >= 1.0)
-    joined = m.select("doc_id", "n_words", "dup_line_frac").join(
-        e.select("doc_id", "entropy"), "doc_id"
-    )
+    joined = m.select("doc_id", "n_words", "dup_line_frac", "entropy")
     return sampling.hash_sample(joined, "doc_id", 0.5, salt="curate2")
 
 

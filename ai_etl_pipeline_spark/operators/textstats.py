@@ -293,6 +293,7 @@ def curation_metrics(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    include_entropy: bool = False,
 ) -> DataFrame:
     """Fused gopher_quality_flags + repetition_stats: ONE projection
     computing all Gopher rule metrics and line-repetition metrics.
@@ -301,17 +302,26 @@ def curation_metrics(
     the caller joins them back on the id — two extra shuffles for
     metrics that are all scan-speed projections. Fusing keeps the whole
     metric block inside a single whole-stage-codegen span with zero
-    joins; only token_entropy (which genuinely needs its aggregate)
-    stays separate. Same column names and values as the two operators
-    run individually."""
+    joins. Same column names and values as the two operators run
+    individually.
+
+    ``include_entropy`` folds :func:`token_entropy` into the same scan
+    as in-row higher-order functions (``array_distinct`` + per-distinct
+    ``filter`` counts) — removing the (doc, token) explode shuffle AND
+    the join back on the id. The in-row rendering is O(n_tokens ×
+    n_distinct) per document, so it wins for bounded-length documents
+    (web pages, chat turns — the curation case); for megabyte documents
+    with huge vocabularies prefer the aggregate-based
+    :func:`token_entropy`. Values match token_entropy exactly, except
+    zero-token docs: here a row with NULL entropy, there no row (the
+    explode drops them)."""
     prepped = df.select(
         F.col(id_col),
         F.col(text_col),
         _toks_expr(F.col(text_col)).alias("__toks"),
         _lines_expr(F.col(text_col)).alias("__lines"),
     )
-    return prepped.select(
-        F.col(id_col),
+    cols = [
         *_gopher_metric_cols(
             F.col(text_col),
             F.col("__toks"),
@@ -324,7 +334,26 @@ def curation_metrics(
             min_stop_hits,
         ),
         *_repetition_metric_cols(F.col("__lines")),
-    )
+    ]
+    if include_entropy:
+        toks = F.col("__toks")
+        n = F.size(toks)
+        clogc = F.aggregate(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+        cols.append(n.cast("long").alias("n_tokens"))
+        cols.append(
+            F.when(
+                n > 0,
+                F.round(F.log(n.cast("double")) - clogc / n, 6),
+            ).alias("entropy")
+        )
+    return prepped.select(F.col(id_col), *cols)
 
 
 def ngram_repetition(

@@ -301,6 +301,39 @@ def test_token_entropy_bounds(spark):
     assert abs(got[3] - round(math.log(2), 6)) < 1e-9
 
 
+def test_curation_metrics_fused_entropy_matches_aggregate(spark, documents):
+    """include_entropy's in-row rendering must equal token_entropy's
+    explode-aggregate rendering bit-for-bit on every real fixture doc
+    (same token set, same log formula, same rounding); zero-token docs
+    get a NULL-entropy row here vs no row there."""
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    docs = documents.limit(100)
+    fused = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in ts.curation_metrics(
+            docs, "doc_id", "text", include_entropy=True
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in ts.token_entropy(docs, "doc_id", "text").collect()
+    }
+    assert set(agg) <= set(fused)
+    for k, v in agg.items():
+        assert fused[k] == v
+    for k in set(fused) - set(agg):  # zero-token docs
+        assert fused[k][0] == 0 and fused[k][1] is None
+    # fused stays a single map-only projection: no exchange in the plan
+    plan = (
+        ts.curation_metrics(docs, "doc_id", "text", include_entropy=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_normalize_and_quantize_embeddings(spark):
     from ai_etl_pipeline_spark.operators import similarity as sim
 

@@ -1,0 +1,120 @@
+"""Scale-growth evidence for the dedup tier (round-5 item: the sf0.1
+bench corpus is 500 docs, index-build dominated — this measures the
+SAME operators on 10x and 100x synthetic corpora so growth, not
+constant cost, is visible).
+
+Corpora come from the partitioned Python DataSource
+(`synthetic_docs`), so generation is distributed like any file scan; a
+deterministic 10% near-dup layer (each doc_id % 10 == 0 re-emitted
+with one appended word under id + n) guarantees the LSH/verify stages
+do real work instead of degenerating to zero candidates.
+
+Measured per size, end-to-end to a driver-side count:
+- minhash:     full MinHash-LSH pair generation + Jaccard verify
+- clusters:    connected components over those pairs (O(log d) rounds)
+- incremental: 10% delta probed against the 90% corpus band index
+
+Usage: python tools/dedup_scale_bench.py [size ...]   (default 5000 50000)
+Prints ONE JSON line; the round artifact is committed as
+BENCH_SCALE_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ai_etl_pipeline_spark.operators import dedup  # noqa: E402
+from ai_etl_pipeline_spark.session import get_session  # noqa: E402
+from ai_etl_pipeline_spark.sources.python_datasource import (  # noqa: E402
+    register_synthetic_docs,
+)
+
+
+def build_corpus(spark, n: int):
+    base = (
+        spark.read.format("synthetic_docs")
+        .option("n", n)
+        .option("partitions", 32)
+        .load()
+        .select("doc_id", "text")
+    )
+    dups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("extra")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.monotonic()
+    n = fn()
+    return round(time.monotonic() - t0, 2), n
+
+
+def run_size(spark, n: int) -> dict:
+    docs = build_corpus(spark, n).persist()
+    n_docs = docs.count()  # materialize so generation isn't billed to op 1
+
+    t_minhash, n_pairs = timed(
+        lambda: dedup.minhash_lsh_near_duplicates(docs, "doc_id", "text").count()
+    )
+
+    pairs = dedup.minhash_lsh_near_duplicates(docs, "doc_id", "text")
+    t_clusters, n_clustered = timed(
+        lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
+    )
+
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    t_incr, n_incr = timed(
+        lambda: dedup.minhash_lsh_incremental(corpus, delta, "doc_id", "text").count()
+    )
+
+    docs.unpersist()
+    return {
+        "n_docs": n_docs,
+        "minhash_sec": t_minhash,
+        "minhash_pairs": n_pairs,
+        "clusters_sec": t_clusters,
+        "clusters_rows": n_clustered,
+        "incremental_sec": t_incr,
+        "incremental_pairs": n_incr,
+    }
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [5000, 50000]
+    spark = get_session("dedup-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_synthetic_docs(spark)
+    # warm-up: JVM + codegen + python workers
+    build_corpus(spark, 200).count()
+
+    out = {"metric": "dedup_scale", "unit": "sec", "sizes": {}}
+    for n in sizes:
+        out["sizes"][str(n)] = run_size(spark, n)
+    ratios = {}
+    keys = sorted(out["sizes"], key=int)
+    for a, b in zip(keys, keys[1:]):
+        sa, sb = out["sizes"][a], out["sizes"][b]
+        growth = sb["n_docs"] / sa["n_docs"]
+        ratios[f"{a}->{b}"] = {
+            "data_growth": round(growth, 1),
+            "minhash_time_growth": round(sb["minhash_sec"] / max(sa["minhash_sec"], 1e-9), 1),
+            "clusters_time_growth": round(sb["clusters_sec"] / max(sa["clusters_sec"], 1e-9), 1),
+            "incremental_time_growth": round(
+                sb["incremental_sec"] / max(sa["incremental_sec"], 1e-9), 1
+            ),
+        }
+    out["growth"] = ratios
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
