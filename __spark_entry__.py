@@ -2548,6 +2548,74 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (the BMP twin of q_media_wav_decode):
+    deterministic 24-bit pixels — r=(id*7+x*3+y*5)%256, g=(id*11+x+2y)%256,
+    b=(id*13+4x+y)%256 over a (8+id%5)x(6+id%4) canvas — are ENCODED with
+    the stdlib BMP writer and DECODED by the stdlib struct parser inside
+    mapInPandas; the oracle recomputes the channel means from the closed
+    form in SQL."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                w, h = 8 + (i % 5), 6 + (i % 4)
+                px = [
+                    [
+                        (
+                            (i * 7 + x * 3 + y * 5) % 256,
+                            (i * 11 + x + 2 * y) % 256,
+                            (i * 13 + 4 * x + y) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                rows.append((i, multimodal.encode_bmp_rgb24(w, h, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_MEDIA_BMP_SQL = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 40),
+px AS (
+  SELECT media_id, x, y,
+         (media_id*7 + x*3 + y*5) % 256 AS r,
+         (media_id*11 + x + 2*y) % 256 AS g,
+         (media_id*13 + 4*x + y) % 256 AS b
+  FROM ids,
+  LATERAL (SELECT unnest(generate_series(0, 8 + (media_id % 5) - 1)) AS x) tx,
+  LATERAL (SELECT unnest(generate_series(0, 6 + (media_id % 4) - 1)) AS y) ty
+)
+SELECT media_id,
+       CAST(8 + (media_id % 5) AS BIGINT) AS width,
+       CAST(6 + (media_id % 4) AS BIGINT) AS height,
+       count(*) AS n_pixels,
+       round(avg(r::DOUBLE), 3) AS mean_r,
+       round(avg(g::DOUBLE), 3) AS mean_g,
+       round(avg(b::DOUBLE), 3) AS mean_b
+FROM px GROUP BY media_id
+"""
+
+
 # the oracle recomputes peak/rms from the SAME closed-form waveform with
 # generate_series — fully independent of the wave encode/decode under test
 _MEDIA_WAV_SQL = """
@@ -3867,8 +3935,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
-    # --- round-5 NEW: real stdlib WAV decode ---
+    # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
+    "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

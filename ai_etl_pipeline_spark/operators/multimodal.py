@@ -9,12 +9,14 @@ real and tested. Decoding:
 - **WAV (PCM16) is REAL**: stdlib-only (``wave`` + ``array``) parse of
   header and payload — see :func:`decode_wav` /
   :func:`extract_audio_features`. No third-party media lib needed.
-- other kinds remain stubbed (no image/video libraries in this
-  container) behind ``decode_stub``: deterministic fake features
-  derived from the bytes, or ``NotImplementedError`` in strict mode.
-  Swapping in a real decoder means replacing ONE pandas function; the
-  distributed plan is unchanged (the WAV path demonstrates exactly
-  that swap).
+- **BMP (24-bit) is REAL**: stdlib-only (``struct``) header parse +
+  stride-aware channel statistics — see :func:`decode_bmp` /
+  :func:`extract_image_features`.
+- other formats remain stubbed (no codec libraries in this container)
+  behind ``decode_stub``: deterministic fake features derived from the
+  bytes, or ``NotImplementedError`` in strict mode. Swapping in a real
+  decoder means replacing ONE pandas function; the distributed plan is
+  unchanged (the WAV and BMP paths demonstrate exactly that swap).
 """
 
 from __future__ import annotations
@@ -137,6 +139,114 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) 
     return buf.getvalue()
 
 
+def is_bmp(content: bytes | None) -> bool:
+    """BM magic check (54 = file header + BITMAPINFOHEADER)."""
+    return content is not None and len(content) >= 54 and bytes(content[:2]) == b"BM"
+
+
+def decode_bmp(content: bytes) -> dict:
+    """REAL stdlib-only BMP decode (uncompressed 24-bit): ``struct``
+    parses BITMAPFILEHEADER/BITMAPINFOHEADER, the pixel array is summed
+    per channel honoring the 4-byte row stride. Returns header fields
+    plus exact channel means. Raises ``ValueError`` on non-BMP or
+    unsupported variants — callers dispatch with :func:`is_bmp`."""
+    import struct
+
+    if not is_bmp(content):
+        raise ValueError("not a BMP payload")
+    raw = bytes(content)
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    header_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiihhI", raw, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(height)  # negative height = top-down row order; stats agree
+    stride = (3 * width + 3) // 4 * 4
+    sum_b = sum_g = sum_r = 0
+    for y in range(h):
+        row = raw[data_offset + y * stride : data_offset + y * stride + 3 * width]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+    n = width * h
+    return {
+        "width": width,
+        "height": h,
+        "bpp": bpp,
+        "n_pixels": n,
+        "mean_r": round(sum_r / n, 3) if n else 0.0,
+        "mean_g": round(sum_g / n, 3) if n else 0.0,
+        "mean_b": round(sum_b / n, 3) if n else 0.0,
+    }
+
+
+def encode_bmp_rgb24(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Stdlib BMP writer (tests + synthetic corpora): bottom-up
+    uncompressed 24-bit. ``rgb_rows[y][x]`` is (r, g, b) with y=0 the TOP
+    row (the writer flips to BMP's bottom-up order). Inverse of
+    :func:`decode_bmp`."""
+    import struct
+
+    stride = (3 * width + 3) // 4 * 4
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiihhIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for r, g, b in rgb_rows[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    return header + bytes(body)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL image decode via ``mapInPandas``: BMP payloads parsed with
+    the stdlib decoder; non-BMP rows skipped (decode AFTER a magic
+    filter has pruned the corpus). Arrow-batched, schema fixed,
+    map-only — the image twin of :func:`extract_audio_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                if not is_bmp(content):
+                    continue
+                d = decode_bmp(content)
+                rows.append(
+                    (
+                        mid,
+                        d["width"],
+                        d["height"],
+                        d["n_pixels"],
+                        d["mean_r"],
+                        d["mean_g"],
+                        d["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -196,6 +306,19 @@ def decode_media(content: bytes, kind: str, dim: int = 8, strict: bool = False) 
             d["rms"],
             d["mean"],
             float(d["duration_ms"]),
+        ]
+        feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+        return [round(x, 6) for x in feats]
+    if is_bmp(content):
+        d = decode_bmp(content)
+        feats = [
+            float(d["width"]),
+            float(d["height"]),
+            float(d["bpp"]),
+            float(d["n_pixels"]),
+            d["mean_r"],
+            d["mean_g"],
+            d["mean_b"],
         ]
         feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
         return [round(x, 6) for x in feats]

@@ -230,6 +230,40 @@ def test_wav_decode_is_real_even_in_strict_mode():
         multimodal.decode_media(b"not audio at all" * 4, "audio", strict=True)
 
 
+def test_bmp_roundtrip_exact_channel_means():
+    # 3x2 image with known pixels; stride padding (3*3=9 -> 12) exercised
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    blob = multimodal.encode_bmp_rgb24(3, 2, rows)
+    assert multimodal.is_bmp(blob) and not multimodal.is_bmp(b"PNG...whatever")
+    d = multimodal.decode_bmp(blob)
+    assert (d["width"], d["height"], d["bpp"], d["n_pixels"]) == (3, 2, 24, 6)
+    flat = [p for r in rows for p in r]
+    assert d["mean_r"] == round(sum(p[0] for p in flat) / 6, 3)
+    assert d["mean_g"] == round(sum(p[1] for p in flat) / 6, 3)
+    assert d["mean_b"] == round(sum(p[2] for p in flat) / 6, 3)
+
+
+def test_bmp_decode_dispatch_and_strict():
+    blob = multimodal.encode_bmp_rgb24(2, 1, [[(1, 2, 3), (5, 6, 7)]])
+    feats = multimodal.decode_media(blob, "image", dim=8, strict=True)
+    assert feats[:4] == [2.0, 1.0, 24.0, 2.0]
+    assert feats[4] == 3.0  # mean_r of (1,5)
+
+
+def test_extract_image_features_skips_non_bmp(spark):
+    blob = multimodal.encode_bmp_rgb24(2, 2, [[(9, 9, 9)] * 2] * 2)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"not an image" * 5))],
+        "media_id long, content binary",
+    )
+    out = multimodal.extract_image_features(df).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert out[0]["n_pixels"] == 4 and out[0]["mean_r"] == 9.0
+
+
 def test_extract_audio_features_skips_non_wav(spark):
     blob = multimodal.encode_wav_pcm16([5, -5, 7], 8000)
     df = spark.createDataFrame(
