@@ -127,3 +127,41 @@ def test_network_provider_map_schema_json_and_fallback():
     )
     fb = NetworkProvider(down, tr).map_schema("d", {"FACT": ["amount_total"]}, {"amount": ["1"]})
     assert isinstance(fb, dict)  # heuristic fallback still proposes a mapping
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL real-network smoke — off by default, enabled explicitly with
+# SPARK_GRAFT_NET_SMOKE=1 plus live credentials (the same public env
+# surface the reference's config.py reads). CI and the driver never set
+# these, so the suite stays hermetic; a deployment can flip the flag to
+# prove the wire path against the real services.
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+_NET_SMOKE = os.environ.get("SPARK_GRAFT_NET_SMOKE") == "1"
+
+
+@pytest.mark.skipif(
+    not (_NET_SMOKE and os.environ.get("AZURE_TRANSLATE_API_KEY")),
+    reason="network smoke: set SPARK_GRAFT_NET_SMOKE=1 + AZURE_TRANSLATE_API_KEY",
+)
+def test_real_translator_network_smoke():
+    client = RestTranslatorClient.from_env()
+    out = client.translate_batch(["Hallo Welt", "Guten Morgen"])
+    # identity fallback means a soft outage still returns the inputs;
+    # a live key must return two non-empty strings either way
+    assert len(out) == 2 and all(isinstance(s, str) and s for s in out)
+
+
+@pytest.mark.skipif(
+    not (
+        _NET_SMOKE
+        and (os.environ.get("AZURE_OPENAI_API_KEY") or os.environ.get("OPENAI_API_KEY"))
+    ),
+    reason="network smoke: set SPARK_GRAFT_NET_SMOKE=1 + an OpenAI-compatible key",
+)
+def test_real_chat_network_smoke():
+    client = OpenAIChatClient.from_env()
+    reply = client.complete("Reply with exactly the word TEXT.")
+    assert isinstance(reply, str) and reply.strip()

@@ -9,6 +9,16 @@ deterministic 10% near-dup layer (each doc_id % 10 == 0 re-emitted
 with one appended word under id + n) guarantees the LSH/verify stages
 do real work instead of degenerating to zero candidates.
 
+Workload proportionality: the raw generator has a 16-word vocabulary
+and 6-15-word docs, so CHANCE near-dup pairs grow ~quadratically with
+corpus size (at 550k docs a first cut measured 14x more verified pairs
+for 10x more docs) — that measures the corpus, not the operator. Each
+doc therefore gets four unique md5-derived filler tokens and the
+near-dup threshold is 0.8: injected dups stay J = n/(n+1) >= 0.86,
+chance same-base collisions cap at ~10/18 = 0.55 and are verified
+away, so pair counts track the injected 10% and time growth reflects
+operator scaling.
+
 Measured per size, end-to-end to a driver-side count:
 - minhash:     full MinHash-LSH pair generation + Jaccard verify
 - clusters:    connected components over those pairs (O(log d) rounds)
@@ -36,13 +46,27 @@ from ai_etl_pipeline_spark.sources.python_datasource import (  # noqa: E402
 )
 
 
+THRESHOLD = 0.8
+
+
 def build_corpus(spark, n: int):
+    h = F.md5(F.col("doc_id").cast("string"))
     base = (
         spark.read.format("synthetic_docs")
         .option("n", n)
         .option("partitions", 32)
         .load()
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 8),
+                F.substring(h, 17, 8),
+                F.substring(h, 25, 8),
+            ).alias("text"),
+        )
     )
     dups = base.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + n).alias("doc_id"),
@@ -62,10 +86,14 @@ def run_size(spark, n: int) -> dict:
     n_docs = docs.count()  # materialize so generation isn't billed to op 1
 
     t_minhash, n_pairs = timed(
-        lambda: dedup.minhash_lsh_near_duplicates(docs, "doc_id", "text").count()
+        lambda: dedup.minhash_lsh_near_duplicates(
+            docs, "doc_id", "text", threshold=THRESHOLD
+        ).count()
     )
 
-    pairs = dedup.minhash_lsh_near_duplicates(docs, "doc_id", "text")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", threshold=THRESHOLD
+    )
     t_clusters, n_clustered = timed(
         lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
     )
@@ -73,7 +101,9 @@ def run_size(spark, n: int) -> dict:
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
     t_incr, n_incr = timed(
-        lambda: dedup.minhash_lsh_incremental(corpus, delta, "doc_id", "text").count()
+        lambda: dedup.minhash_lsh_incremental(
+            corpus, delta, "doc_id", "text", threshold=THRESHOLD
+        ).count()
     )
 
     docs.unpersist()
