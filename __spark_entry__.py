@@ -2616,6 +2616,38 @@ FROM px GROUP BY media_id
 """
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation filter (C4/RefinedWeb-style source gating):
+    deterministic synthetic URLs per doc, lower-cased host extraction,
+    suffix-matched literal blocklist — blocking hostN.example.com drops
+    every wM.hostN.example.com subdomain. Literal path: the check is a
+    per-row arrays_overlap predicate, zero joins, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    out = textstats.domain_blocklist_filter(
+        with_url, "url", ["host3.example.com", "host7.example.com", "badsite.org"]
+    )
+    return out.select("doc_id", "domain")
+
+
+# suffix semantics rendered directly: doc_id%20 in {3,7} puts the host
+# under a blocked parent domain
+_DOMAIN_BLOCKLIST_SQL = """
+SELECT doc_id,
+       'w' || (doc_id % 7) || '.host' || (doc_id % 20) || '.example.com' AS domain
+FROM documents
+WHERE (doc_id % 20) NOT IN (3, 7)
+"""
+
+
 # the oracle recomputes peak/rms from the SAME closed-form waveform with
 # generate_series — fully independent of the wave encode/decode under test
 _MEDIA_WAV_SQL = """
@@ -3938,6 +3970,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
+    # --- round-5 NEW: URL/domain curation filter ---
+    "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -538,3 +538,82 @@ def normalize_text(
     c = F.regexp_replace(c, r"[\x00-\x08\x0B-\x1F\x7F]", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return df.withColumn(out_col, F.trim(c))
+
+
+# URL/domain curation (north-star: C4/RefinedWeb-style source filtering;
+# the reference has no web-corpus surface at all).
+
+_DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+
+
+def extract_domain(df: DataFrame, url_col: str, out_col: str = "domain") -> DataFrame:
+    """Lower-cased host extracted from a URL-ish column — one
+    regexp_extract, scan speed; scheme, userinfo, port, and path are
+    stripped. Dialect-portable pattern (no lookaround) so the oracle
+    replays it verbatim."""
+    return df.withColumn(
+        out_col, F.lower(F.regexp_extract(F.col(url_col), _DOMAIN_RE, 1))
+    )
+
+
+def _domain_suffixes(domain_col: Column) -> Column:
+    """All dot-suffixes of a host: a.b.example.com ->
+    [a.b.example.com, b.example.com, example.com, com] — so a blocklist
+    entry blocks its whole subdomain tree, the standard curation
+    semantics. Pure array functions, no explode needed on the literal
+    path."""
+    parts = F.split(domain_col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(".", F.slice(parts, i + 1, n - i)),
+    )
+
+
+LITERAL_BLOCKLIST_BOUND = 1024
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist,
+    id_col: str = "doc_id",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or keep) documents whose URL host matches a blocklist
+    entry or lives under one (suffix match: blocking example.com also
+    blocks a.b.example.com).
+
+    Dual rendering, same pattern as the value-map operator:
+
+    - ``blocklist`` as a small python list (≤ LITERAL_BLOCKLIST_BOUND):
+      the check compiles to ``arrays_overlap(suffixes, literal_array)``
+      — per-row codegen predicate, NO join and NO shuffle anywhere.
+    - ``blocklist`` as a DataFrame with a ``domain`` column (the 100 TB
+      path for big lists): suffixes explode into a broadcast SEMI join
+      against the list; the matched id set (bounded by matches, not
+      corpus) broadcasts back into an ANTI join — the corpus itself
+      never shuffles.
+
+    Adds a ``domain`` column either way.
+    """
+    out = extract_domain(df, url_col, "domain")
+    sfx = _domain_suffixes(F.col("domain"))
+    if isinstance(blocklist, (list, tuple)):
+        if len(blocklist) > LITERAL_BLOCKLIST_BOUND:
+            raise ValueError(
+                f"literal blocklist over {LITERAL_BLOCKLIST_BOUND} entries; "
+                "pass it as a DataFrame instead"
+            )
+        lit_arr = F.array(*[F.lit(str(b).lower()) for b in blocklist])
+        hit = F.arrays_overlap(sfx, lit_arr)
+        return out.where(hit if keep_blocked else ~hit)
+    bl = blocklist.select(F.lower(F.col("domain")).alias("__bl_domain")).distinct()
+    hits = (
+        out.select(id_col, F.explode(sfx).alias("__sfx"))
+        .join(F.broadcast(bl), F.col("__sfx") == F.col("__bl_domain"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return out.join(F.broadcast(hits), id_col, how)

@@ -301,6 +301,38 @@ def test_token_entropy_bounds(spark):
     assert abs(got[3] - round(math.log(2), 6)) < 1e-9
 
 
+def test_domain_blocklist_suffix_semantics_and_path_parity(spark):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    rows = [
+        (1, "https://a.b.example.com/x?q=1"),     # blocked via example.com
+        (2, "http://user@EXAMPLE.com:8080/y"),    # exact, case/userinfo/port
+        (3, "https://example.org/"),               # kept
+        (4, "ftp://sub.bad.net/z"),                # blocked via bad.net
+        (5, "plainhost/path"),                     # no scheme, kept
+        (6, "https://notexample.com/"),            # NOT blocked: not a suffix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["example.com", "bad.net"]
+
+    lit_out = ts.domain_blocklist_filter(df, "url", bl)
+    assert sorted(r["doc_id"] for r in lit_out.collect()) == [3, 5, 6]
+    # literal path is join-free and shuffle-free
+    plan = lit_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    bl_df = spark.createDataFrame([(d,) for d in bl], "domain string")
+    df_out = ts.domain_blocklist_filter(df, "url", bl_df)
+    assert sorted(r["doc_id"] for r in df_out.collect()) == [3, 5, 6]
+
+    kept = ts.domain_blocklist_filter(df, "url", bl, keep_blocked=True)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4]
+    assert {r["doc_id"]: r["domain"] for r in kept.collect()}[2] == "example.com"
+
+    with pytest.raises(ValueError):
+        ts.domain_blocklist_filter(df, "url", ["x"] * 2000)
+
+
 def test_curation_metrics_fused_entropy_matches_aggregate(spark, documents):
     """include_entropy's in-row rendering must equal token_entropy's
     explode-aggregate rendering bit-for-bit on every real fixture doc

@@ -91,12 +91,19 @@ def run_size(spark, n: int) -> dict:
         ).count()
     )
 
+    # materialize the pair relation OUTSIDE the clusters timing: the
+    # operator eagerly persists its input, so handing it the lazy
+    # minhash plan would re-execute all of pair generation inside the
+    # clustering measurement (a first cut showed exactly that — the
+    # "clusters" time tracked minhash, not clustering)
     pairs = dedup.minhash_lsh_near_duplicates(
         docs, "doc_id", "text", threshold=THRESHOLD
-    )
+    ).persist()
+    pairs.count()
     t_clusters, n_clustered = timed(
         lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
     )
+    pairs.unpersist()
 
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
@@ -123,8 +130,23 @@ def main() -> None:
     spark = get_session("dedup-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     register_synthetic_docs(spark)
-    # warm-up: JVM + codegen + python workers
-    build_corpus(spark, 200).count()
+    # warm-up runs the MEASURED operators on a tiny corpus: JVM, codegen
+    # for these exact plan shapes, python workers, shuffle service — a
+    # bare count() warm-up left ~15s of first-run init billed to the
+    # smallest size's minhash
+    warm = build_corpus(spark, 500).persist()
+    warm.count()
+    dedup.minhash_lsh_near_duplicates(warm, "doc_id", "text", threshold=THRESHOLD).count()
+    pairs = dedup.minhash_lsh_near_duplicates(warm, "doc_id", "text", threshold=THRESHOLD)
+    dedup.near_duplicate_clusters(pairs, warm, "doc_id").count()
+    dedup.minhash_lsh_incremental(
+        warm.where(F.col("doc_id") % 10 != 0),
+        warm.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        threshold=THRESHOLD,
+    ).count()
+    warm.unpersist()
 
     out = {"metric": "dedup_scale", "unit": "sec", "sizes": {}}
     for n in sizes:
