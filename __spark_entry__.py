@@ -2616,6 +2616,57 @@ FROM px GROUP BY media_id
 """
 
 
+def q_sample_topk_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-stratum sample: rank by salted hash
+    inside each language, keep 20 — the fixed-budget counterpart of
+    fractional stratified sampling (eval-set carving, per-domain caps).
+    One shuffle on the stratum key; reproducible and nested in k."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.top_k_per_stratum(docs, "doc_id", "lang", 20, salt="topk")
+    return out.select("doc_id", "lang")
+
+
+_SAMPLE_TOPK_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('topk|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000,
+                    doc_id
+         ) AS rk
+  FROM documents) t
+WHERE rk <= 20
+"""
+
+
+def q_pack_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-prep chunking: per-document overlapping token
+    windows (32 tokens, stride 24) — boundary-respecting, unlike the
+    corpus-wide GPT packing. sequence → transform → explode codegen;
+    no Python, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.overlap_chunks(docs, "doc_id", "text", chunk_tokens=32, stride=24)
+
+
+_PACK_OVERLAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(st // 24 AS INTEGER) AS chunk_no,
+       CAST(len(toks[st+1:st+32]) AS INTEGER) AS chunk_len,
+       array_to_string(toks[st+1:st+32], ' ') AS chunk_text
+FROM s
+"""
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain curation filter (C4/RefinedWeb-style source gating):
     deterministic synthetic URLs per doc, lower-cased host extraction,
@@ -3909,7 +3960,6 @@ GROUP BY a.l_suppkey
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-3 NEW: training-batch tier (ordering contract: 1-50) ---
-    "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
     "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
@@ -3972,6 +4022,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
     # --- round-5 NEW: URL/domain curation filter ---
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
+    # --- round-5 NEW: fixed-budget stratum sample + RAG chunking ---
+    "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
+    "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
+    # rotated out of the window to make room (green r4, code unchanged)
+    "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..functions.portable import md5_i64
+from ..functions.portable import md5_i64, tokens_col
 
 
 def shuffle_shard(
@@ -174,3 +174,48 @@ def next_fit_pack(
         return pdf
 
     return base.groupBy(*group_cols).applyInPandas(pack, schema)
+
+
+def overlap_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG/context-prep chunking: each document's token stream becomes
+    overlapping windows of ``chunk_tokens`` tokens advancing by
+    ``stride`` (stride < chunk_tokens ⇒ the standard overlap; the last
+    window may be short; zero-token docs emit nothing).
+
+    Unlike :func:`chunk_pack` (corpus-wide GPT-style packing, docs span
+    chunk boundaries) this is PER-DOCUMENT and boundary-respecting —
+    the retrieval-index shape, not the training-batch shape. Pure
+    sequence → transform → explode codegen: no Python, no shuffle, no
+    state; the explode's fan-out is bounded by n_tokens/stride per row.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
+        )
+    toks = tokens_col(F.col(text_col))
+    prepped = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size(toks) > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_no"),
+            F.slice(F.col("__toks"), s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = prepped.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        F.col(id_col),
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.size("c.toks").alias("chunk_len"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )

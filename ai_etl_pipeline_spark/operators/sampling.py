@@ -109,3 +109,35 @@ def mixture_sample(
         .withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
         .drop("__copies")
     )
+
+
+def top_k_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic EXACTLY-k-per-stratum sample (the fixed-budget
+    counterpart of fractional stratified sampling — eval-set carving,
+    per-domain caps, debugging subsets).
+
+    Rank rows inside each stratum by their salted hash bucket (ties
+    broken by id, so the order is total) and keep rank <= k. One
+    shuffle on the stratum key; the hash order makes the choice
+    reproducible across runs/engines AND nested like hash_sample:
+    k=100 is a superset of k=50 for the same salt. Strata with fewer
+    than k rows keep everything.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

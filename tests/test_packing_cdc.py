@@ -167,6 +167,50 @@ def test_quantile_filter_global_and_below(spark, documents):
         textstats.quantile_threshold_filter(documents, "n_chars", 0.5, keep="sideways")
 
 
+def test_overlap_chunks_boundaries_and_overlap(spark):
+    from ai_etl_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three tokens"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = packing.overlap_chunks(df, "doc_id", "text", chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_no"]): r for r in out.collect()}
+    # doc 1: 10 tokens, starts 0,3,6,9 -> lens 4,4,4,1
+    assert [rows[(1, i)]["chunk_len"] for i in range(4)] == [4, 4, 4, 1]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"   # overlap of 1 at stride 3
+    assert rows[(1, 3)]["chunk_text"] == "t9"
+    # doc 2: 3 tokens -> single short chunk; doc 3: empty -> no rows
+    assert rows[(2, 0)]["chunk_text"] == "only three tokens"
+    assert {k[0] for k in rows} == {1, 2}
+    # codegen only: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        packing.overlap_chunks(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_top_k_per_stratum_exact_nested_deterministic(spark, documents):
+    from ai_etl_pipeline_spark.operators import sampling
+
+    k5 = sampling.top_k_per_stratum(documents, "doc_id", "lang", 5)
+    sizes = {r["lang"]: r["n"] for r in k5.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(5, per_lang[lang])
+    # deterministic and nested: k=5 within k=10, identical across runs
+    ids5 = {r["doc_id"] for r in k5.collect()}
+    ids10 = {r["doc_id"] for r in sampling.top_k_per_stratum(documents, "doc_id", "lang", 10).collect()}
+    assert ids5 <= ids10
+    assert ids5 == {r["doc_id"] for r in sampling.top_k_per_stratum(documents, "doc_id", "lang", 5).collect()}
+    with pytest.raises(ValueError):
+        sampling.top_k_per_stratum(documents, "doc_id", "lang", 0)
+
+
 # ---------------------------------------------------------------------------
 # cdc
 # ---------------------------------------------------------------------------
