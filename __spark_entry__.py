@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ai_etl_pipeline_spark.functions.portable import md5_i64_sql
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
+from ai_etl_pipeline_spark.operators import validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -2616,6 +2617,55 @@ FROM px GROUP BY media_id
 """
 
 
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders: five rules
+    (not-null, unique, range, accepted set, regex) compiled into ONE
+    aggregate scan; output is the rules-sized report. Thresholds are
+    chosen so some rules FAIL — the oracle must reproduce the exact
+    violation counts, not just zeros."""
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        validate.not_null("o_orderkey"),
+        validate.unique("o_orderkey"),
+        validate.in_range("o_totalprice", 1000.0, 300000.0),
+        validate.accepted_values("o_orderstatus", ["O", "F"]),
+        validate.matches("o_orderpriority", "^[1-3]-"),
+    ]
+    return validate.expect(orders, rules)
+
+
+_VALIDATE_ORDERS_SQL = """
+WITH v AS (
+  SELECT
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS uq,
+    sum(CASE WHEN o_totalprice IS NOT NULL
+              AND NOT (o_totalprice BETWEEN 1000.0 AND 300000.0)
+             THEN 1 ELSE 0 END) AS rng,
+    sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS av,
+    sum(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+             THEN 1 ELSE 0 END) AS mt
+  FROM orders
+)
+SELECT rule, "column", kind, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'o_orderkey_not_null' AS rule, 'o_orderkey' AS "column",
+         'not_null' AS kind, CAST(nn AS BIGINT) AS n_violations FROM v
+  UNION ALL
+  SELECT 'o_orderkey_unique', 'o_orderkey', 'unique', CAST(uq AS BIGINT) FROM v
+  UNION ALL
+  SELECT 'o_totalprice_in_range', 'o_totalprice', 'in_range', CAST(rng AS BIGINT) FROM v
+  UNION ALL
+  SELECT 'o_orderstatus_accepted_values', 'o_orderstatus', 'accepted_values',
+         CAST(av AS BIGINT) FROM v
+  UNION ALL
+  SELECT 'o_orderpriority_matches', 'o_orderpriority', 'matches', CAST(mt AS BIGINT) FROM v
+) r
+"""
+
+
 def q_sample_topk_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k-per-stratum sample: rank by salted hash
     inside each language, keep 20 — the fixed-budget counterpart of
@@ -3960,7 +4010,6 @@ GROUP BY a.l_suppkey
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-3 NEW: training-batch tier (ordering contract: 1-50) ---
-    "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
     # --- round-3 NEW: CDC tier ---
@@ -4022,11 +4071,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
     # --- round-5 NEW: URL/domain curation filter ---
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
-    # --- round-5 NEW: fixed-budget stratum sample + RAG chunking ---
+    # --- round-5 NEW: fixed-budget stratum sample + RAG chunking +
+    #     data-quality expectations ---
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
+    "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     # rotated out of the window to make room (green r4, code unchanged)
     "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
+    "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -1,0 +1,123 @@
+"""Declarative data-quality expectations (north-star extension; the
+reference validates nothing — a bad parquet silently propagates).
+
+The dbt-test / Great-Expectations shape re-expressed Spark-first: a
+rule list compiles into ONE aggregate pass over the corpus — each
+row-level rule is a ``sum(case when violated then 1 else 0)`` column,
+so checking 20 rules costs one scan, not 20. ``unique`` rules use
+``count - count_distinct`` inside the same aggregate. The result is a
+tiny (rules-sized) report frame: pipelines gate on ``passed`` and ship
+the report to the sink of their choice.
+
+At 100 TB: the scan is the cost floor for any validation; everything
+here stays inside that single pass (codegen conditionals + one
+hash-aggregate), and the output is O(rules), never O(rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation over one column. ``kind`` ∈ {not_null, unique,
+    in_range, matches, accepted_values}; ``args`` per kind:
+    in_range=(lo, hi) inclusive, matches=(regex,),
+    accepted_values=(v1, v2, ...)."""
+
+    name: str
+    column: str
+    kind: str
+    args: tuple = ()
+
+
+def not_null(column: str, name: str | None = None) -> Rule:
+    return Rule(name or f"{column}_not_null", column, "not_null")
+
+
+def unique(column: str, name: str | None = None) -> Rule:
+    return Rule(name or f"{column}_unique", column, "unique")
+
+
+def in_range(column: str, lo, hi, name: str | None = None) -> Rule:
+    return Rule(name or f"{column}_in_range", column, "in_range", (lo, hi))
+
+
+def matches(column: str, pattern: str, name: str | None = None) -> Rule:
+    return Rule(name or f"{column}_matches", column, "matches", (pattern,))
+
+
+def accepted_values(column: str, values: Sequence, name: str | None = None) -> Rule:
+    return Rule(
+        name or f"{column}_accepted_values", column, "accepted_values", tuple(values)
+    )
+
+
+def _violation_expr(rule: Rule) -> Column:
+    """NULL-safe per-row violation predicate. Convention: NULL values
+    only violate ``not_null`` — range/regex/set rules skip NULLs, the
+    composable standard (stack a not_null rule to forbid them)."""
+    c = F.col(rule.column)
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "in_range":
+        lo, hi = rule.args
+        return c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi))
+    if rule.kind == "matches":
+        return c.isNotNull() & ~c.rlike(rule.args[0])
+    if rule.kind == "accepted_values":
+        return c.isNotNull() & ~c.isin(list(rule.args))
+    raise ValueError(f"unknown rule kind: {rule.kind!r}")
+
+
+def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate every rule in one aggregate pass. Returns one row per
+    rule: (rule, column, kind, n_violations, passed) — deterministic
+    order-insensitive report, O(rules) rows."""
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
+    seen = set()
+    for r in rules:
+        if r.name in seen:
+            raise ValueError(f"duplicate rule name: {r.name!r}")
+        seen.add(r.name)
+    aggs = []
+    for r in rules:
+        if r.kind == "unique":
+            # duplicates = non-null count minus distinct count (NULLs are
+            # not duplicates of each other here; add not_null to forbid)
+            aggs.append(
+                (
+                    F.count(F.col(r.column)) - F.count_distinct(F.col(r.column))
+                ).alias(r.name)
+            )
+        else:
+            aggs.append(
+                F.sum(_violation_expr(r).cast("long")).alias(r.name)
+            )
+    counts = df.agg(*aggs).first()
+    spark = df.sparkSession
+    rows = [
+        (r.name, r.column, r.kind, int(counts[r.name] or 0))
+        for r in rules
+    ]
+    out = spark.createDataFrame(
+        rows, "rule string, column string, kind string, n_violations long"
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def enforce(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Gate: return ``df`` unchanged when every rule passes, raise
+    ``ValueError`` naming the failures otherwise — the CI shape."""
+    report = expect(df, rules).collect()
+    failed = [r for r in report if not r["passed"]]
+    if failed:
+        detail = ", ".join(f"{r['rule']}={r['n_violations']}" for r in failed)
+        raise ValueError(f"data-quality expectations failed: {detail}")
+    return df

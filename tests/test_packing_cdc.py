@@ -167,6 +167,43 @@ def test_quantile_filter_global_and_below(spark, documents):
         textstats.quantile_threshold_filter(documents, "n_chars", 0.5, keep="sideways")
 
 
+def test_expectations_counts_and_null_conventions(spark):
+    from ai_etl_pipeline_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "1-URGENT"),
+            (1, -5.0, "X", "9-BOGUS"),      # dup key, range, set, regex
+            (None, None, None, None),       # null key; nulls skip other rules
+            (3, 50.0, "F", "2-HIGH"),
+        ],
+        "k int, price double, status string, prio string",
+    )
+    rules = [
+        V.not_null("k"),
+        V.unique("k"),
+        V.in_range("price", 0.0, 100.0),
+        V.accepted_values("status", ["O", "F"]),
+        V.matches("prio", "^[1-5]-"),
+    ]
+    rep = {r["rule"]: (r["n_violations"], r["passed"]) for r in V.expect(df, rules).collect()}
+    assert rep["k_not_null"] == (1, False)
+    assert rep["k_unique"] == (1, False)          # one duplicated non-null key
+    assert rep["price_in_range"] == (1, False)    # -5.0; NULL skipped
+    assert rep["status_accepted_values"] == (1, False)
+    assert rep["prio_matches"] == (1, False)
+
+    with pytest.raises(ValueError, match="expectations failed"):
+        V.enforce(df, rules)
+    clean_df = df.where("k = 3")
+    assert V.enforce(clean_df, rules) is clean_df  # gate passes through
+
+    with pytest.raises(ValueError, match="duplicate rule name"):
+        V.expect(df, [V.not_null("k"), V.not_null("k")])
+    with pytest.raises(ValueError):
+        V.expect(df, [])
+
+
 def test_overlap_chunks_boundaries_and_overlap(spark):
     from ai_etl_pipeline_spark.operators import packing
 
