@@ -2384,6 +2384,35 @@ GROUP BY event_type
 """
 
 
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment (the pattern stream-stream
+    joins overkill for): each micro-batch joins a small static
+    event_type→category dim with no join state and no stream-side
+    shuffle, then the enriched stream aggregates per category. Left
+    join keeps unmapped types with a NULL category."""
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "transact")],
+        "event_type string, category string",
+    )
+    enriched = stream_windows.stream_static_enrich(stream, dim, "event_type")
+    out = stream_windows.run_stream_to_memory(enriched, "append")
+    return out.groupBy("category").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+_EVENTS_STREAM_ENRICH_SQL = """
+SELECT CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+            WHEN event_type = 'purchase' THEN 'transact'
+       END AS category,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 def q_events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator (applyInPandasWithState):
     per-user running (count, sum) across micro-batches, state-store
@@ -3755,6 +3784,34 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a per-customer spend rollup
+    built from pre-1997 orders is refreshed with the 1997+ delta via
+    cdc.incremental_agg — delta-sized shuffle plus aggregate-table
+    merge, raw history never rescanned. The oracle is the FULL
+    aggregate over all orders: incremental must equal recompute."""
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.where(F.col("o_orderdate") < "1997-01-01")
+    delta = orders.where(F.col("o_orderdate") >= "1997-01-01")
+    state = hist.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("o_totalprice"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    out = cdc.incremental_agg(state, delta, ["o_custkey"], ["o_totalprice"])
+    return out.select(
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_spend"),
+        "n_rows",
+    )
+
+
+_AGG_INCREMENTAL_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_rows
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_merge_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge with tombstones: the change batch repriced every third
     order but DELETES the even ones among them (op='D'). Latest-wins
@@ -4010,14 +4067,13 @@ GROUP BY a.l_suppkey
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-3 NEW: training-batch tier (ordering contract: 1-50) ---
-    "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
-    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
     # --- round-3 NEW: CDC tier ---
     "q_merge_upsert": (q_merge_upsert, _MERGE_UPSERT_SQL),
     "q_scd2_customer_orders": (q_scd2_customer_orders, _SCD2_SQL),
-    # --- round-5 NEW: CDC deletes ---
+    # --- round-5 NEW: CDC deletes + incremental aggregate maintenance ---
     "q_merge_upsert_deletes": (q_merge_upsert_deletes, _MERGE_UPSERT_DELETES_SQL),
     "q_scd2_deletes": (q_scd2_deletes, _SCD2_DELETES_SQL),
+    "q_agg_incremental": (q_agg_incremental, _AGG_INCREMENTAL_SQL),
     # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
     "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
@@ -4059,6 +4115,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
+    "q_events_stream_enrich": (q_events_stream_enrich, _EVENTS_STREAM_ENRICH_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
     "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
     "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
@@ -4079,6 +4136,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # rotated out of the window to make room (green r4, code unchanged)
     "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
     "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
+    "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
+    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -115,3 +115,41 @@ def scd2_snapshot(
             F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
         )
     return out
+
+
+def incremental_agg(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental maintenance of a keyed aggregate (sums + counts) —
+    refresh a 100 TB rollup from a delta batch without rescanning the
+    corpus.
+
+    ``state`` is the previous aggregate table (``key_cols`` +
+    ``sum_cols`` + ``count_col``); ``delta`` is RAW new rows. The delta
+    is aggregated alone (delta-sized shuffle), then merged with state
+    by re-aggregating the union of the two aggregate tables — sums and
+    counts are decomposable, so ``agg(state ∪ agg(delta)) ==
+    agg(full)`` exactly. Cost: one delta-sized shuffle plus one
+    state-sized re-aggregation; the raw corpus is never touched. For
+    state tables far larger than the delta, partition the state table
+    on the key at write time so AQE keeps the merge shuffle-light.
+
+    Only decomposable measures belong here (sum/count — and avg as
+    sum/count at read time); min/max survive inserts but not deletes,
+    and distinct counts need sketches — both out of scope by design.
+    """
+    key_cols = list(key_cols)
+    sum_cols = list(sum_cols)
+    delta_agg = delta.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count("*").cast("long").alias(count_col),
+    )
+    merged = state.select(*key_cols, *sum_cols, count_col).unionByName(delta_agg)
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).cast("long").alias(count_col),
+    )

@@ -168,6 +168,21 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return stream
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC join — the standard streaming enrichment pattern:
+    each micro-batch joins the (small) static dimension, planned as a
+    broadcast hash join, so the stream side never shuffles and no join
+    state is kept (unlike stream-stream joins, a static side needs no
+    watermark). Works identically on batch frames, which is what the
+    oracle checks."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -169,6 +169,25 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     assert sorted(map(str, streamed.collect())) == sorted(map(str, batch.collect()))
 
 
+def test_stream_static_enrich_equals_batch_and_broadcasts(spark, sf_dir):
+    dim = spark.createDataFrame(
+        [("click", "browse"), ("purchase", "transact")],
+        "event_type string, category string",
+    )
+    stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = sw.stream_static_enrich(stream, dim, "event_type")
+    streamed = sw.run_stream_to_memory(enriched, "append")
+    got = {r["category"]: r["n"] for r in streamed.groupBy("category").agg(F.count("*").alias("n")).collect()}
+
+    ev = readers.read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ("ts",))
+    batch = sw.stream_static_enrich(ev, dim, "event_type")
+    # the dim side is a broadcast hash join — no fact-side shuffle
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    want = {r["category"]: r["n"] for r in batch.groupBy("category").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
 def test_streaming_dedup_bounded_state(spark, sf_dir):
     stream = sw.read_events_stream(spark, f"{sf_dir}/events.parquet")
     out = sw.run_stream_to_memory(sw.streaming_dedup(stream, ["event_id"], "60 minutes"), "append")

@@ -342,6 +342,34 @@ def test_scd2_snapshot_ranges(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_incremental_agg_equals_full_recompute(spark):
+    rows = [(k, float(v)) for k in (1, 2, 3) for v in range(1, 6)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    hist = df.where("v <= 3")
+    delta = df.where("v > 3")
+    state = hist.groupBy("k").agg(
+        F.sum("v").alias("v"), F.count("*").cast("long").alias("n_rows")
+    )
+    inc = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in cdc.incremental_agg(state, delta, ["k"], ["v"]).collect()
+    }
+    full = {
+        r["k"]: (r["v"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("v"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert inc == full == {1: (15.0, 5), 2: (15.0, 5), 3: (15.0, 5)}
+    # delta containing a NEW key materializes it in the merged state
+    delta2 = spark.createDataFrame([(9, 2.0)], "k long, v double")
+    merged = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in cdc.incremental_agg(state, delta2, ["k"], ["v"]).collect()
+    }
+    assert merged[9] == (2.0, 1) and merged[1] == (6.0, 3)
+
+
 def test_guards_reject_nonpositive_knobs(spark, documents):
     from ai_etl_pipeline_spark.operators.dedup import passage_dedup
     from ai_etl_pipeline_spark.operators.similarity import kmeans_lloyd
