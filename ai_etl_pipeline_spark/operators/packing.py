@@ -198,6 +198,13 @@ def overlap_chunks(
         raise ValueError(
             f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
         )
+    if stride > chunk_tokens:
+        # stride past the window silently DROPS the tokens between
+        # windows (found by the coverage property test) — that's
+        # sampling, not chunking; make the foot-gun impossible
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would skip tokens"
+        )
     toks = tokens_col(F.col(text_col))
     prepped = df.select(F.col(id_col), toks.alias("__toks")).where(
         F.size(toks) > 0

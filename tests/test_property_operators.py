@@ -206,3 +206,86 @@ def test_merge_upsert_matches_reference(spark, base, updates):
         r.k: r.payload for r in cdc.merge_upsert(bdf, udf_, ["k"], "ver").collect()
     }
     assert out == {k: p for k, (v, s, p) in expected.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-100, 100)), min_size=1, max_size=30
+    ),
+    split=st.integers(0, 29),
+)
+@settings(**_SETTINGS)
+def test_incremental_agg_matches_full(spark, rows, split):
+    """agg(state ∪ agg(delta)) == agg(full) for any split point —
+    the decomposability contract, checked against a pandas groupby."""
+    from ai_etl_pipeline_spark.operators import cdc
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "float64"})
+    split = min(split, len(rows))
+    hist, delta = pdf.iloc[:split], pdf.iloc[split:]
+
+    state_pdf = (
+        hist.groupby("k").agg(v=("v", "sum"), n_rows=("v", "size")).reset_index()
+        if len(hist)
+        else pd.DataFrame(columns=["k", "v", "n_rows"])
+    )
+    state = spark.createDataFrame(
+        [(int(r.k), float(r.v), int(r.n_rows)) for r in state_pdf.itertuples()],
+        "k long, v double, n_rows long",
+    )
+    delta_df = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in delta.itertuples(index=False)]
+        if len(delta)
+        else [],
+        "k long, v double",
+    )
+    got = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in cdc.incremental_agg(state, delta_df, ["k"], ["v"]).collect()
+    }
+    want = {
+        int(k): (float(g["v"].sum()), int(len(g)))
+        for k, g in pdf.groupby("k")
+    }
+    assert got == want
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.integers(1, 10),
+    stride=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_overlap_chunks_cover_and_reconstruct(spark, n_tokens, chunk, stride):
+    """Every token index is covered; non-overlapping configs (stride ==
+    chunk) reconstruct the document exactly from concatenated chunks.
+    (stride > chunk is rejected by the operator — it would skip tokens,
+    an edge this very test caught.)"""
+    from ai_etl_pipeline_spark.operators import packing
+
+    if stride > chunk:
+        with pytest.raises(ValueError, match="skip tokens"):
+            packing.overlap_chunks(
+                spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+                "doc_id", "text", chunk_tokens=chunk, stride=stride,
+            )
+        return
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = packing.overlap_chunks(df, "doc_id", "text", chunk_tokens=chunk, stride=stride)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_no"])
+    if n_tokens == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        start = r["chunk_no"] * stride
+        toks = r["chunk_text"].split(" ")
+        assert toks == [f"w{i}" for i in range(start, min(start + chunk, n_tokens))]
+        assert r["chunk_len"] == len(toks)
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_tokens))
+    if stride == chunk:
+        rebuilt = " ".join(r["chunk_text"] for r in rows)
+        assert rebuilt == text.lower()
