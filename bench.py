@@ -74,6 +74,16 @@ HEADLINE = [
     "q_events_tumbling",
     "q_events_sessionize",
     "q_events_asof_join",
+    # round-5 additions
+    "q_merge_upsert_deletes",
+    "q_scd2_deletes",
+    "q_agg_incremental",
+    "q_media_wav_decode",
+    "q_media_bmp_decode",
+    "q_domain_blocklist",
+    "q_sample_topk_stratum",
+    "q_pack_overlap_chunks",
+    "q_validate_orders",
 ]
 
 
