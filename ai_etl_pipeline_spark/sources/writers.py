@@ -158,3 +158,48 @@ def write_excel_sheets(tables: dict[str, DataFrame], path: str) -> None:
                 list(pdf.itertuples(index=False, name=None)),
             )
         _xlsx_lite.write_xlsx(path, sheets)
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of N integer columns as a pure
+    codegen expression: bit i of column j lands at position
+    ``i * n_cols + j`` of the z-value. Columns are first RANK-mapped by
+    the caller or assumed non-negative and < 2**bits; the z-value
+    preserves multi-dimensional locality, so sorting by it clusters
+    rows that are close in EVERY dimension."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError(f"zorder_value supports 1-4 columns, got {n}")
+    if bits * n > 62:
+        raise ValueError(f"{bits} bits x {n} cols overflows a signed long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered layout sink — the FULL multi-column half of what
+    ``write_sorted_parquet`` does for one column: rows are
+    range-partitioned and sorted by the Morton interleave of
+    ``zorder_cols``, so row-group min/max stats stay selective for
+    point/range filters on ANY of the interleaved columns (a plain
+    sort only serves its leading column). One global sort shuffle at
+    write time — the standard pay-once layout cost (Delta/Iceberg
+    OPTIMIZE ZORDER shape). Columns must be non-negative integers
+    below 2**bits; rank/bucket upstream for other types."""
+    z = zorder_value(zorder_cols, bits)
+    # one global range-sort on the z-value (orderBy = range exchange +
+    # per-partition sort); the helper column never reaches the files
+    out = df.withColumn("__z", z).orderBy("__z").drop("__z")
+    out.write.mode(mode).parquet(path)

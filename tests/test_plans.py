@@ -260,6 +260,34 @@ def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     assert back.count() == orders.where("o_custkey = 7").count()
 
 
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    # Morton layout: point filters on EITHER interleaved column are
+    # pushed to the scan, and the z-sort clusters both dimensions so
+    # row-group stats stay selective (a plain sort serves only its
+    # leading column). Correctness: values round-trip unchanged.
+    from pyspark.sql import functions as F
+
+    from ai_etl_pipeline_spark.sources.writers import write_zorder_parquet, zorder_value
+
+    # zorder_value is the documented bit interleave
+    df2 = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    z = df2.select(zorder_value(["x", "y"], bits=3).alias("z")).first()["z"]
+    # x bits at even positions, y bits at odd:
+    # x=101, y=011 -> (x0,y0,x1,y1,x2,y2) = 1,1,0,1,1,0 -> 0b011011
+    assert z == 0b011011
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zorder_parquet(orders, path, ["o_custkey", "o_orderkey"], bits=16)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    for col in ("o_custkey", "o_orderkey"):
+        probe = back.where(F.col(col) == 7).select("o_orderdate")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert f"EqualTo({col},7)" in plan
+        assert probe.count() == orders.where(F.col(col) == 7).count()
+
+
 def test_incremental_dedup_no_cartesian_and_semi_pruned(spark, sf_dir):
     # delta probes the band index on an equi-key; the verify stage is
     # semi-join-pruned to candidate docs — never an all-pairs product
