@@ -121,6 +121,28 @@ def _write_events_fixture(path, unit):
     return ts_us
 
 
+def test_streaming_multi_batch_state_accumulates(spark, tmp_path):
+    """Three source files + maxFilesPerTrigger=1 → three real
+    micro-batches; the complete-mode tumbling aggregate must equal the
+    batch answer over ALL files, proving window state survives and
+    merges across triggers (a single-file stream never exercises
+    this)."""
+    d = tmp_path / "ev_multi"
+    d.mkdir()
+    for part in range(3):
+        _write_events_fixture(str(d / f"part{part}.parquet"), "us")
+    stream = sw.read_events_stream(spark, str(d))
+    result = sw.run_stream_to_memory(sw.tumbling_window_agg(stream, "1 hour"), "complete")
+    batch = sw.tumbling_window_agg(
+        readers.read_parquet_nanos_ts(spark, str(d), ("ts",)), "1 hour"
+    )
+    got = sorted(map(str, result.collect()))
+    want = sorted(map(str, batch.collect()))
+    assert got == want
+    # the three identical files triple every count
+    assert result.agg(F.sum("n_events")).first()[0] == 24
+
+
 @pytest.mark.parametrize("unit", ["ns", "us"])
 def test_event_readers_unit_adaptive(spark, tmp_path, unit):
     """Batch AND stream readers must produce the same wall-clock
