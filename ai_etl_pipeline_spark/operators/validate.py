@@ -77,8 +77,10 @@ def _violation_expr(rule: Rule) -> Column:
 
 def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate every rule in one aggregate pass. Returns one row per
-    rule: (rule, column, kind, n_violations, passed) — deterministic
-    order-insensitive report, O(rules) rows."""
+    rule: (rule, column, kind, n_violations, passed) — a fully LAZY
+    plan: the one-row aggregate is unpivoted with ``stack`` and rule
+    metadata attached from literal maps, so nothing collects to the
+    driver and the report composes into larger plans."""
     if not rules:
         raise ValueError("expect() needs at least one rule")
     seen = set()
@@ -98,18 +100,28 @@ def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             )
         else:
             aggs.append(
-                F.sum(_violation_expr(r).cast("long")).alias(r.name)
+                F.coalesce(F.sum(_violation_expr(r).cast("long")), F.lit(0)).alias(
+                    r.name
+                )
             )
-    counts = df.agg(*aggs).first()
-    spark = df.sparkSession
-    rows = [
-        (r.name, r.column, r.kind, int(counts[r.name] or 0))
-        for r in rules
-    ]
-    out = spark.createDataFrame(
-        rows, "rule string, column string, kind string, n_violations long"
+    one_row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{r.name}', `{r.name}`" for r in rules)
+    long = one_row.selectExpr(
+        f"stack({len(rules)}, {stack_args}) as (rule, n_violations)"
     )
-    return out.withColumn("passed", F.col("n_violations") == 0)
+    col_map = F.create_map(
+        *[x for r in rules for x in (F.lit(r.name), F.lit(r.column))]
+    )
+    kind_map = F.create_map(
+        *[x for r in rules for x in (F.lit(r.name), F.lit(r.kind))]
+    )
+    return long.select(
+        F.col("rule"),
+        F.element_at(col_map, F.col("rule")).alias("column"),
+        F.element_at(kind_map, F.col("rule")).alias("kind"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
 
 
 def enforce(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
