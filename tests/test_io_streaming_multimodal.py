@@ -121,6 +121,67 @@ def _write_events_fixture(path, unit):
     return ts_us
 
 
+def _write_events_at(path, ts_us_list, event_type="click"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(ts_us_list)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts_us_list, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([event_type] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, path, version="2.6")
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Append-mode windowed agg with a 30-minute watermark across four
+    micro-batches: batch 0 fills the anchor window (4 events), batches
+    1-2 advance event time +3h (finalizing the anchor window), batch 3
+    replays events INSIDE the anchor window — by then they are hours
+    older than the watermark and must be DROPPED, so the emitted count
+    stays 4 and no second appended row appears.
+
+    The settling batch (file c) matters: the late-row filter of batch N
+    uses the watermark computed from data through batch N-2 (one batch
+    behind the eviction threshold — measured on this engine), so late
+    data arriving in the very batch after the advance is still
+    accepted. That lag is why the fixture separates advance and late
+    arrival by a batch."""
+    import os
+    import time
+
+    h = 3_600_000_000  # one hour in micros
+    t0 = 1_700_000_000_000_000  # anchor window start (22:13 UTC)
+    d = tmp_path / "late"
+    d.mkdir()
+    files = {
+        "a.parquet": [t0, t0 + 60_000_000, t0 + 120_000_000, t0 + 180_000_000],
+        "b.parquet": [t0 + 3 * h, t0 + 3 * h + 60_000_000],     # advance
+        "c.parquet": [t0 + 3 * h + 120_000_000],                 # settle
+        "d.parquet": [t0 + 240_000_000, t0 + 300_000_000],       # LATE
+    }
+    now = time.time()
+    for i, (name, ts) in enumerate(files.items()):
+        p = str(d / name)
+        _write_events_at(p, ts)
+        os.utime(p, (now - 400 + i * 100, now - 400 + i * 100))  # fix order
+
+    stream = sw.read_events_stream(spark, str(d))
+    agg = sw.tumbling_window_agg(sw.with_watermark(stream, "30 minutes"), "1 hour")
+    out = sw.run_stream_to_memory(agg, "append")
+    rows = out.collect()
+    # exactly one emitted row: the finalized anchor window with the
+    # original 4 events — late replays dropped, +3h window still held
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 4
+
+
 def test_streaming_multi_batch_state_accumulates(spark, tmp_path):
     """Three source files + maxFilesPerTrigger=1 → three real
     micro-batches; the complete-mode tumbling aggregate must equal the
