@@ -2646,6 +2646,40 @@ FROM px GROUP BY media_id
 """
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profiling of three lineitem measures — the
+    statistics half of the data-quality pair: ONE aggregate over the
+    corpus computes count/nulls/distinct/min/max/mean/stddev/median for
+    every column, unpivoted in-plan to a column-per-row report."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct.numeric_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def _profile_leg(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS "column",
+         count({c}) AS n,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         count(DISTINCT {c}) AS n_distinct,
+         round(CAST(min({c}) AS DOUBLE), 4) AS min,
+         round(CAST(max({c}) AS DOUBLE), 4) AS max,
+         round(avg({c}), 4) AS mean,
+         round(stddev_samp({c}), 4) AS stddev,
+         round(quantile_cont({c}, 0.5), 4) AS p50
+  FROM lineitem"""
+
+
+_PROFILE_LINEITEM_SQL = (
+    _profile_leg("l_quantity")
+    + "\nUNION ALL\n"
+    + _profile_leg("l_extendedprice")
+    + "\nUNION ALL\n"
+    + _profile_leg("l_discount")
+)
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders: five rules
     (not-null, unique, range, accepted set, regex) compiled into ONE
@@ -4076,7 +4110,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_incremental": (q_agg_incremental, _AGG_INCREMENTAL_SQL),
     # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
     "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
-    "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
     "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
     "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
@@ -4133,11 +4166,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
+    "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4, code unchanged)
     "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
     "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
+    "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

@@ -98,3 +98,54 @@ def random_value_sample(df: DataFrame, column: str, n: int = 10, seed: int = 42)
     value set first)."""
     vals = distinct_column_values(df, column)
     return [r["value"] for r in vals.orderBy(F.xxhash64("value", F.lit(seed))).limit(n).collect()]
+
+
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass numeric profiling — the statistics half of the data-
+    quality pair (``validate.expect`` checks rules, this MEASURES): one
+    row per column with count / nulls / distinct / min / max / mean /
+    sample-stddev / exact median, all computed in ONE aggregate over
+    the corpus and unpivoted with ``stack`` (same lazy shape as the
+    expectations report — nothing collects to the driver).
+
+    Exact distinct and exact percentile are deliberate (the oracle
+    replays them); swap in approx_count_distinct / percentile_approx
+    when profiling feeds dashboards rather than gates."""
+    if not cols:
+        raise ValueError("numeric_profile() needs at least one column")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.extend(
+            [
+                F.count(col).alias(f"__{c}_n"),
+                F.sum(col.isNull().cast("long")).alias(f"__{c}_nulls"),
+                F.count_distinct(col).alias(f"__{c}_distinct"),
+                F.round(F.min(col).cast("double"), 4).alias(f"__{c}_min"),
+                F.round(F.max(col).cast("double"), 4).alias(f"__{c}_max"),
+                F.round(F.avg(col), 4).alias(f"__{c}_mean"),
+                F.round(F.stddev_samp(col), 4).alias(f"__{c}_stddev"),
+                F.round(F.expr(f"percentile(`{c}`, 0.5)"), 4).alias(f"__{c}_p50"),
+            ]
+        )
+    one_row = df.agg(*aggs)
+    measures = ["n", "nulls", "distinct", "min", "max", "mean", "stddev", "p50"]
+    stack_args = ", ".join(
+        f"'{c}', " + ", ".join(f"cast(`__{c}_{m}` as double)" for m in measures)
+        for c in cols
+    )
+    names = ", ".join(["column"] + measures)
+    long = one_row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as ({names})"
+    )
+    return long.select(
+        F.col("column"),
+        F.col("n").cast("long").alias("n"),
+        F.col("nulls").cast("long").alias("nulls"),
+        F.col("distinct").cast("long").alias("n_distinct"),
+        "min",
+        "max",
+        "mean",
+        "stddev",
+        "p50",
+    )

@@ -167,6 +167,26 @@ def test_quantile_filter_global_and_below(spark, documents):
         textstats.quantile_threshold_filter(documents, "n_chars", 0.5, keep="sideways")
 
 
+def test_numeric_profile_single_pass_values(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dd
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (3.0, None), (2.0, 40)],
+        "a double, b int",
+    )
+    rep = {r["column"]: r for r in dd.numeric_profile(df, ["a", "b"]).collect()}
+    ra, rb = rep["a"], rep["b"]
+    assert (ra["n"], ra["nulls"], ra["n_distinct"]) == (4, 0, 3)
+    assert (ra["min"], ra["max"], ra["mean"], ra["p50"]) == (1.0, 3.0, 2.0, 2.0)
+    assert (rb["n"], rb["nulls"], rb["n_distinct"]) == (3, 1, 3)
+    assert rb["p50"] == 20.0  # exact interpolated median of (10,20,40)
+    # lazy single-aggregate plan: exactly one pass over the input
+    plan = dd.numeric_profile(df, ["a", "b"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final of ONE aggregate
+    with pytest.raises(ValueError):
+        dd.numeric_profile(df, [])
+
+
 def test_expectations_counts_and_null_conventions(spark):
     from ai_etl_pipeline_spark.operators import validate as V
 
