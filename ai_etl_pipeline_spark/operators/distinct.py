@@ -119,7 +119,11 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.extend(
             [
                 F.count(col).alias(f"__{c}_n"),
-                F.sum(col.isNull().cast("long")).alias(f"__{c}_nulls"),
+                # coalesce: sum over an empty input is NULL, not 0 (the
+                # count aggregates already return 0 — keep them consistent)
+                F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(
+                    f"__{c}_nulls"
+                ),
                 F.count_distinct(col).alias(f"__{c}_distinct"),
                 F.round(F.min(col).cast("double"), 4).alias(f"__{c}_min"),
                 F.round(F.max(col).cast("double"), 4).alias(f"__{c}_max"),
@@ -129,20 +133,27 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             ]
         )
     one_row = df.agg(*aggs)
-    measures = ["n", "nulls", "distinct", "min", "max", "mean", "stddev", "p50"]
+    # stack keeps each output position's own type, so the count columns
+    # stay bigint end-to-end (a double round-trip would be lossy above
+    # 2^53); only the value measures are doubles
+    count_measures = ["n", "nulls", "distinct"]
+    value_measures = ["min", "max", "mean", "stddev", "p50"]
     stack_args = ", ".join(
-        f"'{c}', " + ", ".join(f"cast(`__{c}_{m}` as double)" for m in measures)
+        f"'{c}', "
+        + ", ".join(f"`__{c}_{m}`" for m in count_measures)
+        + ", "
+        + ", ".join(f"cast(`__{c}_{m}` as double)" for m in value_measures)
         for c in cols
     )
-    names = ", ".join(["column"] + measures)
+    names = ", ".join(["column"] + count_measures + value_measures)
     long = one_row.selectExpr(
         f"stack({len(cols)}, {stack_args}) as ({names})"
     )
     return long.select(
         F.col("column"),
-        F.col("n").cast("long").alias("n"),
-        F.col("nulls").cast("long").alias("nulls"),
-        F.col("distinct").cast("long").alias("n_distinct"),
+        F.col("n"),
+        F.col("nulls"),
+        F.col("distinct").alias("n_distinct"),
         "min",
         "max",
         "mean",

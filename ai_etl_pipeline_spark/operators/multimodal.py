@@ -162,7 +162,17 @@ def decode_bmp(content: bytes) -> dict:
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     h = abs(height)  # negative height = top-down row order; stats agree
+    # sanity + truncation guards: a malformed header passes is_bmp, and
+    # short row slices would otherwise return silently wrong channel
+    # means instead of failing
+    if width <= 0 or h == 0 or width > 1 << 24 or h > 1 << 24:
+        raise ValueError(f"BMP dimensions out of range ({width}x{height})")
     stride = (3 * width + 3) // 4 * 4
+    if data_offset < 54 or len(raw) < data_offset + stride * h:
+        raise ValueError(
+            f"truncated BMP payload: need {data_offset + stride * h} bytes "
+            f"({width}x{h} stride {stride} at offset {data_offset}), got {len(raw)}"
+        )
     sum_b = sum_g = sum_r = 0
     for y in range(h):
         row = raw[data_offset + y * stride : data_offset + y * stride + 3 * width]
@@ -203,6 +213,156 @@ def encode_bmp_rgb24(width: int, height: int, rgb_rows: list[list[tuple[int, int
     return header + bytes(body)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(content: bytes | None) -> bool:
+    """PNG signature check — the cheap per-row dispatch before decode."""
+    return content is not None and len(content) >= 8 and bytes(content[:8]) == PNG_SIG
+
+
+def _png_predictor(ftype: int, line: bytearray, prev: bytes, i: int, ch: int) -> int:
+    """The PNG filter predictor for byte i of a (reconstructed) scanline
+    (RFC 2083 §6): a = left, b = up, c = up-left; Paeth picks the
+    nearest of the three to a+b-c."""
+    a = line[i - ch] if i >= ch else 0
+    if ftype == 1:
+        return a
+    b = prev[i]
+    if ftype == 2:
+        return b
+    if ftype == 3:
+        return (a + b) >> 1
+    c = prev[i - ch] if i >= ch else 0
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> dict:
+    """REAL stdlib-only PNG decode (8-bit RGB/RGBA, non-interlaced):
+    walk the chunk stream, ``zlib``-inflate the IDAT payload, unfilter
+    every scanline (all five filter types), and sum channels. Returns
+    header fields plus exact channel means (alpha ignored for RGBA).
+    Raises ``ValueError`` on non-PNG, unsupported variants (palette,
+    16-bit, interlaced) and truncation — callers dispatch with
+    :func:`is_png` first."""
+    import struct
+    import zlib
+
+    raw = bytes(content)
+    if not is_png(raw):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(raw):
+        ln, typ = struct.unpack_from(">I4s", raw, pos)
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0 or w > 1 << 24 or h > 1 << 24:
+        raise ValueError(f"PNG dimensions out of range ({w}x{h})")
+    ch = 3 if ctype == 2 else 4
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
+    stride = w * ch
+    if len(data) != (stride + 1) * h:
+        raise ValueError(
+            f"truncated PNG pixel data: need {(stride + 1) * h} bytes, got {len(data)}"
+        )
+    prev = bytes(stride)
+    sum_r = sum_g = sum_b = 0
+    for y in range(h):
+        start = y * (stride + 1)
+        ftype = data[start]
+        if ftype > 4:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        line = bytearray(data[start + 1 : start + 1 + stride])
+        if ftype:
+            for i in range(stride):
+                line[i] = (line[i] + _png_predictor(ftype, line, prev, i, ch)) & 0xFF
+        sum_r += sum(line[0::ch])
+        sum_g += sum(line[1::ch])
+        sum_b += sum(line[2::ch])
+        prev = bytes(line)
+    n = w * h
+    return {
+        "width": w,
+        "height": h,
+        "bpp": depth * ch,
+        "n_pixels": n,
+        "mean_r": round(sum_r / n, 3) if n else 0.0,
+        "mean_g": round(sum_g / n, 3) if n else 0.0,
+        "mean_b": round(sum_b / n, 3) if n else 0.0,
+    }
+
+
+def encode_png_rgb24(
+    width: int,
+    height: int,
+    rgb_rows: list[list[tuple[int, int, int]]],
+    filter_type: int = 0,
+) -> bytes:
+    """Stdlib PNG writer (tests + synthetic corpora): 8-bit RGB,
+    non-interlaced, every scanline filtered with ``filter_type``
+    (0-4) — so round-trip tests can exercise each unfilter path of
+    :func:`decode_png`. Inverse of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ch, stride = 3, 3 * width
+    scan = bytearray()
+    prev = bytes(stride)
+    for row in rgb_rows:
+        line = bytearray(v for px in row for v in px)
+        if filter_type:
+            enc = bytearray(stride)
+            for i in range(stride):
+                enc[i] = (line[i] - _png_predictor(filter_type, line, prev, i, ch)) & 0xFF
+            out = enc
+        else:
+            out = line
+        scan.append(filter_type)
+        scan += out
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -217,18 +377,29 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """REAL image decode via ``mapInPandas``: BMP payloads parsed with
-    the stdlib decoder; non-BMP rows skipped (decode AFTER a magic
-    filter has pruned the corpus). Arrow-batched, schema fixed,
-    map-only — the image twin of :func:`extract_audio_features`."""
+    """REAL image decode via ``mapInPandas``: payloads are dispatched
+    by magic bytes to the stdlib BMP or PNG decoder; rows matching
+    neither are skipped (decode AFTER a magic filter has pruned the
+    corpus). Arrow-batched, schema fixed, map-only — the image twin of
+    :func:`extract_audio_features`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf[content_col]):
-                if not is_bmp(content):
+                if is_bmp(content):
+                    decode = decode_bmp
+                elif is_png(content):
+                    decode = decode_png
+                else:
                     continue
-                d = decode_bmp(content)
+                try:
+                    d = decode(content)
+                except ValueError:
+                    # passes the magic check but malformed/truncated —
+                    # dropped like any other non-decodable payload (the
+                    # strict per-file error surface is the decoder itself)
+                    continue
                 rows.append(
                     (
                         mid,
@@ -272,7 +443,12 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
             for mid, content in zip(pdf["media_id"], pdf[content_col]):
                 if not is_wav(content):
                     continue
-                d = decode_wav(content)
+                try:
+                    d = decode_wav(content)
+                except (ValueError, wave.Error, EOFError):
+                    # magic matched but the RIFF body is malformed —
+                    # skip, mirroring the image path's contract
+                    continue
                 rows.append(
                     (
                         mid,

@@ -130,11 +130,22 @@ def ivf_knn(
     k: int = 5,
     num_centroids: int = 8,
     nprobe: int = 2,
+    train_iterations: int | None = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into
     ``num_centroids`` cells by nearest centroid, then answer each query
     by scoring only the ``nprobe`` cells nearest to it — the classic
     coarse-quantizer index, expressed as DataFrame ops.
+
+    The coarse quantizer is TRAINED by default:
+    :func:`kmeans_centroids` with ``train_iterations`` assignment
+    passes (deterministic init, Lloyd updates) — an untrained hashed-id
+    sample tracks corpus density poorly, and at scale cell imbalance
+    destroys the nprobe recall/latency guarantee (one fat cell absorbs
+    most probes). ``train_iterations=None`` keeps the plain
+    reproducible-sample quantizer (:func:`ivf_centroids`, the trained
+    path's round 0). Training cost is ``train_iterations - 1``
+    corpus aggregates, paid once per index build.
 
     Scale story (100 TB corpus): the centroid frame is tiny and
     BROADCAST everywhere — the corpus is never shuffled by a cross
@@ -145,7 +156,16 @@ def ivf_knn(
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    if train_iterations:
+        cent_list = kmeans_centroids(
+            corpus, id_col, vec_col, num_centroids, train_iterations
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(label, [float(x) for x in vec]) for label, vec in cent_list],
+            "centroid_id int, centroid_vec array<double>",
+        )
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
 
     # inverted lists: nearest centroid per corpus vector (argmax cosine,
     # ties to the smallest centroid_id for engine-portable determinism)
@@ -329,14 +349,122 @@ def kmeans_lloyd(
 
     Returns (id_col, cluster, sq_dist).
     """
+    return _kmeans_assign_frame(
+        corpus, id_col, vec_col, k, iterations, assignment
+    ).select(F.col(id_col), "cluster", "sq_dist")
+
+
+def _resolve_assignment_mode(
+    assignment: str, k: int, cents: list[tuple[int, list[float]]]
+) -> str:
+    if assignment not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assignment mode: {assignment!r}")
+    if assignment != "auto":
+        return assignment
+    dim = len(cents[0][1]) if cents else 0
+    return "literal" if k * dim <= LITERAL_ASSIGN_BOUND else "broadcast"
+
+
+def _assign_literal(
+    frame: DataFrame, cents: list[tuple[int, list[float]]], vec_alias: str = "__v"
+) -> DataFrame:
+    vv = F.expr(
+        f"aggregate(transform({vec_alias}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    choices = []
+    for label, vec in cents:
+        vc = F.expr(
+            "aggregate(zip_with({v}, {c}, (x, y) -> x * y), cast(0.0 as double),"
+            " (acc, v) -> acc + v)".format(
+                v=vec_alias,
+                c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec)),
+            )
+        )
+        cc = F.lit(_seq_dot(vec, vec))
+        choices.append(
+            F.struct(
+                F.round(vv - 2.0 * vc + cc, 6).alias("d"),
+                F.lit(label).alias("c"),
+            )
+        )
+    best = F.array_min(F.array(*choices))
+    return frame.withColumn("sq_dist", best["d"]).withColumn("cluster", best["c"])
+
+
+def _assign_broadcast(
+    frame: DataFrame, cents: list[tuple[int, list[float]]], vec_alias: str = "__v"
+) -> DataFrame:
+    # centroids as DATA: one row, array<struct>, broadcast to every
+    # task. ||c||² is precomputed driver-side exactly like the
+    # literal path's F.lit(_seq_dot(...)), so the arithmetic per
+    # (vector, centroid) is identical expression-for-expression.
+    spark = frame.sparkSession
+    cent_rows = [(label, vec, _seq_dot(vec, vec)) for label, vec in cents]
+    packed = spark.createDataFrame(
+        [(cent_rows,)],
+        "cents array<struct<c:int,v:array<double>,cc:double>>",
+    )
+    # __vv is its own projection: referencing it inside the transform
+    # lambda would re-fold ||v||² once per centroid
+    out = (
+        frame.withColumn(
+            "__vv",
+            F.expr(
+                f"aggregate(transform({vec_alias}, x -> x * x), cast(0.0 as double),"
+                " (acc, v) -> acc + v)"
+            ),
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "__best",
+            F.array_min(
+                F.expr(
+                    "transform(cents, s -> struct("
+                    f"round(__vv - 2 * aggregate(zip_with({vec_alias}, s.v, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, v) -> acc + v) + s.cc, 6) AS d,"
+                    " s.c AS c))"
+                )
+            ),
+        )
+    )
+    return (
+        out.withColumn("sq_dist", F.col("__best")["d"])
+        .withColumn("cluster", F.col("__best")["c"])
+        .drop("cents", "__vv", "__best")
+    )
+
+
+def _assign_with(
+    frame: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    mode: str,
+    vec_alias: str = "__v",
+) -> DataFrame:
+    fn = _assign_literal if mode == "literal" else _assign_broadcast
+    return fn(frame, cents, vec_alias)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    assignment: str = "auto",
+) -> list[tuple[int, list[float]]]:
+    """The TRAINING half of :func:`kmeans_lloyd`: deterministic init
+    (smallest ``(md5(id), id)``) plus ``iterations - 1`` assign/update
+    rounds, returning the (label, centroid) table the final assignment
+    pass of ``kmeans_lloyd(iterations=...)`` would score against.
+    This is what a trained coarse quantizer (IVF) or a PQ codebook
+    needs — the centroids themselves, not the corpus assignment. k×d
+    doubles on the driver, dimension-sized by contract."""
     from ..functions.portable import md5_i64_py
 
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if assignment not in ("auto", "literal", "broadcast"):
-        raise ValueError(f"unknown assignment mode: {assignment!r}")
     emb = corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
     init = ivf_centroids(corpus, id_col, vec_col, k).collect()
     ordered = sorted(
@@ -345,76 +473,9 @@ def kmeans_lloyd(
     cents: list[tuple[int, list[float]]] = [
         (pos, [float(x) for x in vec]) for pos, (_, _, vec) in enumerate(ordered)
     ]
-    if assignment == "auto":
-        dim = len(cents[0][1]) if cents else 0
-        assignment = "literal" if k * dim <= LITERAL_ASSIGN_BOUND else "broadcast"
-
-    def _assign_literal(frame: DataFrame) -> DataFrame:
-        vv = F.expr(
-            "aggregate(transform(__v, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        choices = []
-        for label, vec in cents:
-            vc = F.expr(
-                "aggregate(zip_with(__v, {c}, (x, y) -> x * y), cast(0.0 as double),"
-                " (acc, v) -> acc + v)".format(
-                    c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec))
-                )
-            )
-            cc = F.lit(_seq_dot(vec, vec))
-            choices.append(
-                F.struct(
-                    F.round(vv - 2.0 * vc + cc, 6).alias("d"),
-                    F.lit(label).alias("c"),
-                )
-            )
-        best = F.array_min(F.array(*choices))
-        return frame.withColumn("sq_dist", best["d"]).withColumn("cluster", best["c"])
-
-    def _assign_broadcast(frame: DataFrame) -> DataFrame:
-        # centroids as DATA: one row, array<struct>, broadcast to every
-        # task. ||c||² is precomputed driver-side exactly like the
-        # literal path's F.lit(_seq_dot(...)), so the arithmetic per
-        # (vector, centroid) is identical expression-for-expression.
-        spark = frame.sparkSession
-        cent_rows = [(label, vec, _seq_dot(vec, vec)) for label, vec in cents]
-        packed = spark.createDataFrame(
-            [(cent_rows,)],
-            "cents array<struct<c:int,v:array<double>,cc:double>>",
-        )
-        # __vv is its own projection: referencing it inside the transform
-        # lambda would re-fold ||v||² once per centroid
-        out = (
-            frame.withColumn(
-                "__vv",
-                F.expr(
-                    "aggregate(transform(__v, x -> x * x), cast(0.0 as double),"
-                    " (acc, v) -> acc + v)"
-                ),
-            )
-            .crossJoin(F.broadcast(packed))
-            .withColumn(
-                "__best",
-                F.array_min(
-                    F.expr(
-                        "transform(cents, s -> struct("
-                        "round(__vv - 2 * aggregate(zip_with(__v, s.v, (x, y) -> x * y),"
-                        " cast(0.0 as double), (acc, v) -> acc + v) + s.cc, 6) AS d,"
-                        " s.c AS c))"
-                    )
-                ),
-            )
-        )
-        return (
-            out.withColumn("sq_dist", F.col("__best")["d"])
-            .withColumn("cluster", F.col("__best")["c"])
-            .drop("cents", "__vv", "__best")
-        )
-
-    _assign = _assign_literal if assignment == "literal" else _assign_broadcast
-
-    for it in range(iterations - 1):
-        assigned = _assign(emb)
+    mode = _resolve_assignment_mode(assignment, k, cents)
+    for _ in range(iterations - 1):
+        assigned = _assign_with(emb, cents, mode)
         means = (
             assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -433,7 +494,29 @@ def kmeans_lloyd(
             )
             for label, vec in cents
         ]
-    return _assign(emb).select(F.col(id_col), "cluster", "sq_dist")
+    return cents
+
+
+def _kmeans_assign_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int,
+    assignment: str,
+    keep_all_cols: bool = False,
+) -> DataFrame:
+    """kmeans_lloyd's body, returning the full assigned frame: the
+    id (or, with ``keep_all_cols``, every corpus column) plus the
+    materialized ``__v`` double vector, ``cluster`` and ``sq_dist``.
+    semantic_dedup consumes this directly — re-joining the (id,
+    cluster) result back to the corpus would add a corpus-scale hash
+    join for columns the assignment pass already carried."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, k, iterations, assignment)
+    mode = _resolve_assignment_mode(assignment, k, cents)
+    keep = corpus.columns if keep_all_cols else [id_col]
+    emb = corpus.select(*keep, F.expr(_dbl(vec_col)).alias("__v"))
+    return _assign_with(emb, cents, mode)
 
 
 def _seq_dot(a: list[float], b: list[float]) -> float:
@@ -444,6 +527,178 @@ def _seq_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _argmin_code(vec_alias: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """The codebook-assignment expression: argmin over
+    ``(round(||v-c||², 6), label)`` with the centroid table inlined as
+    literals — _assign_literal's core, returning just the winning label
+    (PQ code). Same arithmetic identity (v·v - 2 v·c + c·c), same
+    rounding, same tiebreak, so a SQL oracle replays it exactly."""
+    vv = F.expr(
+        f"aggregate(transform({vec_alias}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    choices = []
+    for label, vec in cents:
+        vc = F.expr(
+            "aggregate(zip_with({v}, {c}, (x, y) -> x * y), cast(0.0 as double),"
+            " (acc, v) -> acc + v)".format(
+                v=vec_alias,
+                c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec)),
+            )
+        )
+        cc = F.lit(_seq_dot(vec, vec))
+        choices.append(
+            F.struct(
+                F.round(vv - 2.0 * vc + cc, 6).alias("d"),
+                F.lit(label).alias("c"),
+            )
+        )
+    return F.array_min(F.array(*choices))["c"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codebook_k: int = 16,
+    iterations: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    d-dim vector into ``m`` contiguous sub-vectors of d/m dims and
+    train an independent ``codebook_k``-centroid k-means
+    (:func:`kmeans_centroids` — deterministic init, Lloyd updates) per
+    sub-space. Returns ``m`` (label, centroid) tables, m × k × d/m
+    doubles on the driver — dimension-sized by contract, like every
+    centroid table in this module.
+
+    Scale: training cost is m × (iterations-1) corpus aggregates at
+    index-build time; at 100 TB train on a deterministic sample (e.g.
+    ``corpus.where(md5_i64(id) % N == 0)``) — the codebook quality
+    needs density, not the full corpus."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    dim = len(corpus.select(F.expr(_dbl(vec_col)).alias("__v")).first()["__v"])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} sub-vectors")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.expr(_dbl(vec_col)), j * sub + 1, sub).alias("__subv"),
+        )
+        books.append(
+            kmeans_centroids(sliced, id_col, "__subv", codebook_k, iterations)
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook labels — the compressed ANN
+    storage tier: m small ints per vector (m bytes at k ≤ 256) instead
+    of 4·d float bytes, a ~d·4/m× memory/shuffle reduction below the
+    int8 tier. ONE map-only projection (sub-slices materialized first —
+    lambda-inlining rule), no shuffle, no Python."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    sliced = corpus.select(
+        F.col(id_col),
+        *[
+            F.slice(F.expr(_dbl(vec_col)), j * sub + 1, sub).alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
+    return sliced.select(
+        F.col(id_col),
+        F.array(
+            *[_argmin_code(f"__s{j}", codebooks[j]) for j in range(m)]
+        ).alias(out_col),
+    )
+
+
+def pq_reconstruct_expr(
+    codebooks: list[list[tuple[int, list[float]]]], codes_col: str = "pq_codes"
+) -> Column:
+    """Decode a PQ code array back to its approximate vector: concat of
+    the m codebook entries, inlined as literal nested arrays — pure
+    codegen lookup, SQL-replayable (the oracle does the same with
+    ``c1_j`` joins)."""
+    parts = []
+    for j, book in enumerate(codebooks):
+        arr = "array({})".format(
+            ",".join(
+                "array({})".format(
+                    ",".join(f"cast({x!r} as double)" for x in vec)
+                )
+                for _, vec in sorted(book)
+            )
+        )
+        parts.append(
+            F.expr(f"element_at({arr}, element_at({codes_col}, {j + 1}) + 1)")
+        )
+    return F.concat(*parts)
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    codebook_k: int = 16,
+    iterations: int = 2,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Compressed-tier ANN via asymmetric distance (ADC): the corpus is
+    scanned as PQ codes, the QUERY stays exact, and each candidate is
+    scored as cosine(query, reconstructed(codes)) — algebraically the
+    table-lookup ADC scan, rendered as a reconstruct-then-score
+    projection so the whole plan stays codegen + one top-k window.
+
+    Scale story: the scan side carries m bytes per vector instead of
+    4·d (the 100 TB memory tier under int8); queries broadcast; the
+    corpus never shuffles (same shape as brute_force_knn's exact tier,
+    but over the compressed representation). Recall is bounded by
+    quantization error — re-rank the top candidates against the exact
+    float column when precision matters."""
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, id_col, vec_col, m, codebook_k, iterations
+    )
+    from pyspark.sql import Window
+
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    recon = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr(books).alias("cv"),
+    )
+    # same repartition guard as brute_force_knn: a few-file corpus would
+    # otherwise score every pair on as many cores as it has files
+    recon = recon.repartition(F.col("neighbor_id"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -451,6 +706,7 @@ def semantic_dedup(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.95,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
     every vector that has a LOWER-id near-twin (cosine ≥ ``threshold``)
@@ -460,39 +716,73 @@ def semantic_dedup(
     corpus (the whole point of the method at scale; cluster count is
     the knob that bounds block size).
 
+    ``max_block_rows`` bounds the quadratic block BY CONSTRUCTION, not
+    by hoping k was chosen well: any cluster larger than the bound is
+    deterministically split into ``ceil(size / bound)`` hash sub-blocks
+    (``md5_i64(id) % n_sub`` — reproducible in plain SQL, so the oracle
+    replays the split bit-for-bit), and pairs are compared only within
+    a (cluster, sub-block). One degenerate cluster — boilerplate
+    embeddings collapsing to a point — would otherwise make the pair
+    join quadratic in the corpus and skew its shuffle; the method's own
+    papers re-split oversized clusters for exactly this reason. Twins
+    that straddle sub-blocks of a split cluster are NOT compared — the
+    standard recall trade (expected block size ≈ the bound; sub-block
+    count adapts to the actual cluster size, so unsplit clusters are
+    byte-identical to the unguarded plan). ``None`` disables the guard.
+    The cluster-size relation is k rows — broadcast back, never a
+    corpus shuffle.
+
     Keep rule = "no lower-id twin" (anti-join on the pair relation) —
     deterministic, single-pass, and exactly the canonical-min rule the
     exact-dedup tier uses.
 
     Returns the KEPT rows of ``corpus`` with their ``cluster`` label.
     """
-    assigned = kmeans_lloyd(corpus, id_col, vec_col, k, iterations).select(
-        F.col(id_col), "cluster"
+    from ..functions.portable import md5_i64
+
+    # assignment frame carries the corpus columns + __v: consuming it
+    # directly saves the two corpus-scale id joins the r5 plan paid
+    # (assigned-to-vectors and assigned-to-corpus)
+    full = _kmeans_assign_frame(
+        corpus, id_col, vec_col, k, iterations, "auto", keep_all_cols=True
     )
     # norms are computed ONCE per vector before the pair join — inside
     # the join condition they would be re-folded for every candidate
     # pair (3 array folds per pair instead of 1)
-    vecs = (
-        corpus.select(F.col(id_col), F.expr(_dbl(vec_col)).alias("__v"))
-        .withColumn("__n", norm_expr("__v"))
-        .join(assigned, id_col)
-    )
+    vecs = full.withColumn("__n", norm_expr("__v"))
+    if max_block_rows is not None:
+        if max_block_rows < 1:
+            raise ValueError(f"max_block_rows must be >= 1, got {max_block_rows}")
+        sizes = vecs.groupBy("cluster").agg(
+            F.ceil(F.count("*") / F.lit(float(max_block_rows)))
+            .cast("int")
+            .alias("__nsub")
+        )
+        vecs = vecs.join(F.broadcast(sizes), "cluster").withColumn(
+            "__sub",
+            (md5_i64(F.col(id_col).cast("string")) % F.col("__nsub")).cast("int"),
+        )
+    else:
+        vecs = vecs.withColumn("__sub", F.lit(0))
     a = vecs.select(
         F.col(id_col).alias("__id_a"),
         F.col("cluster"),
+        F.col("__sub"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
     )
     b = vecs.select(
         F.col(id_col).alias("__id_b"),
         F.col("cluster"),
+        F.col("__sub"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
-    # pairs only within a cluster, higher id vs lower id — the dropped
-    # side is the HIGHER id, so survivors are the canonical minima
+    # pairs only within a (cluster, sub-block), higher id vs lower id —
+    # the dropped side is the HIGHER id, so survivors are the canonical
+    # minima
     twins = (
-        a.join(b, ["cluster"])
+        a.join(b, ["cluster", "__sub"])
         .where(F.col("__id_a") > F.col("__id_b"))
         .where(
             F.round(
@@ -503,7 +793,4 @@ def semantic_dedup(
         .select(F.col("__id_a").alias(id_col))
         .distinct()
     )
-    return (
-        corpus.join(assigned, id_col)
-        .join(twins, id_col, "left_anti")
-    )
+    return full.join(twins, id_col, "left_anti").drop("__v", "sq_dist")

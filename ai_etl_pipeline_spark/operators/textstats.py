@@ -306,21 +306,42 @@ def curation_metrics(
     individually.
 
     ``include_entropy`` folds :func:`token_entropy` into the same scan
-    as in-row higher-order functions (``array_distinct`` + per-distinct
-    ``filter`` counts) — removing the (doc, token) explode shuffle AND
-    the join back on the id. The in-row rendering is O(n_tokens ×
-    n_distinct) per document, so it wins for bounded-length documents
-    (web pages, chat turns — the curation case); for megabyte documents
-    with huge vocabularies prefer the aggregate-based
-    :func:`token_entropy`. Values match token_entropy exactly, except
-    zero-token docs: here a row with NULL entropy, there no row (the
-    explode drops them)."""
+    as in-row higher-order functions — removing the (doc, token)
+    explode shuffle AND the join back on the id. The rendering is
+    sorted-run counting: ``array_sort`` the token array, find the run
+    boundaries (positions where the sorted neighbor differs), and fold
+    ``c·ln c`` over the boundary gaps — O(n log n) per document, NOT
+    the O(n × n_distinct) nested-filter rendering (measured slower
+    than even the explode-aggregate at sf0.1; see
+    tests/test_dedup_similarity_text.py::test_entropy_rendering_bench).
+    Each intermediate array is materialized in its own projection
+    (lambda-inlining rule). Values match token_entropy exactly (the
+    6-dp round absorbs fold-order drift), except zero-token docs: here
+    a row with NULL entropy, there no row (the explode drops them)."""
     prepped = df.select(
         F.col(id_col),
         F.col(text_col),
         _toks_expr(F.col(text_col)).alias("__toks"),
         _lines_expr(F.col(text_col)).alias("__lines"),
     )
+    if include_entropy:
+        # sorted array + run boundaries each land in their own
+        # projection: referenced inside the next layer's lambdas, they
+        # would otherwise be inlined and re-evaluated per element
+        prepped = prepped.withColumn("__sorted", F.array_sort("__toks"))
+        s = F.col("__sorted")
+        ns = F.size(s)
+        prepped = prepped.withColumn(
+            "__bounds",
+            F.when(
+                ns > 0,
+                F.filter(
+                    F.sequence(F.lit(1), ns),
+                    lambda i: (i == ns)
+                    | (F.element_at(s, i) != F.element_at(s, F.least(i + 1, ns))),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
     cols = [
         *_gopher_metric_cols(
             F.col(text_col),
@@ -336,13 +357,19 @@ def curation_metrics(
         *_repetition_metric_cols(F.col("__lines")),
     ]
     if include_entropy:
-        toks = F.col("__toks")
-        n = F.size(toks)
-        clogc = F.aggregate(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        n = F.size(F.col("__toks"))
+        b = F.col("__bounds")
+        # run lengths = boundary positions minus the previous boundary
+        counts = F.zip_with(
+            b,
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(b, 1, F.greatest(F.size(b) - 1, F.lit(0))),
             ),
+            lambda hi, lo: hi - lo,
+        )
+        clogc = F.aggregate(
+            counts,
             F.lit(0.0),
             lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
         )
@@ -573,12 +600,16 @@ def _domain_suffixes(domain_col: Column) -> Column:
 LITERAL_BLOCKLIST_BOUND = 1024
 
 
+BROADCAST_HITS_BOUND = 2_000_000
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     url_col: str,
     blocklist,
     id_col: str = "doc_id",
     keep_blocked: bool = False,
+    broadcast_hits_bound: int | None = BROADCAST_HITS_BOUND,
 ) -> DataFrame:
     """Drop (or keep) documents whose URL host matches a blocklist
     entry or lives under one (suffix match: blocking example.com also
@@ -591,9 +622,16 @@ def domain_blocklist_filter(
       — per-row codegen predicate, NO join and NO shuffle anywhere.
     - ``blocklist`` as a DataFrame with a ``domain`` column (the 100 TB
       path for big lists): suffixes explode into a broadcast SEMI join
-      against the list; the matched id set (bounded by matches, not
-      corpus) broadcasts back into an ANTI join — the corpus itself
-      never shuffles.
+      against the list, and the matched id set joins back into an ANTI
+      join. The hit set is bounded by MATCHES, not by the corpus — so a
+      blocklist that matches a large corpus fraction would broadcast a
+      corpus-scale id set. Guard: the hit set is counted first (one
+      cheap job over the exploded semi-join) and broadcast only when it
+      has ≤ ``broadcast_hits_bound`` ids; above the bound the final
+      join falls back to a plain shuffled semi/anti join (one corpus
+      shuffle — the correct trade against an executor/driver OOM).
+      Pass ``broadcast_hits_bound=None`` to skip the counting job and
+      force the broadcast (caller asserts the hit set is small).
 
     Adds a ``domain`` column either way.
     """
@@ -616,4 +654,10 @@ def domain_blocklist_filter(
         .distinct()
     )
     how = "left_semi" if keep_blocked else "left_anti"
+    if broadcast_hits_bound is not None:
+        # localCheckpoint so the counting job's work feeds the join
+        # instead of re-running the explode + semi-join
+        hits = hits.localCheckpoint(eager=False)
+        if hits.count() > broadcast_hits_bound:
+            return out.join(hits, id_col, how)
     return out.join(F.broadcast(hits), id_col, how)

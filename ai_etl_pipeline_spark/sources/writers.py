@@ -163,10 +163,14 @@ def write_excel_sheets(tables: dict[str, DataFrame], path: str) -> None:
 def zorder_value(cols: list[str], bits: int = 16):
     """Morton (Z-order) interleave of N integer columns as a pure
     codegen expression: bit i of column j lands at position
-    ``i * n_cols + j`` of the z-value. Columns are first RANK-mapped by
-    the caller or assumed non-negative and < 2**bits; the z-value
-    preserves multi-dimensional locality, so sorting by it clusters
-    rows that are close in EVERY dimension."""
+    ``i * n_cols + j`` of the z-value. Columns must be non-negative and
+    < 2**bits (rank/bucket upstream for other types) — enforced at
+    runtime with one ``assert_true`` per row, because a silently
+    bit-truncated value produces a garbage Morton key that quietly
+    destroys the clustering (the data would still be correct, the
+    layout would not). The z-value preserves multi-dimensional
+    locality, so sorting by it clusters rows that are close in EVERY
+    dimension."""
     from pyspark.sql import functions as F
 
     n = len(cols)
@@ -179,7 +183,24 @@ def zorder_value(cols: list[str], bits: int = 16):
         for j, c in enumerate(cols):
             bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
-    return z
+    # range guard, evaluated ONCE per row (not per bit): assert_true
+    # returns NULL on success, so the when() passes z through; an
+    # out-of-contract value fails the job loudly instead of degrading
+    # the layout silently
+    lim = F.lit(1 << bits).cast("long")
+    in_range = F.lit(True)
+    for c in cols:
+        cc = F.col(c).cast("long")
+        in_range = in_range & (cc >= 0) & (cc < lim)
+    guard = F.assert_true(
+        in_range,
+        F.concat(
+            F.lit(f"zorder_value: column value out of [0, 2^{bits}) in ("),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]),
+            F.lit(")"),
+        ),
+    )
+    return F.when(guard.isNull(), z)
 
 
 def write_zorder_parquet(

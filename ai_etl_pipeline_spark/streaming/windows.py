@@ -131,12 +131,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     itself — the file source wants a directory, so we stream its parent
     with a glob filter.
 
-    The ``ts`` unit is NOT assumed: one driver-side batch footer read
-    probes what Spark renders the column as. TIMESTAMP(NANOS) files
-    read back ``bigint`` under ``nanosAsLong`` and get the exact
-    integer-division conversion; micros files read back a timestamp
-    type and stream through unchanged (applying ``div 1000`` to micros
-    would collapse the corpus 1000×, which is exactly the r4 defect)."""
+    The ``ts`` unit is NOT assumed: a driver-side footer read probes
+    what Spark renders the column as, PER FILE matched by the glob.
+    TIMESTAMP(NANOS) files read back ``bigint`` under ``nanosAsLong``
+    and get the exact integer-division conversion; micros files read
+    back a timestamp type and stream through unchanged (applying
+    ``div 1000`` to micros would collapse the corpus 1000×, which is
+    exactly the r4 defect). A directory mixing the two units cannot be
+    streamed under one declared schema, and a source without ``ts`` is
+    not an events stream — both raise instead of mis-converting the
+    minority unit or silently defaulting."""
+    import glob as _glob
     import os
 
     if path.endswith(".parquet") and os.path.isfile(path):
@@ -150,9 +155,26 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # reader accepts (nanos files become readable; nothing else changes
     # shape), so leaking it to the session is the safe direction.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # footer-only probe — no data scan; mirrors the dtype guard in
-    # sources/readers.py::read_parquet_nanos_ts
-    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "long")
+    # footer-only probes — no data scan; mirrors the dtype guard in
+    # sources/readers.py::read_parquet_nanos_ts. One footer per FILE,
+    # not per path: merged-schema inference would pick one footer and
+    # silently mis-convert a unit-mixed directory.
+    matched = sorted(_glob.glob(os.path.join(base, fname)))
+    if not matched:
+        raise ValueError(f"read_events_stream: no parquet files match {base}/{fname}")
+    ts_types = set()
+    for f in matched:
+        t = dict(spark.read.parquet(f).dtypes).get("ts")
+        if t is None:
+            raise ValueError(f"read_events_stream: {f} has no 'ts' column")
+        ts_types.add("bigint" if t == "bigint" else "timestamp")
+    if len(ts_types) > 1:
+        raise ValueError(
+            f"read_events_stream: mixed ts units under {base} "
+            "(TIMESTAMP(NANOS) and micros files cannot share one stream schema); "
+            "rewrite the minority files or stream them separately"
+        )
+    ts_type = ts_types.pop()
     # micros files: declare TIMESTAMP outright (NTZ is only the batch
     # inference default; watermarks/windows require TIMESTAMP, and the
     # session tz is pinned UTC so the wall-clock values are identical)

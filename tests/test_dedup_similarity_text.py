@@ -106,6 +106,95 @@ def test_ivf_centroids_deterministic(vectors):
     assert len(a) == 4
 
 
+def test_ivf_trained_quantizer_improves_cell_balance(spark):
+    """Angularly skewed corpus (quadratic density: most vectors crowd
+    near angle 0, a thin tail stretches to π), k=4: the hashed-id
+    sample picks centroids where the IDS are — all four land in the
+    dense sector, so the tail piles into the widest cell. Lloyd
+    updates (kmeans_centroids) pull centroids toward the mass layout
+    and the max cell shrinks. Balance is measured with the same
+    assignment rule the ivf_knn plan uses (argmax of 6-dp-rounded
+    cosine, ties to the smaller centroid id)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (i, [math.cos((i / 200) ** 2 * math.pi), math.sin((i / 200) ** 2 * math.pi)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    hashed = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in similarity.ivf_centroids(df, num_centroids=4).collect()
+    ]
+    trained = similarity.kmeans_centroids(df, k=4, iterations=3)
+
+    def max_cell(cents):
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(dot / (na * nb), 6)
+
+        counts = Counter()
+        for _, v in rows:
+            best = min(cents, key=lambda c: (-cos(v, c[1]), c[0]))
+            counts[best[0]] += 1
+        return max(counts.values())
+
+    assert max_cell(trained) < max_cell(hashed), (
+        f"trained {max_cell(trained)} vs hashed {max_cell(hashed)}"
+    )
+
+
+def test_pq_encode_shapes_and_knn_recall_vs_exact(spark):
+    """PQ tier: codes are m small labels per vector; ADC top-k must
+    recover most of the exact top-k on a corpus with real neighbor
+    STRUCTURE: 33 planted direction clusters of ~6 members, so each
+    query's exact top-5 IS its co-member set (clearly separated from
+    every other cluster). Uniform-random vectors — or fine ranking
+    WITHIN a tight cluster — are the adversarial cases where the exact
+    order is separated only by noise no compressed representation can
+    keep, and recall collapses toward chance by construction.
+    Deterministic corpus + deterministic training → the recall value
+    is fixed; the floor leaves headroom."""
+    import math
+
+    from ai_etl_pipeline_spark.operators import similarity as sim
+
+    def vec(i: int) -> list[float]:
+        c = i % 33
+        return [
+            math.cos((c * 64 + d) * 0.7) + 0.05 * math.sin((i * 64 + d) * 1.3)
+            for d in range(64)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    books = sim.pq_train(emb, m=4, codebook_k=32, iterations=2)
+    assert len(books) == 4 and all(len(b) == 32 for b in books)
+
+    enc = sim.pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == 200
+    assert all(len(r["pq_codes"]) == 4 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["pq_codes"])
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_knn(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_knn(emb, queries, k=5, codebooks=books).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall@5 collapsed: {recall}"
+
+
 def test_embedding_near_duplicates_blocked(vectors):
     out = dedup.embedding_near_duplicates(vectors, "vec_id", "embedding", threshold=0.999)
     found = {(r["id_a"], r["id_b"]) for r in out.collect()}
@@ -364,6 +453,111 @@ def test_curation_metrics_fused_entropy_matches_aggregate(spark, documents):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_entropy_rendering_bench(spark, documents):
+    """The include_entropy default (sorted-run counting, O(n log n))
+    must be the measured winner against the O(n × n_distinct)
+    nested-filter rendering it replaced in round 6 — performance
+    claims stay tied to numbers (r5 verdict #8), so if a Spark upgrade
+    flips the balance this fails and the default gets re-measured.
+    Corpus = the REAL documents fixture with each text concatenated
+    10× (n ≈ 550 tokens/doc): on short docs the two renderings sit
+    within scheduler noise of each other (measured both ways at
+    local[4]), while the length-stretched corpus is where the
+    asymptotic gap shows up and where a wrong default would actually
+    hurt — curation corpora are dominated by their long tail of long
+    documents. Best-of-3 per rendering, generous tolerance."""
+    import time
+
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    docs = (
+        documents.select(
+            "doc_id",
+            F.expr("repeat(text || ' ', 10)").alias("text"),
+        )
+        .repartition(4)
+        .localCheckpoint()
+    )
+
+    def nested(df):
+        prepped = df.select("doc_id", ts._toks_expr(F.col("text")).alias("__toks"))
+        toks = F.col("__toks")
+        n = F.size(toks)
+        clogc = F.aggregate(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+        return prepped.select(
+            "doc_id",
+            F.when(n > 0, F.round(F.log(n.cast("double")) - clogc / n, 6)).alias(
+                "entropy"
+            ),
+        )
+
+    def sorted_run(df):
+        prepped = (
+            df.select("doc_id", ts._toks_expr(F.col("text")).alias("__toks"))
+            .withColumn("__sorted", F.array_sort("__toks"))
+        )
+        s = F.col("__sorted")
+        n = F.size(s)
+        prepped = prepped.withColumn(
+            "__bounds",
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == n)
+                | (F.element_at(s, i) != F.element_at(s, F.least(i + 1, n))),
+            ),
+        )
+        b = F.col("__bounds")
+        counts = F.zip_with(
+            b,
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(b, 1, F.greatest(F.size(b) - 1, F.lit(0))),
+            ),
+            lambda hi, lo: hi - lo,
+        )
+        clogc = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+        return prepped.select(
+            "doc_id",
+            F.round(F.log(F.size(s).cast("double")) - clogc / F.size(s), 6).alias(
+                "entropy"
+            ),
+        )
+
+    def run(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(docs).agg(F.sum("entropy")).collect()
+            best = min(best, time.time() - t0)
+        return best
+
+    # the shipped default must BE the sorted-run rendering...
+    plan = (
+        ts.curation_metrics(docs, "doc_id", "text", include_entropy=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_sort" in plan, "include_entropy no longer uses the sorted-run rendering"
+    # ...and the sorted-run rendering must be the measured winner
+    t_sorted, t_nested = run(sorted_run), run(nested)
+    assert t_sorted <= t_nested * 1.2, (
+        f"sorted-run rendering ({t_sorted:.3f}s) lost to the nested "
+        f"rendering ({t_nested:.3f}s) — re-measure the default"
+    )
 
 
 def test_normalize_and_quantize_embeddings(spark):
@@ -642,6 +836,51 @@ def test_semantic_dedup_drops_higher_id_twin_within_cluster(spark):
     assert 3 in kept and 4 in kept
     # survivors carry their cluster label
     assert "cluster" in out.columns
+
+
+def test_semantic_dedup_block_bound_guards_degenerate_cluster(spark):
+    """One cluster holding ~90% of the corpus (boilerplate embeddings
+    collapsed around a point) must NOT produce a corpus-quadratic pair
+    join: the guard hash-splits it into ceil(size/bound) sub-blocks,
+    every block stays under ~the bound, and survivors are still the
+    canonical minima of their (cluster, sub-block). Also: with a bound
+    the guard never reaches, the result is byte-identical to the
+    unguarded plan (n_sub = 1 everywhere)."""
+    from ai_etl_pipeline_spark.functions.portable import md5_i64_py
+    from ai_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    # 180 near-identical vectors (one degenerate cluster) + 20 spread
+    rows = [
+        (i, [1.0 + (i % 7) * 1e-4, (i % 5) * 1e-4]) for i in range(180)
+    ] + [(200 + i, [-1.0 - i * 0.01, 1.0 + i * 0.02]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bound = 25
+    out = semantic_dedup(df, k=2, iterations=2, threshold=0.999, max_block_rows=bound)
+    kept = {r.vec_id for r in out.collect()}
+
+    # unguarded reference + its deterministic sub-split, replayed in python
+    ref = semantic_dedup(df, k=2, iterations=2, threshold=0.999, max_block_rows=None)
+    clusters: dict[int, list[int]] = {}
+    for r in ref.select("vec_id", "cluster").collect():
+        clusters.setdefault(r.cluster, []).append(r.vec_id)
+    # no (cluster, sub) block may exceed ~bound (hash balance slack 2x)
+    import math
+    from collections import Counter
+
+    for cl, ids in clusters.items():
+        n_sub = math.ceil(len(ids) / bound)
+        blocks = Counter(md5_i64_py(str(i)) % n_sub for i in ids)
+        assert max(blocks.values()) <= 2 * bound, (cl, blocks)
+        # survivors of each block are exactly its minima under the twin
+        # relation restricted to the block — check the degenerate
+        # cluster keeps ~one survivor PER SUB-BLOCK, not one overall
+        if len(ids) > bound:
+            assert len([i for i in ids if i in kept]) >= n_sub - 1
+
+    # guard with a bound larger than any cluster == unguarded result
+    loose = semantic_dedup(df, k=2, iterations=2, threshold=0.999, max_block_rows=10_000)
+    assert {r.vec_id for r in loose.collect()} == {r.vec_id for r in ref.collect()}
 
 
 def test_incremental_minhash_equals_full_rerun_delta_slice(spark, documents):
