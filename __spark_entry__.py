@@ -18,8 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_etl_pipeline_spark.functions.portable import md5_i64_sql
-from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, mapping
+from ai_etl_pipeline_spark.functions.portable import md5_i64_sql, tokens_col
+from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
 from ai_etl_pipeline_spark.operators import validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
@@ -4267,6 +4267,182 @@ GROUP BY a.l_suppkey
 
 
 # ---------------------------------------------------------------------------
+# round-6 NEW: bloom-pruned join, weighted sampling, leakage-safe split,
+# token-budget selection, entity resolution (operators/relational.py,
+# operators/sampling.py, operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big semi join with a map-side Bloom pre-filter: lineitem rows
+    whose order is URGENT, pruned BEFORE the shuffle by a broadcast
+    2^20-bit filter over the urgent orderkeys (a dimension shaped too
+    big to broadcast as a hash table at real scale, but whose Bloom is
+    128 KiB at any cardinality). The exact semi join after the prune
+    makes false positives unobservable — the oracle is the plain semi
+    join, independent of every Bloom parameter."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    survivors = relational.bloom_prune_join(
+        li, urgent.select("o_orderkey"), "l_orderkey", "o_orderkey",
+        how="left_semi",
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+_JOIN_BLOOM_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES, hash-derived uniforms): 25 documents
+    drawn proportional to length. Selection compiles to
+    TakeOrderedAndProject — per-partition heap, no corpus shuffle. The
+    A-ES key itself (a rounded double) stays out of the result so the
+    hash compare stays on exact integer/string cells; the oracle
+    replays the key formula bit-for-bit to pick the same rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_hash_sample(
+        docs, "doc_id", "n_chars", k=25
+    ).select("doc_id", "lang", "n_chars")
+
+
+_SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         round(pow(
+           (CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000000 + 1.0) / 1000001.0,
+           1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0) t
+ORDER BY sample_key DESC, doc_id
+LIMIT 25
+"""
+
+
+def q_split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split keyed on the document's GROUP
+    (here ``source``; in a full pipeline the near-dup ``cluster_id``
+    from q_dedup_clusters): every row of a group gets the same split,
+    so near-identical documents can never straddle train and eval.
+    Pure per-row hash + codegen CASE — no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.group_holdout_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
+
+
+_SPLIT_GROUP_SQL = """
+SELECT doc_id, source,
+       CASE
+         WHEN CAST('0x' || substr(md5('split|' || CAST(source AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000000 < 800000 THEN 'train'
+         WHEN CAST('0x' || substr(md5('split|' || CAST(source AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000000 < 900000 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix construction: per language, keep the longest
+    documents (ties by id) while the running token total stays within a
+    500-token budget — the "N tokens per domain" knob of a training mix
+    as one window + one filter, shuffling per stratum only."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(tokens_col(F.col("text")))
+    )
+    return sampling.token_budget_sample(
+        with_tokens, "doc_id", "n_tokens", budget=500, strata_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "running_tokens")
+
+
+_SAMPLE_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, running_tokens FROM r
+WHERE running_tokens <= 500
+"""
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer names: block on (nation, name
+    length), match at edit distance <= 1 (JVM ``levenshtein``, no UDF),
+    resolve matches to entities via the hash-min + pointer-halving
+    components iteration. The oracle replays blocking, scoring, AND the
+    transitive closure (DuckDB levenshtein + recursive CTE) — fully
+    independent of the Spark iteration."""
+    cust = _t(spark, sf_dir, "customer")
+    return linkage.entity_resolution(
+        cust,
+        "c_custkey",
+        "c_name",
+        [F.col("c_nationkey"), F.length("c_name")],
+        max_distance=1,
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         length(c_name) AS ln
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM recs a JOIN recs b ON a.nk = b.nk AND a.ln = b.ln AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+lab AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id),
+resolved AS (
+  SELECT c.c_custkey, coalesce(l.entity_id, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN lab l ON l.id = c.c_custkey
+)
+SELECT c_custkey, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+FROM resolved
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4278,13 +4454,14 @@ GROUP BY a.l_suppkey
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-3 NEW: training-batch tier (ordering contract: 1-50) ---
-    # --- round-5 NEW: CDC deletes + incremental aggregate maintenance ---
-    "q_merge_upsert_deletes": (q_merge_upsert_deletes, _MERGE_UPSERT_DELETES_SQL),
-    "q_scd2_deletes": (q_scd2_deletes, _SCD2_DELETES_SQL),
-    "q_agg_incremental": (q_agg_incremental, _AGG_INCREMENTAL_SQL),
+    # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
+    #     entity resolution (ordering contract: 1-50) ---
+    "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
+    "q_sample_weighted": (q_sample_weighted, _SAMPLE_WEIGHTED_SQL),
+    "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
+    "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
+    "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
-    "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
     "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
     "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
     "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
@@ -4296,7 +4473,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
-    "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     # value-map apply operators gained trim-consistency this round
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
@@ -4348,6 +4524,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4/r5, code unchanged)
+    "q_merge_upsert_deletes": (q_merge_upsert_deletes, _MERGE_UPSERT_DELETES_SQL),
+    "q_scd2_deletes": (q_scd2_deletes, _SCD2_DELETES_SQL),
+    "q_agg_incremental": (q_agg_incremental, _AGG_INCREMENTAL_SQL),
+    "q_part_revenue_share": (q_part_revenue_share, _PART_REVENUE_SHARE_SQL),
+    "q_funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "q_merge_upsert": (q_merge_upsert, _MERGE_UPSERT_SQL),
     "q_scd2_customer_orders": (q_scd2_customer_orders, _SCD2_SQL),
     "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),

@@ -434,12 +434,17 @@ def near_duplicate_clusters(
         raise RuntimeError(
             f"connected components did not converge in {max_iter} iterations"
         )
+    # internal label columns renamed before the final join so a caller
+    # id column literally named "id"/"lab" never collides
+    final_labels = labels.select(
+        F.col("id").alias("__cc_id"), F.col("lab").alias("__cc_lab")
+    )
     clustered = (
         all_ids.select(F.col(id_col))
-        .join(labels, all_ids[id_col] == labels["id"], "left")
+        .join(final_labels, all_ids[id_col] == final_labels["__cc_id"], "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("lab"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("__cc_lab"), F.col(id_col)).alias("cluster_id"),
         )
     )
     pairs.unpersist()

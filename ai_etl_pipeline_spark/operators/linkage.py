@@ -1,0 +1,103 @@
+"""Entity resolution / record linkage (north-star extension; ABSENT in
+the reference, which never joins at all — SURVEY.md §2.4).
+
+The classic three-stage shape, each stage the scalable rendering:
+
+1. BLOCKING — candidate generation by equality on cheap derived keys
+   (the string-similarity analogue of LSH banding): records are only
+   compared inside a block, so the quadratic is bounded by the largest
+   block, never the corpus. Multi-pass blocking (union of several
+   blocking functions) trades recall for candidate count exactly like
+   adding LSH bands.
+2. PAIRWISE SCORING — ``F.levenshtein`` (JVM codegen, no UDF) on the
+   blocked pairs; ``a.id < b.id`` keeps each unordered pair once.
+3. CLUSTERING — connected components over the match pairs via the
+   existing hash-min + pointer-halving iteration
+   (``dedup.near_duplicate_clusters``), canonical = min id.
+
+The oracle replays all three stages in SQL (DuckDB ships
+``levenshtein`` and recursive CTEs), so the whole operator is
+correctness-gated end-to-end, clustering included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+
+
+def blocked_candidate_pairs(
+    records: DataFrame,
+    id_col: str,
+    attr_cols: list[str],
+    block_exprs: list[Column],
+) -> DataFrame:
+    """Self-join on equality of the blocking keys; each unordered pair
+    once (``id_a < id_b``). Returns ``id_a, id_b, <attr>_a, <attr>_b``.
+
+    Scale: one shuffle on the block key per side; candidate count is
+    sum over blocks of C(block_size, 2) — pick blocking keys so the
+    largest block stays bounded (length bands, key prefixes, phonetic
+    codes, source partitions). A hot block is the same failure mode as
+    a hot LSH bucket and takes the same fix: tighten the key or salt
+    oversized blocks into sub-blocks.
+    """
+    base = records.select(
+        F.col(id_col),
+        *[F.col(c) for c in attr_cols],
+        *[e.alias(f"__blk{i}") for i, e in enumerate(block_exprs)],
+    )
+    blk = [f"__blk{i}" for i in range(len(block_exprs))]
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in attr_cols],
+        *blk,
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in attr_cols],
+        *blk,
+    )
+    return (
+        a.join(b, on=blk, how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop(*blk)
+    )
+
+
+def entity_resolution(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_exprs: list[Column],
+    max_distance: int = 1,
+) -> DataFrame:
+    """Resolve records to entities: blocked candidate pairs, edit
+    distance <= ``max_distance`` is a match, connected components over
+    matches. Returns every record as
+    ``(<id_col>, entity_id, entity_size)`` — canonical record =
+    ``id == entity_id`` (component minimum), singletons are their own
+    entity.
+
+    Edit distance is symmetric but NOT transitive; clustering match
+    pairs is the standard closure (two records linked through a chain
+    of near-matches resolve to one entity). The components iteration is
+    candidate-sized and O(log diameter) rounds — see
+    ``dedup.near_duplicate_clusters``.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    pairs = blocked_candidate_pairs(
+        records, id_col, [name_col], block_exprs
+    ).where(
+        F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
+        <= F.lit(max_distance)
+    ).select("id_a", "id_b")
+    out = dedup.near_duplicate_clusters(
+        pairs, records.select(id_col), id_col
+    )
+    return out.withColumnsRenamed(
+        {"cluster_id": "entity_id", "cluster_size": "entity_size"}
+    )

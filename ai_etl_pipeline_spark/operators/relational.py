@@ -274,3 +274,138 @@ def asof_join(
         F.col("__asof_ts"),
         *[F.col("__m")[c].alias(c) for c in right_cols],
     )
+
+
+def bloom_filter_build(
+    dim: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``dim[key_col]`` as a ONE-ROW DataFrame
+    with a dense ``array<bigint>`` of ``m_bits/64`` packed words
+    (column ``__bf_words``).
+
+    The point at scale: a dimension too big to BROADCAST-HASH-join
+    (hundreds of millions of keys = GBs of hash table) still compresses
+    to an m_bits/8-byte bit set (1 MiB per 2^23 bits) that CAN be
+    broadcast, turning a big-big shuffle join into "prune the fact
+    map-side first, then shuffle only probable matches". This is the
+    same idea as Spark's runtime bloom-filter rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.*), rendered explicitly so
+    it applies to any plan shape and any join the optimizer won't
+    rewrite.
+
+    Entirely JVM-side: positions come from ``xxhash64`` (the filter is
+    internal — never replayed by an oracle, so the portable-md5 contract
+    doesn't apply), packing is one ``bit_or`` aggregate over ≤
+    ``num_hashes * |dim|`` position rows, densification is a
+    map-from-entries + sequence transform. No driver collect: the
+    result stays a one-row DataFrame meant for ``F.broadcast`` +
+    crossJoin (the documented one-row broadcast pattern, same as the
+    IVF centroid table).
+
+    Sizing: false-positive rate ≈ (1 - e^(-kn/m))^k; the default
+    m=2^20, k=4 gives ~2.4% at n=100k keys. Size m ≈ 10 bits/key for
+    ~1% at other scales.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not (1 <= num_hashes <= 16):
+        raise ValueError(f"num_hashes must be in [1,16], got {num_hashes}")
+    n_words = m_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(j), F.col(key_col)), F.lit(m_bits))
+                for j in range(num_hashes)
+            ]
+        )
+    ).alias("__bf_pos")
+    words = (
+        dim.select(pos)
+        .select(
+            F.shiftright(F.col("__bf_pos"), 6).alias("__bf_w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast((__bf_pos & 63) as int))"
+            ).alias("__bf_mask"),
+        )
+        .groupBy("__bf_w")
+        .agg(F.expr("bit_or(__bf_mask)").alias("__bf_word"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__bf_w"), F.col("__bf_word")))
+        ).alias("__bf_map")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__bf_map"), i.cast("bigint")), F.lit(0).cast("bigint")
+            ),
+        ).alias("__bf_words")
+    )
+
+
+def _bloom_member_expr(pos_cols: list[str]) -> str:
+    """SQL predicate: every position's bit is set in ``__bf_words``."""
+    return " AND ".join(
+        f"((element_at(__bf_words, cast(shiftright({p}, 6) as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(({p} & 63) as int))) != 0)"
+        for p in pos_cols
+    )
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    how: str = "left_semi",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Join with a map-side Bloom pre-filter on the fact side. The
+    result is EXACTLY ``join(fact, dim, ...)`` — an exact join runs
+    after the prune, so Bloom false positives cannot leak through; the
+    filter only reduces how many fact rows reach the shuffle.
+
+    how='left_semi' / 'inner': fact rows failing the Bloom are
+    discarded map-side (they provably have no dim match); survivors go
+    through the normal shuffled/broadcast exact join.
+
+    how='left_anti': inverted use — fact rows FAILING the Bloom are
+    definite non-matches and bypass the join entirely; only Bloom hits
+    (matches + false positives) go through the exact anti join. Trades
+    a second map-side scan of the fact for shuffling only the hit
+    subset — the right trade whenever the anti-join survivor set is
+    large (the common decontamination shape).
+    """
+    if how not in ("left_semi", "inner", "left_anti"):
+        raise ValueError(f"bloom_prune_join supports semi/inner/anti, got {how!r}")
+    dim_key = dim_key or fact_key
+    bloom = bloom_filter_build(dim, dim_key, m_bits=m_bits, num_hashes=num_hashes)
+    pos_cols = [f"__bfp{j}" for j in range(num_hashes)]
+    tagged = fact.crossJoin(F.broadcast(bloom))
+    for j, c in enumerate(pos_cols):
+        tagged = tagged.withColumn(
+            c, F.pmod(F.xxhash64(F.lit(j), F.col(fact_key)), F.lit(m_bits))
+        )
+    member = F.expr(_bloom_member_expr(pos_cols))
+    drop = ["__bf_words", *pos_cols]
+    # alias the dim key internally so identical fact/dim key names never
+    # produce an ambiguous self-join-style condition
+    dim_keys = dim.select(F.col(dim_key).alias("__bf_dim_key"))
+    key_cond = F.col(fact_key) == F.col("__bf_dim_key")
+    if how == "left_anti":
+        misses = tagged.where(~member).drop(*drop)
+        hits = tagged.where(member).drop(*drop)
+        return misses.unionByName(
+            hits.join(dim_keys, on=key_cond, how="left_anti")
+        )
+    pruned = tagged.where(member).drop(*drop)
+    if how == "left_semi":
+        return pruned.join(dim_keys, on=key_cond, how="left_semi")
+    if fact_key == dim_key:
+        return pruned.join(dim, on=fact_key, how="inner")
+    return pruned.join(dim, on=F.col(fact_key) == dim[dim_key], how="inner")

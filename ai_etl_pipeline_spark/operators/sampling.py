@@ -141,3 +141,117 @@ def top_k_per_stratum(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items:
+    Efraimidis–Spirakis A-ES. Each row gets key = u^(1/w) with u ~
+    U(0,1); the k largest keys are exactly a weight-proportional
+    sample without replacement. Here u is the salted md5 bucket
+    (``(bucket+1)/(M+1)`` ∈ (0,1)), so the "randomness" is a pure
+    per-row hash: the same (salt, id) draws the same u on every run
+    and every engine — the DuckDB oracle replays the whole sample.
+
+    Scale shape: per-row compute + ``orderBy().limit(k)``, which
+    compiles to TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows) — no global sort, no shuffle of the corpus.
+
+    The key is rounded to 12 decimals (and ties broken by id) so the
+    selection is stable across engines' libm rounding of pow(). Rows
+    with weight <= 0 or NULL are never sampled (w→0 limit of A-ES).
+    Output adds ``sample_key`` (the rounded A-ES key).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (_bucket(F.col(id_col), salt) + F.lit(1.0)) / F.lit(float(_M + 1))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12)
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def group_holdout_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the GROUP key (near-dup cluster id, source domain, user id …), so
+    every row of a group lands in the same split — the guard against
+    train/eval contamination through near-duplicates that a row-level
+    split cannot give. Adds a ``split`` column.
+
+    Pure per-row predicate (one md5 + a codegen CASE over cumulative
+    thresholds) — no shuffle, no join; deterministic and engine-portable
+    like every sampler here. Fractions must sum to ~1 (every group gets
+    a split).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    b = _bucket(F.col(group_col), salt)
+    cum = 0.0
+    expr = None
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = b < F.lit(int(round(cum * _M)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    strata_col: str | None = None,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: order candidates (best first),
+    keep rows while the running token total stays within ``budget`` —
+    the "fill the training mix to N tokens per domain" operator.
+    ``order_by`` defaults to ``tokens_col`` descending; ties always
+    break by id so the selection is total-ordered and reproducible.
+
+    One window (running sum over the per-stratum order) + one filter.
+    With ``strata_col`` the shuffle is per-stratum — the scale path:
+    a 100 TB mix is budgeted per domain/language, never as one global
+    ordered stream. The global variant (strata_col=None) is a single
+    ordered partition and is documented for BOUNDED candidate sets
+    (post-gate shortlists), not raw corpora.
+
+    Keep rule: a row stays iff its cumulative total (including itself)
+    is <= budget — oversized heads are skipped only when they alone
+    exceed the budget.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    order = [
+        (order_by if order_by is not None else F.col(tokens_col).desc()),
+        F.col(id_col),
+    ]
+    w = (
+        Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    running = F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    return (
+        df.withColumn("running_tokens", running)
+        .where(F.col("running_tokens") <= budget)
+    )

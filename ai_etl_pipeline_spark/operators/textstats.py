@@ -307,41 +307,33 @@ def curation_metrics(
 
     ``include_entropy`` folds :func:`token_entropy` into the same scan
     as in-row higher-order functions — removing the (doc, token)
-    explode shuffle AND the join back on the id. The rendering is
-    sorted-run counting: ``array_sort`` the token array, find the run
-    boundaries (positions where the sorted neighbor differs), and fold
-    ``c·ln c`` over the boundary gaps — O(n log n) per document, NOT
-    the O(n × n_distinct) nested-filter rendering (measured slower
-    than even the explode-aggregate at sf0.1; see
-    tests/test_dedup_similarity_text.py::test_entropy_rendering_bench).
-    Each intermediate array is materialized in its own projection
-    (lambda-inlining rule). Values match token_entropy exactly (the
-    6-dp round absorbs fold-order drift), except zero-token docs: here
-    a row with NULL entropy, there no row (the explode drops them)."""
+    explode shuffle AND the join back on the id. The rendering is a
+    SINGLE self-contained expression: fold over ``array_sort(toks)``
+    carrying (prev token, run length, Σ c·ln c) and closing the last
+    run in the finish lambda — O(n log n) per document with the sort
+    appearing exactly once inside the aggregate.
+
+    Why single-expression instead of staged ``withColumn``
+    intermediates: Catalyst pushes downstream filters THROUGH
+    projections by substituting the column's defining expression into
+    the predicate, and collapses the projection stack — a rendering
+    whose lambdas index into a separately-aliased sorted array
+    re-evaluates the sort per element after inlining (measured 95 s vs
+    0.16 s at sf0.1 for metrics + entropy filter; the no-filter plan
+    was fine, which is why a projection-only benchmark missed it). A
+    fold whose input appears once inlines at worst 2× (filter +
+    project), never per-element. Guarded by
+    tests/test_dedup_similarity_text.py::test_entropy_rendering_bench,
+    which benchmarks WITH a pushed filter. Values match token_entropy
+    exactly (the 6-dp round absorbs fold-order drift), except
+    zero-token docs: here a row with NULL entropy, there no row (the
+    explode drops them)."""
     prepped = df.select(
         F.col(id_col),
         F.col(text_col),
         _toks_expr(F.col(text_col)).alias("__toks"),
         _lines_expr(F.col(text_col)).alias("__lines"),
     )
-    if include_entropy:
-        # sorted array + run boundaries each land in their own
-        # projection: referenced inside the next layer's lambdas, they
-        # would otherwise be inlined and re-evaluated per element
-        prepped = prepped.withColumn("__sorted", F.array_sort("__toks"))
-        s = F.col("__sorted")
-        ns = F.size(s)
-        prepped = prepped.withColumn(
-            "__bounds",
-            F.when(
-                ns > 0,
-                F.filter(
-                    F.sequence(F.lit(1), ns),
-                    lambda i: (i == ns)
-                    | (F.element_at(s, i) != F.element_at(s, F.least(i + 1, ns))),
-                ),
-            ).otherwise(F.array().cast("array<int>")),
-        )
     cols = [
         *_gopher_metric_cols(
             F.col(text_col),
@@ -358,20 +350,29 @@ def curation_metrics(
     ]
     if include_entropy:
         n = F.size(F.col("__toks"))
-        b = F.col("__bounds")
-        # run lengths = boundary positions minus the previous boundary
-        counts = F.zip_with(
-            b,
-            F.concat(
-                F.array(F.lit(0)),
-                F.slice(b, 1, F.greatest(F.size(b) - 1, F.lit(0))),
-            ),
-            lambda hi, lo: hi - lo,
+
+        def _clog(c):
+            cd = c.cast("double")
+            return F.when(c > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
         )
         clogc = F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+            F.array_sort(F.col("__toks")),
+            init,
+            lambda st, x: F.struct(
+                x.alias("prev"),
+                F.when(x == st["prev"], st["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(x == st["prev"], st["acc"])
+                .otherwise(st["acc"] + _clog(st["run"]))
+                .alias("acc"),
+            ),
+            lambda st: st["acc"] + _clog(st["run"]),
         )
         cols.append(n.cast("long").alias("n_tokens"))
         cols.append(

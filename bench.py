@@ -84,6 +84,9 @@ HEADLINE = [
     "q_sample_topk_stratum",
     "q_pack_overlap_chunks",
     "q_validate_orders",
+    # round-6 additions
+    "q_knn_pq",
+    "q_media_png_decode",
 ]
 
 

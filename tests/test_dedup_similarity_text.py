@@ -456,18 +456,19 @@ def test_curation_metrics_fused_entropy_matches_aggregate(spark, documents):
 
 
 def test_entropy_rendering_bench(spark, documents):
-    """The include_entropy default (sorted-run counting, O(n log n))
-    must be the measured winner against the O(n × n_distinct)
-    nested-filter rendering it replaced in round 6 — performance
-    claims stay tied to numbers (r5 verdict #8), so if a Spark upgrade
-    flips the balance this fails and the default gets re-measured.
-    Corpus = the REAL documents fixture with each text concatenated
-    10× (n ≈ 550 tokens/doc): on short docs the two renderings sit
-    within scheduler noise of each other (measured both ways at
-    local[4]), while the length-stretched corpus is where the
-    asymptotic gap shows up and where a wrong default would actually
-    hurt — curation corpora are dominated by their long tail of long
-    documents. Best-of-3 per rendering, generous tolerance."""
+    """The include_entropy default (single-expression fold over
+    array_sort) must be the measured winner against the split
+    rendering (separate explode-aggregate token_entropy + join back)
+    — performance claims stay tied to numbers (r5 verdict #8).
+
+    Benchmarked WITH a pushed filter on the entropy column: Catalyst
+    substitutes the projection's defining expressions into predicates
+    it pushes down, so a rendering can look fine projection-only and
+    explode under a filter (the round-6 regression: staged withColumn
+    intermediates re-evaluated the sort per element after inlining —
+    95 s vs 0.16 s at sf0.1). Corpus = the REAL documents fixture with
+    each text concatenated 10x (~550 tokens/doc), where the asymptotic
+    gap shows; best-of-3, generous tolerance."""
     import time
 
     from ai_etl_pipeline_spark.operators import textstats as ts
@@ -481,59 +482,17 @@ def test_entropy_rendering_bench(spark, documents):
         .localCheckpoint()
     )
 
-    def nested(df):
-        prepped = df.select("doc_id", ts._toks_expr(F.col("text")).alias("__toks"))
-        toks = F.col("__toks")
-        n = F.size(toks)
-        clogc = F.aggregate(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            ),
-            F.lit(0.0),
-            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
-        )
-        return prepped.select(
-            "doc_id",
-            F.when(n > 0, F.round(F.log(n.cast("double")) - clogc / n, 6)).alias(
-                "entropy"
-            ),
-        )
+    def fused(df):
+        return ts.curation_metrics(
+            df, "doc_id", "text", min_stop_hits=1, include_entropy=True
+        ).where(F.col("entropy") >= 1.0)
 
-    def sorted_run(df):
-        prepped = (
-            df.select("doc_id", ts._toks_expr(F.col("text")).alias("__toks"))
-            .withColumn("__sorted", F.array_sort("__toks"))
+    def split(df):
+        m = ts.curation_metrics(
+            df, "doc_id", "text", min_stop_hits=1, include_entropy=False
         )
-        s = F.col("__sorted")
-        n = F.size(s)
-        prepped = prepped.withColumn(
-            "__bounds",
-            F.filter(
-                F.sequence(F.lit(1), n),
-                lambda i: (i == n)
-                | (F.element_at(s, i) != F.element_at(s, F.least(i + 1, n))),
-            ),
-        )
-        b = F.col("__bounds")
-        counts = F.zip_with(
-            b,
-            F.concat(
-                F.array(F.lit(0)),
-                F.slice(b, 1, F.greatest(F.size(b) - 1, F.lit(0))),
-            ),
-            lambda hi, lo: hi - lo,
-        )
-        clogc = F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
-        )
-        return prepped.select(
-            "doc_id",
-            F.round(F.log(F.size(s).cast("double")) - clogc / F.size(s), 6).alias(
-                "entropy"
-            ),
+        return m.join(ts.token_entropy(df, "doc_id", "text"), "doc_id").where(
+            F.col("entropy") >= 1.0
         )
 
     def run(fn):
@@ -544,22 +503,38 @@ def test_entropy_rendering_bench(spark, documents):
             best = min(best, time.time() - t0)
         return best
 
-    # the shipped default must BE the sorted-run rendering...
+    def fused_nofilter(df):
+        return ts.curation_metrics(
+            df, "doc_id", "text", min_stop_hits=1, include_entropy=True
+        )
+
+    # the shipped default must BE the fold-over-sorted rendering (one
+    # aggregate over one array_sort, no staged intermediates) ...
     plan = (
         ts.curation_metrics(docs, "doc_id", "text", include_entropy=True)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
-    assert "array_sort" in plan, "include_entropy no longer uses the sorted-run rendering"
-    # ...and the sorted-run rendering must be the measured winner
-    t_sorted, t_nested = run(sorted_run), run(nested)
-    assert t_sorted <= t_nested * 1.2, (
-        f"sorted-run rendering ({t_sorted:.3f}s) lost to the nested "
-        f"rendering ({t_nested:.3f}s) — re-measure the default"
+    assert "array_sort" in plan, "include_entropy no longer folds over array_sort"
+    # ... pushing a filter must cost inlining-CONSTANT work (<= ~2x the
+    # bare projection; the staged-intermediate rendering this replaced
+    # measured ~600x here) ...
+    t_fused, t_nofilter = run(fused), run(fused_nofilter)
+    assert t_fused <= t_nofilter * 5 + 0.5, (
+        f"filtered fused metrics ({t_fused:.3f}s) blew up vs the bare "
+        f"projection ({t_nofilter:.3f}s) — predicate pushdown is "
+        f"re-evaluating an inlined intermediate per element"
     )
-
-
+    # ... and fused must stay in the same band as the split rendering
+    # (they trade a shuffle+join for per-row fold CPU; measured within
+    # noise of each other at sf0.1 and here — the wide bound catches
+    # asymptotic regressions, not scheduler jitter)
+    t_split = run(split)
+    assert t_fused <= t_split * 3 + 0.5, (
+        f"fused fold rendering ({t_fused:.3f}s) lost badly to the split "
+        f"explode+join rendering ({t_split:.3f}s) — re-measure the default"
+    )
 def test_normalize_and_quantize_embeddings(spark):
     from ai_etl_pipeline_spark.operators import similarity as sim
 

@@ -111,3 +111,62 @@ def test_asof_join_backward_forward_tolerance(spark):
     }
     assert tol[1] == 1.0 and tol[3] is None  # 31-25=6 exceeds tolerance 5
     assert tol[2] is None                    # 20-10=10 exceeds tolerance
+
+
+def test_bloom_prune_join_semi_equals_plain_semi(spark):
+    fact = spark.createDataFrame([(i, i % 7) for i in range(500)], "id long, k long")
+    dim = spark.createDataFrame([(0,), (3,), (99,)], "k long")
+    plain = fact.join(dim, "k", "left_semi")
+    bloom = relational.bloom_prune_join(fact, dim, "k", m_bits=4096, num_hashes=3)
+    assert sorted(r["id"] for r in bloom.collect()) == sorted(
+        r["id"] for r in plain.collect()
+    )
+
+
+def test_bloom_prune_join_inner_and_anti(spark):
+    fact = spark.createDataFrame([(i, i % 10) for i in range(200)], "id long, k long")
+    dim = spark.createDataFrame([(2, "x"), (5, "y")], "k long, lab string")
+    inner = relational.bloom_prune_join(fact, dim, "k", how="inner", m_bits=1024)
+    plain_inner = fact.join(dim, "k", "inner")
+    assert sorted(map(tuple, inner.select("id", "lab").collect())) == sorted(
+        map(tuple, plain_inner.select("id", "lab").collect())
+    )
+    anti = relational.bloom_prune_join(fact, dim.select("k"), "k", how="left_anti", m_bits=1024)
+    plain_anti = fact.join(dim.select("k"), "k", "left_anti")
+    assert sorted(r["id"] for r in anti.collect()) == sorted(
+        r["id"] for r in plain_anti.collect()
+    )
+
+
+def test_bloom_prune_join_empty_dim_and_fp_prune(spark):
+    fact = spark.createDataFrame([(i, i) for i in range(100)], "id long, k long")
+    empty = spark.createDataFrame([], "k long")
+    assert relational.bloom_prune_join(fact, empty, "k", m_bits=256).count() == 0
+    # disjoint keysets: the bloom must prune (nearly) everything BEFORE
+    # the exact join — measured via the filter's selectivity, with a
+    # small filter so some false positives are plausible but bounded
+    dim = spark.createDataFrame([(i,) for i in range(1000, 1010)], "k long")
+    bloom = relational.bloom_filter_build(dim, "k", m_bits=1024, num_hashes=4)
+    pos = [
+        F.pmod(F.xxhash64(F.lit(j), F.col("k")), F.lit(1024)).alias(f"__bfp{j}")
+        for j in range(4)
+    ]
+    tagged = fact.crossJoin(F.broadcast(bloom)).select("id", "k", *pos)
+    survivors = tagged.where(
+        F.expr(relational._bloom_member_expr([f"__bfp{j}" for j in range(4)]))
+    ).count()
+    # k=4, m=1024, n=10 keys -> fp rate ~ (1-e^(-40/1024))^4 ~ 2e-6;
+    # allow a generous bound
+    assert survivors <= 5
+
+
+def test_bloom_filter_build_validates(spark):
+    dim = spark.createDataFrame([(1,)], "k long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        relational.bloom_filter_build(dim, "k", m_bits=100)
+    with pytest.raises(ValueError):
+        relational.bloom_filter_build(dim, "k", num_hashes=0)
+    with pytest.raises(ValueError):
+        relational.bloom_prune_join(dim, dim, "k", how="full")
