@@ -4442,6 +4442,154 @@ FROM resolved
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment |grams(a)∩grams(b)|/|grams(a)| over
+    3-word shingles — the "document quoted inside another" signal
+    symmetric Jaccard misses (near-zero Jaccard, containment ≈ 1).
+    Inverted-index candidates with the max_df stop-gram cut, candidate-
+    sized verify, one intersection count reused for both directions."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=3, max_df=0.5
+    )
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE.strip().lstrip()},
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT shingle, count(*) AS dfc FROM shingles GROUP BY shingle),
+cand_items AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s JOIN dfreq d USING (shingle), n
+  WHERE d.dfc <= 0.5 * n.n_docs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cand_items a JOIN cand_items b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT i.id_a, i.id_b, i.i, za.sz AS sz_a, zb.sz AS sz_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+)
+SELECT id_contained, id_container, containment FROM (
+  SELECT id_a AS id_contained, id_b AS id_container,
+         round(i / sz_a, 6) AS containment
+  FROM scored
+  UNION ALL
+  SELECT id_b, id_a, round(i / sz_b, 6) FROM scored
+) t
+WHERE containment >= 0.8
+"""
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet idiom) with units =
+    whitespace words on this single-line corpus — i.e. corpus-adaptive
+    stop-word stripping: any unit appearing in more than 60% of
+    documents is dropped everywhere, documents reassembled in original
+    unit order. One explode + one doc-frequency aggregate + a plain
+    (never broadcast) anti join + one per-doc regroup."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.boilerplate_unit_removal(
+        docs, "doc_id", "text", max_df_frac=0.6, delimiter=" "
+    )
+
+
+_TEXT_BOILERPLATE_SQL = """
+WITH ls AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+units AS (
+  SELECT doc_id, i AS pos, trim(arr[i]) AS unit
+  FROM ls, unnest(generate_series(1, len(arr))) AS t(i)
+  WHERE trim(arr[i]) <> ''
+),
+dfreq AS (SELECT unit, count(DISTINCT doc_id) AS dfc FROM units GROUP BY unit),
+blocked AS (
+  SELECT unit FROM dfreq
+  WHERE dfc > 0.6 * (SELECT count(*) FROM documents)
+),
+kept AS (
+  SELECT u.* FROM units u WHERE u.unit NOT IN (SELECT unit FROM blocked)
+),
+totals AS (SELECT doc_id, count(*) AS n_units FROM units GROUP BY doc_id),
+agg AS (
+  SELECT doc_id,
+         string_agg(unit, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(coalesce(t.n_units, 0) - coalesce(a.n_kept, 0) AS INTEGER)
+         AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility manifest over the deterministic 8-shard corpus
+    split: per shard, row count + order-insensitive content hash (exact
+    decimal sum of the portable md5 over doc_id|text). Identical shard
+    contents ⇒ byte-identical manifest on any engine, partitioning, or
+    task order — the receipt stored next to every published shard
+    set."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = packing.shuffle_shard(docs, "doc_id", 8, salt="shuf")
+    return packing.shard_manifest(sharded, "shard", ["doc_id", "text"])
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         {md5_i64_sql("'shuf|' || CAST(doc_id AS VARCHAR)")} AS pos_hash
+  FROM documents
+)
+SELECT CAST(pos_hash % 8 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST({md5_i64_sql("CAST(doc_id AS VARCHAR) || '|' || text")}
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS content_hash
+FROM h
+GROUP BY pos_hash % 8
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis of events.user_id as a prospective join
+    key: the 20 heaviest keys with counts and corpus fractions — what
+    decides between plain join / AQE skew split / explicit salting.
+    One partial-agg groupBy + TakeOrderedAndProject."""
+    events = _events(spark, sf_dir)
+    return relational.key_skew_report(events, "user_id", top_k=20)
+
+
+_SKEW_REPORT_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE), 6)
+         AS frac
+FROM events
+GROUP BY user_id
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4461,10 +4609,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
     "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
-    # --- round-3 NEW: TPC-H Q11/Q14/Q15/Q20/Q21 shapes ---
-    "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
-    "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
-    "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
+    "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
+    "q_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
+    "q_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
+    "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     # --- round-3 NEW: passage dedup, k-means, event analytics ---
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
@@ -4473,7 +4621,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
-    "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     # value-map apply operators gained trim-consistency this round
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
@@ -4524,6 +4671,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4/r5, code unchanged)
+    "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
+    "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
+    "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),
+    "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "q_merge_upsert_deletes": (q_merge_upsert_deletes, _MERGE_UPSERT_DELETES_SQL),
     "q_scd2_deletes": (q_scd2_deletes, _SCD2_DELETES_SQL),
     "q_agg_incremental": (q_agg_incremental, _AGG_INCREMENTAL_SQL),

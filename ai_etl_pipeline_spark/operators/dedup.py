@@ -687,3 +687,95 @@ def minhash_lsh_incremental(
     cand_shingles = doc_shingles(cand_docs, id_col, text_col, shingle_k)
     out = jaccard_verify(cands, cand_shingles, id_col, "shingle", threshold)
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram: int = 1,
+    max_df: float | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set containment |grams(a) ∩ grams(b)| / |grams(a)| —
+    the "is document a substantially quoted inside document b" signal
+    that symmetric Jaccard misses entirely: a tweet pasted into a long
+    article has near-zero Jaccard but containment ≈ 1. The standard
+    companion to near-dup detection in training-data curation (quote
+    farms, scraped aggregators, boilerplate wrappers around copied
+    bodies).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
+    candidate join (``max_df`` drops stop-grams from candidate
+    generation only), candidate-sized verify. Emits a row per DIRECTED
+    pair that passes: ``(id_contained, id_container, containment)``
+    with ``id_contained``'s gram set the denominator; both directions
+    of an unordered pair can pass (mutual containment = near-dup).
+    The intersection is counted once per unordered pair and reused for
+    both directions.
+    """
+
+    def items_of(frame: DataFrame) -> DataFrame:
+        return (
+            doc_tokens(frame, id_col, text_col)
+            if ngram == 1
+            else doc_shingles(frame, id_col, text_col, ngram).withColumnRenamed(
+                "shingle", "token"
+            )
+        )
+
+    items = items_of(df)
+    cand_items = items
+    if max_df is not None:
+        n_docs = df.select(id_col).distinct().count()
+        hot = (
+            items.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df * n_docs)
+            .select("token")
+        )
+        cand_items = items.join(F.broadcast(hot), "token", "left_anti")
+    a = cand_items.withColumnRenamed(id_col, "id_a")
+    b = cand_items.withColumnRenamed(id_col, "id_b")
+    cands = (
+        a.join(b, on=["token"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verify_items = items_of(cand_docs)
+    sizes = verify_items.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ia = verify_items.withColumnRenamed(id_col, "id_a")
+    ib = verify_items.withColumnRenamed(id_col, "__cid_b").withColumnRenamed(
+        "token", "token_b"
+    )
+    inter = (
+        cands.join(ia, "id_a")
+        .join(
+            ib,
+            (F.col("__cid_b") == F.col("id_b")) & (F.col("token") == F.col("token_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = scored.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("id_contained"),
+        F.col("id_a").alias("id_container"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

@@ -226,3 +226,37 @@ def overlap_chunks(
         F.size("c.toks").alias("chunk_len"),
         F.array_join("c.toks", " ").alias("chunk_text"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Deterministic per-shard output manifest: row count plus an
+    ORDER-INSENSITIVE content hash (exact decimal sum of the portable
+    md5 over the concatenated value columns). Two runs producing the
+    same shard contents produce byte-identical manifests regardless of
+    partitioning, task order, or engine — the reproducibility receipt a
+    training pipeline stores next to every published shard set, and the
+    cheap diff when re-validating delivered data against a rerun.
+
+    One aggregate on the shard key; the decimal(38,0) sum never
+    overflows at any shard size. NULLs hash as the empty string, so a
+    NULL and '' collide — acceptable for a manifest (flag columns where
+    that distinction matters by adding an is-null indicator column).
+
+    Returns ``(shard_col, n_rows, content_hash)``.
+    """
+    from ..functions.portable import md5_i64
+
+    row_hash = md5_i64(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in value_cols])
+    ).cast("decimal(38,0)")
+    # hash rendered as a STRING: a 38-digit decimal survives every
+    # serialization (JSON manifests, pandas, engines without int128)
+    # without float coercion mangling the digits
+    return df.groupBy(shard_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).cast("decimal(38,0)").cast("string").alias("content_hash"),
+    )

@@ -409,3 +409,33 @@ def bloom_prune_join(
     if fact_key == dim_key:
         return pruned.join(dim, on=fact_key, how="inner")
     return pruned.join(dim, on=F.col(fact_key) == dim[dim_key], how="inner")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/groupBy key: the
+    ``top_k`` heaviest keys with row counts and corpus fractions. The
+    operational question it answers at 100 TB: "will one reducer get
+    hammered?" — a key holding 5% of a 100 TB fact table is a 5 TB
+    shuffle partition, which no executor survives; this report is what
+    decides between a plain join, AQE skew split, and explicit salting
+    (``salted_join``).
+
+    One partial-aggregated groupBy + TakeOrderedAndProject (per-
+    partition heap, no global sort). Ties break by key value so the
+    report is deterministic. Returns
+    ``(key_col, n_rows, frac)`` ordered heaviest-first.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    total = df.count()
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("frac", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(F.col("n_rows").desc(), F.col(key_col))
+        .limit(top_k)
+    )

@@ -662,3 +662,83 @@ def domain_blocklist_filter(
         if hits.count() > broadcast_hits_bound:
             return out.join(hits, id_col, how)
     return out.join(F.broadcast(hits), id_col, how)
+
+
+def boilerplate_unit_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float = 0.5,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb idiom):
+    split every document into units (lines by default), compute each
+    DISTINCT unit's document frequency across the corpus, drop units
+    appearing in more than ``max_df_frac`` of documents (cookie
+    banners, nav bars, license footers), and reassemble the documents
+    in original unit order. With ``delimiter=' '`` the same machinery
+    is corpus-adaptive stop-word removal.
+
+    Scale shape: one explode + one (unit → doc-frequency) aggregate
+    over the corpus, then a unit-keyed anti join and one per-document
+    regroup — the blocked-unit relation is joined with a PLAIN anti
+    join, never broadcast (a permissive threshold can block a large
+    unit vocabulary; cf. the blocklist broadcast guard). Unit order is
+    restored with an in-row sort of (pos, unit) structs, so reassembly
+    adds no extra shuffle beyond the per-document regroup.
+
+    Returns ``(id_col, text_clean, n_kept, n_removed)`` for EVERY input
+    document (documents whose units are all blocked come back with
+    ``text_clean = ''``). Units are trimmed; empty units never count.
+    """
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    n_docs = df.count()
+    units = (
+        df.repartition(F.col(id_col))  # see doc_tokens: spread the explode
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "unit"),
+        )
+        .withColumn("unit", F.trim(F.col("unit")))
+        .where(F.col("unit") != "")
+    )
+    blocked = (
+        units.groupBy("unit")
+        .agg(F.count_distinct(F.col(id_col)).alias("dfc"))
+        .where(F.col("dfc") > max_df_frac * n_docs)
+        .select("unit")
+    )
+    tagged = units.join(blocked.withColumn("__blk", F.lit(1)), "unit", "left")
+    agg = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__blk").isNull(),
+                            F.struct(F.col("pos"), F.col("unit")),
+                        )
+                    )
+                ),
+                lambda s: s["unit"],
+            ),
+            delimiter,
+        ).alias("text_clean"),
+        F.sum(F.when(F.col("__blk").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__blk").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_removed"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )

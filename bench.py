@@ -87,6 +87,15 @@ HEADLINE = [
     # round-6 additions
     "q_knn_pq",
     "q_media_png_decode",
+    "q_join_bloom_pruned",
+    "q_sample_weighted",
+    "q_split_group_holdout",
+    "q_sample_token_budget",
+    "q_entity_resolution",
+    "q_dedup_containment",
+    "q_text_boilerplate",
+    "q_shard_manifest",
+    "q_skew_report",
 ]
 
 

@@ -939,3 +939,79 @@ def test_normalize_text_scrubs_controls_and_whitespace(spark):
     assert out[2] == "xy"
     assert out[3] == ""
     assert out[4] == "already clean"
+
+
+def test_containment_pairs_asymmetric(spark):
+    # doc 2 wholly contains doc 1's grams; Jaccard is low but
+    # containment(1 in 2) = 1.0; reverse direction fails the threshold
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "iota kappa lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    from ai_etl_pipeline_spark.operators import dedup
+
+    out = dedup.containment_pairs(df, "doc_id", "text", threshold=0.9, ngram=1)
+    rows = {(r["id_contained"], r["id_container"]): r["containment"] for r in out.collect()}
+    assert rows == {(1, 2): 1.0}
+
+
+def test_containment_mutual_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    from ai_etl_pipeline_spark.operators import dedup
+
+    out = dedup.containment_pairs(df, "doc_id", "text", threshold=0.9, ngram=1)
+    got = sorted((r["id_contained"], r["id_container"]) for r in out.collect())
+    assert got == [(1, 2), (2, 1)]  # mutual containment = near-dup
+
+
+def test_boilerplate_unit_removal_lines(spark):
+    # the cookie banner appears in 3/4 docs -> blocked at 0.5; body
+    # lines survive in original order; doc 4 (banner-only) comes back
+    # empty but present
+    banner = "accept all cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nreal content one\nmore text"),
+            (2, f"real content two\n{banner}"),
+            (3, f"{banner}\nreal content three"),
+            (4, banner),
+        ],
+        "doc_id long, text string",
+    )
+    from ai_etl_pipeline_spark.operators import textstats
+
+    out = textstats.boilerplate_unit_removal(
+        df, "doc_id", "text", max_df_frac=0.5, delimiter="\n"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text_clean"] == "real content one\nmore text"
+    assert rows[1]["n_removed"] == 1 and rows[1]["n_kept"] == 2
+    assert rows[2]["text_clean"] == "real content two"
+    assert rows[4]["text_clean"] == "" and rows[4]["n_kept"] == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        textstats.boilerplate_unit_removal(df, "doc_id", "text", max_df_frac=0.0)
+
+
+def test_boilerplate_keeps_rare_duplicate_units(spark):
+    # a unit repeated WITHIN one doc but present in only that doc is
+    # kept (df counts distinct docs, not occurrences)
+    df = spark.createDataFrame(
+        [(1, "same\nsame\nbody"), (2, "other\nlines"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    from ai_etl_pipeline_spark.operators import textstats
+
+    out = textstats.boilerplate_unit_removal(
+        df, "doc_id", "text", max_df_frac=0.5, delimiter="\n"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text_clean"] == "same\nsame\nbody"

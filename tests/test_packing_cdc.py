@@ -411,3 +411,43 @@ def test_corpus_profile_keeps_all_empty_strata(spark):
     assert out["xx"].n_docs == 2
     assert out["xx"].total_tokens == 0 and out["xx"].vocab == 0
     assert out["en"].total_tokens == 2
+
+
+def test_shard_manifest_order_insensitive_and_deterministic(spark):
+    from ai_etl_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(30)], "id long, shard int, text string"
+    )
+    m1 = {r["shard"]: (r["n_rows"], r["content_hash"])
+          for r in packing.shard_manifest(df, "shard", ["id", "text"]).collect()}
+    # same rows, different partitioning/order -> identical manifest
+    df2 = df.orderBy(F.col("id").desc()).repartition(7)
+    m2 = {r["shard"]: (r["n_rows"], r["content_hash"])
+          for r in packing.shard_manifest(df2, "shard", ["id", "text"]).collect()}
+    assert m1 == m2 and len(m1) == 3
+    # a single changed cell changes exactly that shard's hash
+    df3 = df.withColumn(
+        "text", F.when(F.col("id") == 4, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    m3 = {r["shard"]: (r["n_rows"], r["content_hash"])
+          for r in packing.shard_manifest(df3, "shard", ["id", "text"]).collect()}
+    assert m3[4 % 3] != m1[4 % 3]
+    assert all(m3[s] == m1[s] for s in m1 if s != 4 % 3)
+
+
+def test_key_skew_report_orders_and_fractions(spark):
+    from ai_etl_pipeline_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 20, "k long"
+    )
+    out = relational.key_skew_report(df, "k", top_k=2).collect()
+    assert [(r["k"], r["n_rows"], r["frac"]) for r in out] == [
+        (1, 50, 0.5),
+        (2, 30, 0.3),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        relational.key_skew_report(df, "k", top_k=0)
