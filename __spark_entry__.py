@@ -4590,6 +4590,383 @@ LIMIT 20
 """
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (Lucene non-negative IDF) for the
+    query ``spark merge window``: per-doc tf is in-row (no explode),
+    corpus stats are ONE single-row broadcast aggregate, top-10 via
+    TakeOrderedAndProject — zero corpus-keyed shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk(docs, "doc_id", "text", ["spark", "merge", "window"], k=10)
+
+
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def _bm25_scored_sql(limit_clause: str = "") -> str:
+    """Shared DuckDB rendering of bm25_scores for the fixed 3-term
+    query; expression grouping mirrors the Spark build order exactly
+    (idf*tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)), summed in term
+    order from 0.0) so 6-decimal rounding agrees."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_sum = "\n           + ".join(
+        f"ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * CAST(p.tf_{i} AS DOUBLE) * 2.2"
+        f" / (CAST(p.tf_{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + (0.75 * p.dl) / greatest(s.avgdl, 1e-9)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+per AS (
+  SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl,
+         {tf_cols}
+  FROM toked
+),
+stats AS (
+  SELECT count(*) AS n_docs, coalesce(avg(dl), 1.0) AS avgdl,
+         {df_cols}
+  FROM per
+),
+scored AS (
+  SELECT p.doc_id, p.dl AS n_tokens,
+         round(0.0
+           + {term_sum}, 6) AS bm25
+  FROM per p CROSS JOIN stats s
+){limit_clause}"""
+
+
+_TEXT_BM25_SQL = _bm25_scored_sql(
+    """
+SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                          AS INTEGER) AS rank
+FROM (SELECT * FROM scored WHERE bm25 > 0.0
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10)
+"""
+)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-50 fused with exact-cosine
+    top-50 for query vector vec_id=0 via Reciprocal Rank Fusion
+    (1/(60+rank), no score calibration). Both candidate lists are
+    retrieval-sized, so the fusion aggregate is tiny regardless of
+    corpus scale; doc_id ≡ vec_id by generator contract."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = textstats.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50)
+    ann = similarity.brute_force_knn(emb, emb.where(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank")
+    )
+    return similarity.rrf_fuse(
+        [kw.select("doc_id", "rank"), ann], "doc_id", topk=20
+    )
+
+
+_HYBRID_RRF_SQL = (
+    _bm25_scored_sql()
+    + f""",
+kw AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                      AS INTEGER) AS rank
+  FROM (SELECT * FROM scored WHERE bm25 > 0.0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 50)
+),
+cos AS (
+  SELECT c.vec_id AS doc_id,
+         round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id = 0
+),
+ann AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                      AS INTEGER) AS rank
+  FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT 50
+),
+contrib AS (
+  SELECT doc_id, rank FROM kw UNION ALL SELECT doc_id, rank FROM ann
+)
+SELECT doc_id,
+       round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+       CAST(count(*) AS INTEGER) AS n_lists,
+       min(rank) AS best_rank
+FROM contrib
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20"""
+)
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022 re-expressed
+    relationally): 8-gram positions shared by >=2 docs, merged into
+    maximal per-doc spans via gaps-and-islands. Gram relation is
+    corpus-token-sized, island merge is dup-hit-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=8, min_df=2)
+
+
+def _substring_spans_sql(n: int = 8) -> str:
+    """DuckDB rendering of duplicate_ngram_spans (shared by the spans
+    and stats oracles): same portable md5 gram hash, same island
+    merge."""
+    gram_hash = md5_i64_sql(f"array_to_string(list_slice(ts, i, i + {n - 1}), ' ')")
+    return rf"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, {gram_hash} AS gram
+  FROM tokarr, unnest(generate_series(1, len(ts) - {n - 1})) AS t(i)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + {n - 1} AS e
+  FROM grams g JOIN dup USING (gram)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+numbered AS (
+  SELECT doc_id, s, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+         CAST(max(e) AS INTEGER) AS span_end,
+         CAST(max(e) - min(s) + 1 AS INTEGER) AS span_tokens
+  FROM numbered GROUP BY doc_id, span_no
+)"""
+
+
+_DEDUP_SUBSTRING_SPANS_SQL = (
+    _substring_spans_sql() + "\nSELECT doc_id, span_start, span_end, span_tokens FROM spans"
+)
+
+
+def q_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget + substring-dedup keep flag
+    (dup_frac <= 0.3) over the 8-gram duplicate spans — the document
+    filter a curation pipeline applies after passage-level dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(docs, "doc_id", "text", n=8, min_df=2, max_dup_frac=0.3)
+
+
+_DEDUP_SUBSTRING_STATS_SQL = (
+    _substring_spans_sql()
+    + r""",
+per AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+         AS dup_frac,
+       round(coalesce(p.dup_tokens, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+         <= 0.3 AS keep_substring
+FROM base b LEFT JOIN per p USING (doc_id)"""
+)
+
+
+def q_text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring (Wenzek et al. 2020): an
+    add-0.5-smoothed bigram LM trained relationally on the corpus
+    itself, every document scored by mean NLL + perplexity. LM build is
+    two aggregates; scoring is one bigram-keyed join."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lm_perplexity(docs, "doc_id", "text")
+
+
+_TEXT_LM_PPL_SQL = r"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+  FROM tokarr, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+bc AS (SELECT prev, cur, count(*) AS c12 FROM bigrams GROUP BY prev, cur),
+cc AS (SELECT prev, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY prev),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(ts) AS tok FROM tokarr)
+),
+scored AS (
+  SELECT b.doc_id,
+         -ln((bc.c12 + 0.5) / (cc.c1 + 0.5 * v.v)) AS nll
+  FROM bigrams b
+  JOIN bc USING (prev, cur)
+  JOIN cc USING (prev)
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(nll), 6) AS avg_nll,
+         round(exp(avg(nll)), 6) AS ppl
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.avg_nll, p.ppl
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → scan round-trip (the training-corpus interchange
+    format): documents written as line-delimited JSON part files, read
+    back under a DECLARED schema (no inference pre-pass), then
+    aggregated per language. ``sum(length(text))`` proves the text
+    column — unicode, quotes, escapes — survived the round-trip
+    byte-for-byte; the oracle aggregates the parquet originals."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ai_etl_pipeline_spark.sources.readers import read_jsonl
+    from ai_etl_pipeline_spark.sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "jsonl_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_jsonl(docs.select("doc_id", "text", "lang", "n_chars"), out)
+    back = read_jsonl(
+        spark, out, schema="doc_id bigint, text string, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_SOURCE_JSONL_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_layout_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping via zone maps (the Delta/Iceberg data-skipping
+    idiom as plain DataFrames): lineitem laid out range-partitioned on
+    l_orderkey into 8 files, a per-file min/max manifest built once,
+    then a range scan that drops non-intersecting files from the read
+    plan BEFORE Spark opens any footer. The oracle replays the same
+    range filter over the logical table — pruning must be invisible to
+    results."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ai_etl_pipeline_spark.sources.readers import (
+        zone_map_manifest,
+        zone_map_pruned_scan,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "zonemap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    li.repartitionByRange(8, "l_orderkey").write.mode("overwrite").parquet(out)
+    man = zone_map_manifest(spark, out, ["l_orderkey"])
+    pruned = zone_map_pruned_scan(spark, out, man, "l_orderkey", lo=1000, hi=9000)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_LAYOUT_ZONE_MAP_SQL = """
+SELECT count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 9000
+"""
+
+
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality rollup: per-DAY DataSketches HLL
+    sketches of user_id, WEEKLY distincts produced by unioning sketch
+    bytes (never re-scanning events) — the ingest-once/roll-up-forever
+    idiom. Sketch estimates are engine-specific, so (q_agg_approx
+    precedent) the oracle-able rendering is the accuracy flag: merged
+    estimate within 10% of the exact weekly distinct computed
+    alongside."""
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("week", F.date_trunc("week", F.col("ts")))
+    )
+    rolled = distinct.hll_sketch_rollup(ev, ["week", "day"], ["week"], "user_id")
+    exact = ev.groupBy("week").agg(F.count_distinct("user_id").alias("exact_users"))
+    return rolled.join(exact, "week").select(
+        "week",
+        "n_fine_groups",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.10
+        ).alias("sketch_within_10pct"),
+    )
+
+
+_AGG_SKETCH_ROLLUP_SQL = """
+SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
+       CAST(count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS n_fine_groups,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_within_10pct
+FROM events
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4602,6 +4979,16 @@ LIMIT 20
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
+    #     substring-level duplicate-span dedup (Lee et al. 2022) ---
+    "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
+    "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
+    "q_dedup_substring_spans": (q_dedup_substring_spans, _DEDUP_SUBSTRING_SPANS_SQL),
+    "q_dedup_substring_stats": (q_dedup_substring_stats, _DEDUP_SUBSTRING_STATS_SQL),
+    "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
+    "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
+    "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
+    "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
@@ -4613,17 +5000,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
     "q_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
     "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
-    # --- round-3 NEW: passage dedup, k-means, event analytics ---
-    "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
-    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
-    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
-    "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
+    # --- round-6 CHANGED code paths (kmeans assignment persist /
+    # SemDeDup block bound) — must stay in-window ---
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
-    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
-    # value-map apply operators gained trim-consistency this round
-    "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
-    "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     # --- round-3 CHANGED operator code (gopher/repetition refactored
     # into shared metric helpers; clusters convergence check rewritten;
     # minhash feeds clusters — all stay in-window) ---
@@ -4667,10 +5047,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-5 NEW: fixed-budget stratum sample + RAG chunking +
     #     data-quality expectations ---
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
-    "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4/r5, code unchanged)
+    "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
+    "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
+    "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
+    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
+    "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
+    "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
     "q_bulk_part_suppliers": (q_bulk_part_suppliers, _BULK_PART_SUPPLIERS_SQL),
     "q_last_shipper": (q_last_shipper, _LAST_SHIPPER_SQL),

@@ -779,3 +779,124 @@ def containment_pairs(
         F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" idea,
+    re-expressed relationally): every n-token gram occurring in >=
+    ``min_df`` documents marks its covering token positions as
+    duplicated; overlapping covered intervals merge into maximal spans
+    per document (gaps-and-islands). Unlike document-level MinHash this
+    finds the COPIED PASSAGE itself — quote blocks, license headers,
+    syndicated paragraphs — inside otherwise-unique documents.
+
+    Scale shape: the gram relation is corpus-token-sized (same budget
+    as ``doc_shingles``), grams travel as portable 60-bit md5 ints, and
+    the duplicated-gram set comes from ONE (gram → distinct-doc-count)
+    aggregate. The positions→dup-grams join shuffles on the gram hash
+    (well-spread by construction); the island merge is one per-doc
+    window over dup positions only (dup-hit-sized, not corpus-sized).
+
+    Token positions are 1-based. Returns
+    ``(id_col, span_start, span_end, span_tokens)`` — one row per
+    maximal duplicated span.
+    """
+    if n < 2:
+        raise ValueError(f"duplicate_ngram_spans: n must be >= 2, got {n}")
+    from pyspark.sql import Window
+
+    toked = df.repartition(F.col(id_col)).select(  # repartition: see doc_tokens
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    # gram starts 1..len-n+1; sequence() DESCENDS when stop < start, so
+    # short documents must short-circuit to an empty array
+    starts = F.when(
+        F.size("__toks") >= n, F.sequence(F.lit(1), F.size("__toks") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(starts).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        md5_i64(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), n))).alias(
+            "gram"
+        ),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("dfc"))
+        .where(F.col("dfc") >= min_df)
+        .select("gram")
+    )
+    # plain (non-broadcast) join: a boilerplate-heavy corpus can have a
+    # large duplicated-gram vocabulary (cf. the blocklist guard)
+    hits = grams.join(dup_grams, "gram").select(
+        F.col(id_col), F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(
+            0
+        ),
+    ).withColumn("span_no", F.sum("new_span").over(w_run))
+    return flagged.groupBy(id_col, "span_no").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+    ).select(
+        F.col(id_col),
+        F.col("span_start"),
+        F.col("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document duplicated-token budget from
+    ``duplicate_ngram_spans``: total tokens, tokens inside duplicated
+    spans, their ratio, and the keep flag (``dup_frac <= max_dup_frac``
+    — the substring-dedup document filter). Every input document gets a
+    row (no-span docs report 0.0). The span relation is dup-hit-sized,
+    so the join back to the corpus adds one bounded shuffle."""
+    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_df=min_df)
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_tokens").alias("dup_tokens"))
+    base = df.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumn("keep_substring", F.col("dup_frac") <= max_dup_frac)
+    )

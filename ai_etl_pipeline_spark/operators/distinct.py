@@ -160,3 +160,45 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         "stddev",
         "p50",
     )
+
+
+def hll_sketch_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Mergeable-cardinality rollup: one DataSketches HLL sketch per
+    FINE group (``hll_sketch_agg``), coarse groups produced by MERGING
+    those sketches (``hll_union_agg``) — never re-scanning the raw
+    data. This is the 100 TB cardinality idiom: daily sketches are
+    computed once at ingest (fixed ~2^lgK bytes each, any partition
+    order), and weekly/monthly/all-time distincts come from unioning
+    sketch bytes, so a year of rollups costs 365 sketch merges instead
+    of 365 corpus scans. ``approx_count_distinct`` (q_agg_approx) gives
+    the estimate but NOT the mergeable intermediate; this returns both:
+    ``(coarse_keys..., n_fine_groups, approx_distinct, sketch)``.
+
+    ``coarse_keys`` must be a (possibly empty) subset of ``fine_keys``;
+    an empty list rolls everything into one row. The sketch column can
+    be persisted (binary) and unioned again later — associative,
+    commutative, idempotent by construction.
+    """
+    missing = [k for k in coarse_keys if k not in fine_keys]
+    if missing:
+        raise ValueError(f"hll_sketch_rollup: coarse keys {missing} not in fine keys")
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("sketch")
+    )
+    grouped = fine.groupBy(*coarse_keys) if coarse_keys else fine.groupBy()
+    coarse = grouped.agg(
+        F.count(F.lit(1)).alias("n_fine_groups"),
+        F.hll_union_agg("sketch").alias("sketch"),
+    )
+    return coarse.select(
+        *coarse_keys,
+        "n_fine_groups",
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        "sketch",
+    )

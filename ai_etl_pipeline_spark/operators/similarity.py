@@ -810,3 +810,46 @@ def semantic_dedup(
     # keep-side consumes the SAME persisted frame (a cache hit; `full`
     # would be a different plan subtree and recompute the assignment)
     return base.join(twins, id_col, "left_anti").drop("__v", "sq_dist", "__n")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) over N ranked
+    candidate lists: ``rrf = sum_i 1 / (rrf_k + rank_i)``. The standard
+    hybrid-retrieval combiner — fuse a BM25 keyword list
+    (``textstats.bm25_topk``) with a cosine ANN list (``ivf_knn`` /
+    ``brute_force_knn``) without score calibration, since RRF consumes
+    only rank positions.
+
+    Scale shape: each input is a top-N list (small by construction —
+    retrieval output, not corpus), so the union + (id → sum) aggregate
+    is candidate-sized; AQE will coalesce it to a handful of tasks.
+    Returns ``(id_col, rrf_score, n_lists, best_rank)`` ordered for
+    inspection by score desc, id asc (ties broken by id); ``topk``
+    limits via TakeOrderedAndProject.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col))).alias("__c"),
+            F.col(rank_col).alias("__r"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"),
+        F.min("__r").alias("best_rank"),
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return out.limit(topk) if topk is not None else out

@@ -742,3 +742,195 @@ def boilerplate_unit_removal(
             F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of every document against a FIXED query-term list
+    (Robertson et al.; the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    non-negative IDF variant). The keyword-retrieval complement to the
+    cosine ANN tier — hybrid pipelines fuse both (see
+    ``similarity.rrf_fuse``).
+
+    Scale shape — ZERO corpus-keyed shuffles: the query list is small
+    by contract, so per-document term frequencies are in-row
+    ``size(filter(toks, ...))`` expressions (no explode, no (doc,term)
+    aggregate — compare ``tf_idf``, which pays two), and the corpus
+    statistics (N, avgdl, per-term document frequency) reduce to ONE
+    single-row aggregate broadcast back. The whole operator is
+    scan-speed: projection → one scalar agg → projection.
+
+    Returns ``(id_col, n_tokens, bm25)`` for every document; docs
+    containing no query term score 0.0.
+    """
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"bm25_scores: duplicate query terms in {terms}")
+    toks = tokens_col(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        # tf via size-difference (array_remove drops every occurrence);
+        # a `lambda x, t=t:` filter would read as a TWO-arg lambda to
+        # Spark, which binds the second param to the element index
+        *[
+            (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        # coalesce: empty corpus gives NULL avg; 1.0 keeps the ratio finite
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    # all-empty-docs corpus: avgdl aggregates to 0.0 -> guard the divide
+    avgdl = F.greatest(F.col("avgdl"), F.lit(1e-9))
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+    return scored.select(
+        F.col(id_col),
+        F.col("dl").alias("n_tokens"),
+        F.round(score, 6).alias("bm25"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits with dense rank positions. Ties broken by id so
+    the result (and the oracle replay) is deterministic; the global
+    sort-limit compiles to TakeOrderedAndProject — per-partition heaps
+    + a k-row driver merge, no full sort at 100 TB. Returns
+    ``(id_col, bm25, rank)``."""
+    scored = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b).where(
+        F.col("bm25") > 0.0
+    )
+    from pyspark.sql import Window
+
+    ranked = scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "bm25", "rank"
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model perplexity per document (the CCNet idiom —
+    Wenzek et al. 2020 score documents with a reference LM and filter
+    or bucket on perplexity; here the LM is an add-k-smoothed bigram
+    model trained relationally on ``ref_df``, defaulting to the scored
+    corpus itself).
+
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)`` with
+    ``c(w1 ·)`` the context count (w1 occurrences as a non-final
+    token) and ``V`` the reference unigram vocabulary size.
+
+    Scale shape: bigram extraction is in-row (transform over the token
+    array — the ``doc_shingles`` pattern, keeping duplicates); the LM
+    is ONE (bigram → count) aggregate plus a (prev → context-count)
+    re-aggregate of that same table; scoring is one join on the bigram
+    hash (well-spread) with a prev-keyed fallback join ONLY for
+    bigrams unseen in the reference (empty when ref_df is df itself —
+    Catalyst prunes nothing, but the miss side carries zero rows). V
+    is a scalar broadcast.
+
+    Returns ``(id_col, n_bigrams, avg_nll, ppl)`` for every document;
+    docs with < 2 tokens report NULL avg_nll/ppl.
+    """
+    ref = ref_df if ref_df is not None else df
+
+    def bigram_relation(frame: DataFrame) -> DataFrame:
+        toked = frame.repartition(F.col(id_col)).select(  # see doc_tokens
+            F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+        )
+        starts = F.when(
+            F.size("__toks") >= 2, F.sequence(F.lit(1), F.size("__toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return toked.select(
+            F.col(id_col), F.explode(starts).alias("i"), F.col("__toks")
+        ).select(
+            F.col(id_col),
+            F.element_at("__toks", F.col("i")).alias("prev"),
+            F.element_at("__toks", F.col("i") + 1).alias("cur"),
+        )
+
+    ref_bigrams = bigram_relation(ref)
+    big_counts = ref_bigrams.groupBy("prev", "cur").agg(F.count("*").alias("c12"))
+    ctx_counts = big_counts.groupBy("prev").agg(F.sum("c12").alias("c1"))
+    vocab = ref.select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+
+    probs = big_counts.join(ctx_counts, "prev")
+    doc_bigrams = bigram_relation(df)
+    scored = (
+        doc_bigrams.join(probs, ["prev", "cur"], "left")
+        # unseen-bigram fallback: c12 := 0 with the prev context count
+        # (itself 0 for unseen prev) — only miss rows pay this join
+        .join(
+            ctx_counts.select(F.col("prev"), F.col("c1").alias("c1_fb")),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+                    / (
+                        F.coalesce(F.col("c1"), F.col("c1_fb"), F.lit(0))
+                        + F.lit(add_k) * F.col("v")
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 6).alias("ppl"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("avg_nll"),
+            F.col("ppl"),
+        )
+    )

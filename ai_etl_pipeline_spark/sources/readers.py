@@ -95,3 +95,86 @@ def load_source_file(spark: SparkSession, path: str) -> DataFrame | dict[str, Da
     if ext == ".parquet":
         return read_parquet(spark, path)
     raise ValueError(f"Unsupported file extension: {ext!r} (expected .csv/.xlsx/.xls/.parquet)")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan — the lingua franca of LLM training corpora.
+    Spark's json source is line-delimited by default, so this is a
+    splittable distributed scan (each executor reads its own byte
+    ranges; a single huge .jsonl still parallelizes by line blocks).
+
+    Pass ``schema`` (DDL string or StructType) in production: without
+    it Spark runs a full inference pre-pass over the data — twice the
+    I/O at 100 TB. Column pruning still applies; predicate pushdown
+    does not (row format), so filter-heavy pipelines should convert to
+    parquet first (``write_jsonl`` ↔ ``read_parquet`` round-trip)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def zone_map_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file zone map (min/max/null-count per column + row count) over
+    a parquet dataset — the data-skipping index Delta/Iceberg keep in
+    their transaction logs, built here as a plain DataFrame via the
+    ``_metadata.file_path`` hidden column (one distributed scan, one
+    file-keyed aggregate; file count partitions, so the result is
+    manifest-sized, not data-sized). Persist it next to the data and
+    feed it to ``zone_map_pruned_scan`` to skip files at planning time.
+
+    Returns ``(file_path, n_rows, min_<c>, max_<c>, nulls_<c>, ...)``.
+    """
+    df = spark.read.parquet(path)
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"nulls_{c}"
+            )
+        )
+    return df.groupBy(
+        F.col("_metadata.file_path").alias("file_path")
+    ).agg(*aggs)
+
+
+def zone_map_pruned_scan(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Range scan that consults a ``zone_map_manifest`` FIRST: files
+    whose [min, max] zone cannot intersect [lo, hi] are dropped from
+    the read plan entirely — I/O skipping above and beyond parquet
+    row-group pushdown (Spark still opens every footer without this;
+    at 100 TB with millions of files, planning-time pruning is the
+    difference between touching 1% and 100% of the listing).
+
+    The manifest is file-count-sized by contract — the only
+    driver-side collect here. Files with an all-NULL zone (min/max
+    NULL) are conservatively KEPT, and the predicate is re-applied to
+    the surviving files, so results never depend on zone tightness —
+    a STALE manifest (missing newly added files) is the caller's
+    contract to avoid. Returns the filtered DataFrame; inspect
+    ``.inputFiles()`` to see the skipping."""
+    if lo is None and hi is None:
+        raise ValueError("zone_map_pruned_scan: need lo and/or hi")
+    keep = F.lit(True)
+    if hi is not None:
+        keep = keep & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= hi))
+    if lo is not None:
+        keep = keep & (F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= lo))
+    files = [r["file_path"] for r in manifest.where(keep).select("file_path").collect()]
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(pred)

@@ -224,3 +224,22 @@ def write_zorder_parquet(
     # per-partition sort); the helper column never reaches the files
     out = df.withColumn("__z", z).orderBy("__z").drop("__z")
     out.write.mode(mode).parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-Lines sink (directory of part files, one JSON object per
+    line) — the interchange format training stacks ingest directly.
+    ``compression='gzip'`` trades splittability for size; leave None
+    when a downstream Spark/streaming job re-reads the output."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -1,0 +1,336 @@
+"""Round-6 wave-4 operators: BM25 keyword retrieval, RRF hybrid
+fusion, substring-level duplicate-span dedup (Lee et al. 2022 shape),
+bigram LM perplexity (CCNet shape), JSONL source/sink round-trip."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import dedup, similarity, textstats
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    """Straight-line reference implementation."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, _ in docs:
+        dl = len(toks[i])
+        s = 0.0
+        for term in terms:
+            tf = toks[i].count(term)
+            dfreq = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    rows = [
+        (1, "spark runs fast spark scales"),
+        (2, "pandas is eager"),
+        (3, "spark joins and windows"),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in textstats.bm25_scores(df, "doc_id", "text", ["spark", "windows"]).collect()
+    }
+    want = _bm25_expected(rows, ["spark", "windows"])
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), i
+    assert got[4] == 0.0  # no query term -> exactly zero
+
+
+def test_bm25_topk_rank_and_ties(spark):
+    rows = [(i, "common filler words") for i in range(5)] + [
+        (10, "target target target"),
+        (11, "target here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = textstats.bm25_topk(df, "doc_id", "text", ["target"], k=5).collect()
+    assert [r["doc_id"] for r in top][:2] == [10, 11]  # tf dominates
+    assert [r["rank"] for r in top] == list(range(1, len(top) + 1))
+    assert all(r["bm25"] > 0 for r in top)  # zero-score docs filtered
+
+
+def test_bm25_rejects_bad_query(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(df, "doc_id", "text", ["x", "X"])  # dup after lower
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_two_lists(spark):
+    kw = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    ann = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"], r["best_rank"])
+        for r in similarity.rrf_fuse([kw, ann], "doc_id", rrf_k=60).collect()
+    }
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)  # in both lists
+    assert got[1] == (round(1 / 61, 6), 1, 1)
+    assert got[4] == (round(1 / 62, 6), 1, 2)
+    # doc 2 (two lists) outranks doc 1 (one list, rank 1)
+    ordered = [
+        r["doc_id"]
+        for r in similarity.rrf_fuse([kw, ann], "doc_id", topk=2).collect()
+    ]
+    assert ordered[0] == 2
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# substring duplicate spans
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_exact_bounds(spark):
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon"),
+            (3, "totally unrelated text with enough tokens here ok"),
+        ],
+    )
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    # doc 1: shared run occupies token positions 3..10 (1-based)
+    assert spans[1] == (3, 10, 8)
+    # doc 2: positions 1..8
+    assert spans[2] == (1, 8, 8)
+    assert 3 not in spans
+
+
+def test_duplicate_spans_merge_overlapping(spark):
+    # 10 shared tokens -> three overlapping 8-gram hits -> ONE merged span
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs = _mk_docs(spark, [(1, shared), (2, f"pre {shared} post")])
+    spans = dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=8).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert (by_doc[1][0]["span_start"], by_doc[1][0]["span_end"]) == (1, 10)
+    assert (by_doc[2][0]["span_start"], by_doc[2][0]["span_end"]) == (2, 11)
+
+
+def test_duplicate_spans_short_docs_and_n_guard(spark):
+    docs = _mk_docs(spark, [(1, "too short"), (2, "too short")])
+    assert dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=8).count() == 0
+    with pytest.raises(ValueError):
+        dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=1)
+
+
+def test_substring_dup_stats_filter(spark):
+    shared = " ".join(f"w{i}" for i in range(20))
+    docs = _mk_docs(
+        spark,
+        [
+            (1, shared),                                  # 100% duplicated
+            (2, shared + " unique tail here now ok yes"),  # partially duplicated
+            (3, "independent document with its own words entirely"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.substring_dup_stats(
+            docs, "doc_id", "text", n=8, max_dup_frac=0.5
+        ).collect()
+    }
+    assert got[1]["dup_frac"] == 1.0 and not got[1]["keep_substring"]
+    assert got[2]["dup_tokens"] == 20 and got[2]["n_tokens"] == 26
+    assert got[3]["dup_frac"] == 0.0 and got[3]["keep_substring"]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+def test_lm_perplexity_reference_values(spark):
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.lm_perplexity(df, "doc_id", "text").collect()}
+
+    # reference model: bigrams ab(x2 from doc1) ba(1) ab(doc2) bc(1) => c(a b)=3, c(b a)=1, c(b c)=1
+    # contexts: c(a ·)=3, c(b ·)=2 ; V = {a,b,c,x} = 4 ; k=0.5
+    def p(c12, c1):
+        return (c12 + 0.5) / (c1 + 0.5 * 4)
+
+    nll1 = -(math.log(p(3, 3)) + math.log(p(1, 2)) + math.log(p(3, 3))) / 3
+    assert got[1]["avg_nll"] == pytest.approx(round(nll1, 6), abs=2e-6)
+    assert got[1]["ppl"] == pytest.approx(round(math.exp(nll1), 6), abs=2e-6)
+    nll2 = -(math.log(p(3, 3)) + math.log(p(1, 2))) / 2
+    assert got[2]["avg_nll"] == pytest.approx(round(nll2, 6), abs=2e-6)
+    # single-token doc: no bigrams
+    assert got[3]["n_bigrams"] == 0 and got[3]["ppl"] is None
+
+
+def test_lm_perplexity_external_reference(spark):
+    ref = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    df = spark.createDataFrame([(9, "a b z q")], "doc_id long, text string")
+    row = textstats.lm_perplexity(df, "doc_id", "text", ref_df=ref).collect()[0]
+    # seen bigram (a,b): c12=2, c(a ·)=2, V=2 ; unseen (b,z): c(b ·)=1 ;
+    # unseen context (z,q): c12=0, c1=0
+    k, v = 0.5, 2
+    exp_nll = -(
+        math.log((2 + k) / (2 + k * v))
+        + math.log(k / (1 + k * v))
+        + math.log(k / (0 + k * v))
+    ) / 3
+    assert row["avg_nll"] == pytest.approx(round(exp_nll, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# JSONL round-trip
+# ---------------------------------------------------------------------------
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import read_jsonl
+    from ai_etl_pipeline_spark.sources.writers import write_jsonl
+
+    rows = [
+        (1, 'line with "quotes" and \n newline', "en"),
+        (2, "unicode: über straße 日本語", "de"),
+        (3, None, "es"),  # null text survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_partitioned_write(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import read_jsonl
+    from ai_etl_pipeline_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "de")], "doc_id long, text string, lang string"
+    )
+    out = str(tmp_path / "parts")
+    write_jsonl(df, out, partition_cols=["lang"])
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=de",
+        "lang=en",
+    ]
+    back = read_jsonl(spark, out, schema="doc_id long, text string")
+    assert back.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# zone-map file skipping
+# ---------------------------------------------------------------------------
+
+def test_zone_map_prunes_files_and_preserves_results(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import (
+        zone_map_manifest,
+        zone_map_pruned_scan,
+    )
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "zoned")
+    df.repartitionByRange(10, "id").write.parquet(out)
+    man = zone_map_manifest(spark, out, ["id"])
+    assert man.count() == 10 and man.agg(F.sum("n_rows")).collect()[0][0] == 1000
+
+    pruned = zone_map_pruned_scan(spark, out, man, "id", lo=150, hi=250)
+    # correctness: identical to the unpruned filter
+    want = sorted(r["id"] for r in df.where(F.col("id").between(150, 250)).collect())
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == want
+    # skipping: the 101-row slice lives in at most 3 of 10 range files
+    assert 0 < len(pruned.inputFiles()) <= 3
+
+    # empty intersection -> zero files, empty result, schema preserved
+    none = zone_map_pruned_scan(spark, out, man, "id", lo=5000, hi=6000)
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+
+def test_zone_map_null_zones_kept(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import (
+        zone_map_manifest,
+        zone_map_pruned_scan,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    b = spark.createDataFrame([(None, "z")], "k long, s string")
+    out = str(tmp_path / "nullzone")
+    a.coalesce(1).write.parquet(out)
+    b.coalesce(1).write.mode("append").parquet(out)
+    man = zone_map_manifest(spark, out, ["k"])
+    # the all-NULL file has NULL min/max -> conservatively kept, but the
+    # re-applied predicate still filters its rows out
+    got = zone_map_pruned_scan(spark, out, man, "k", lo=1, hi=10)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    with pytest.raises(ValueError):
+        zone_map_pruned_scan(spark, out, man, "k")
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch rollup
+# ---------------------------------------------------------------------------
+
+def test_hll_rollup_merge_equals_direct(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dx
+
+    rows = [(g, d, u) for g in ("a", "b") for d in range(3) for u in range(d * 7, d * 7 + 20)]
+    df = spark.createDataFrame(rows, "grp string, day int, user long")
+    rolled = {
+        r["grp"]: r
+        for r in dx.hll_sketch_rollup(df, ["grp", "day"], ["grp"], "user").collect()
+    }
+    # 3 fine groups per coarse group; exact distinct = |{0..33}| = 34,
+    # far inside sparse mode -> estimate is exact
+    for g in ("a", "b"):
+        assert rolled[g]["n_fine_groups"] == 3
+        assert round(rolled[g]["approx_distinct"]) == 34
+
+    # global rollup (empty coarse keys) merges ALL sketches
+    total = dx.hll_sketch_rollup(df, ["grp", "day"], [], "user").collect()[0]
+    assert total["n_fine_groups"] == 6 and round(total["approx_distinct"]) == 34
+
+    with pytest.raises(ValueError):
+        dx.hll_sketch_rollup(df, ["day"], ["grp"], "user")
+
+
+def test_hll_rollup_sketch_column_is_reusable(spark):
+    """The binary sketch column must survive persistence and re-union —
+    the whole point of the mergeable tier."""
+    from ai_etl_pipeline_spark.operators import distinct as dx
+
+    df = spark.createDataFrame(
+        [(d, u) for d in range(4) for u in range(50)], "day int, user long"
+    )
+    daily = dx.hll_sketch_rollup(df, ["day"], ["day"], "user").select("day", "sketch")
+    re_merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).collect()[0]["est"]
+    assert round(re_merged) == 50
