@@ -4967,6 +4967,136 @@ GROUP BY 1
 """
 
 
+_CLS_WEIGHTS = {
+    "spark": 1.5,
+    "data": 0.8,
+    "query": 0.6,
+    "fast": 1.0,
+    "slow": -1.2,
+    "noise": -2.0,
+    "the": -0.1,
+    "a": -0.1,
+}
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (DCLM curation idiom):
+    averaged unigram weights → sigmoid probability → keep flag. Literal
+    rendering: the model compiles into an in-row aggregate over a map
+    literal — zero shuffles, scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.linear_quality_classifier(
+        docs, "doc_id", "text", _CLS_WEIGHTS, threshold=0.5
+    )
+
+
+def _cls_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in sorted(_CLS_WEIGHTS.items())
+    )
+    return f"CASE t {arms} ELSE 0.0 END"
+
+
+_TEXT_CLASSIFIER_SQL = rf"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+per AS (
+  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         coalesce(list_aggregate(list_transform(ts, t -> {_cls_case_sql()}),
+                                 'sum'), 0.0) AS wsum
+  FROM tokarr
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         round(0.0 + wsum / greatest(n_tokens, 1), 6) AS score
+  FROM per
+)
+SELECT doc_id, n_tokens, score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS prob,
+       round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep_classifier
+FROM scored
+"""
+
+
+def q_clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (exact-percentile outlier clipping) of lineitem
+    price/quantity at [p05, p95]: ONE scalar percentile aggregate
+    broadcast back, clip in-row, verified via corpus-level stats of the
+    clipped columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = clean.winsorize(li, ["l_extendedprice", "l_quantity"], lo=0.05, hi=0.95)
+    return w.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice__was_clipped").cast("long")).alias(
+            "n_price_clipped"
+        ),
+        F.sum(F.col("l_quantity__was_clipped").cast("long")).alias("n_qty_clipped"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price_w"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price_w"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price_w"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty_w"),
+    )
+
+
+_CLEAN_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.05) AS lo_p,
+         quantile_cont(l_extendedprice, 0.95) AS hi_p,
+         quantile_cont(l_quantity, 0.05) AS lo_q,
+         quantile_cont(l_quantity, 0.95) AS hi_q
+  FROM lineitem
+),
+w AS (
+  SELECT least(greatest(l_extendedprice, lo_p), hi_p) AS price_w,
+         least(greatest(l_quantity, lo_q), hi_q) AS qty_w,
+         (l_extendedprice < lo_p OR l_extendedprice > hi_p) AS pc,
+         (l_quantity < lo_q OR l_quantity > hi_q) AS qc
+  FROM lineitem CROSS JOIN b
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN pc THEN 1 ELSE 0 END) AS BIGINT) AS n_price_clipped,
+       CAST(sum(CASE WHEN qc THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_clipped,
+       round(avg(price_w), 2) AS avg_price_w,
+       round(min(price_w), 2) AS min_price_w,
+       round(max(price_w), 2) AS max_price_w,
+       round(avg(qty_w), 4) AS avg_qty_w
+FROM w
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags over the event stream: one
+    user-partitioned window computes mean/stddev, anomalies are
+    |z| > 2.5 — the monitoring composite (single hash-partition
+    exchange; single-event users have NULL stddev and can never
+    alarm)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w), 6
+    )
+    return (
+        ev.withColumn("z", z)
+        .where(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", "event_type", "z")
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH z AS (
+  SELECT event_id, user_id, event_type,
+         round((value - avg(value) OVER (PARTITION BY user_id))
+               / stddev(value) OVER (PARTITION BY user_id), 6) AS z
+  FROM events
+)
+SELECT event_id, user_id, event_type, z FROM z WHERE abs(z) > 2.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4989,6 +5119,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
+    "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
+    "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
+    "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
@@ -5011,15 +5144,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
-    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
-    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
     # --- round-6 NEW: PQ compressed ANN tier ---
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     # --- driver-unverified in r1: sampling + curation ---
     # --- round-3 NEW training-data ops (must sit in 1-50) ---
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
-    "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
@@ -5051,6 +5181,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4/r5, code unchanged)
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
+    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
+    "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
     "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),

@@ -264,3 +264,43 @@ def preprocess_sheets(
         out[name] = cleaned
         logs[name] = log
     return out, logs
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping (winsorization) of numeric feature columns —
+    the standard outlier guard ahead of scaling/training. Exact linear-
+    interpolation percentiles (``F.percentile``; quantile_cont
+    semantics) for every column come from ONE aggregate reduced to a
+    single broadcast row, then the clip is an in-row
+    ``least(greatest(...))`` projection — two passes total, no shuffle
+    beyond the scalar aggregate, any number of columns.
+
+    Replaces each column with its clipped value and adds
+    ``<col>__was_clipped``."""
+    if not cols:
+        raise ValueError("winsorize: cols must be non-empty")
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"winsorize: need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    bounds = df.agg(
+        *[
+            p
+            for c in cols
+            for p in (
+                F.percentile(F.col(c), F.lit(lo)).alias(f"__lo_{c}"),
+                F.percentile(F.col(c), F.lit(hi)).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        lo_c, hi_c = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        out = out.withColumn(
+            f"{c}__was_clipped",
+            (F.col(c) < lo_c) | (F.col(c) > hi_c),
+        ).withColumn(c, F.least(F.greatest(F.col(c), lo_c), hi_c))
+    return out.drop(*[n for c in cols for n in (f"__lo_{c}", f"__hi_{c}")])

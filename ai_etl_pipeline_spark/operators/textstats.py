@@ -934,3 +934,78 @@ def lm_perplexity(
             F.col("ppl"),
         )
     )
+
+
+def linear_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    mode: str = "auto",
+    literal_bound: int = 256,
+) -> DataFrame:
+    """fastText-style linear document classifier (the DCLM/quality-
+    classifier curation idiom): averaged unigram features →
+    ``prob = sigmoid(bias + (1/n) · Σ_t w[token_t])`` summed over token
+    OCCURRENCES, keep flag at ``threshold``. The model is the
+    ``weights`` dict — trained offline, applied here at corpus scale.
+
+    Two renderings (the ``map_values`` literal/broadcast precedent):
+    - ``literal`` (vocab ≤ ``literal_bound``): the weight map compiles
+      into an in-row ``aggregate`` over a map literal — ZERO shuffles,
+      scan speed; the classifier rides along any projection.
+    - ``broadcast``: explode → broadcast-hash-join the weight relation
+      → per-doc aggregate — one doc-keyed shuffle, any vocab size.
+    ``auto`` picks by vocab size. Both produce identical results.
+
+    Returns ``(id_col, n_tokens, score, prob, keep_classifier)``.
+    """
+    if not weights:
+        raise ValueError("linear_quality_classifier: weights must be non-empty")
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"linear_quality_classifier: bad mode {mode!r}")
+    if mode == "auto":
+        mode = "literal" if len(weights) <= literal_bound else "broadcast"
+
+    toked = df.select(  # materialize once; see doc_shingles lambda-inlining rule
+        "*", tokens_col(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    if mode == "literal":
+        wmap = F.create_map(
+            *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+        )
+        wsum = F.aggregate(
+            F.col("__toks"),
+            F.lit(0.0),
+            lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+        )
+        base = toked.select(
+            F.col(id_col), n.alias("n_tokens"), wsum.alias("__wsum")
+        )
+    else:
+        wdf = df.sparkSession.createDataFrame(
+            sorted(weights.items()), "token string, w double"
+        )
+        # explode_OUTER: an empty document must still emit its row
+        # (wsum 0), matching the literal rendering exactly
+        tok_rel = toked.select(
+            F.col(id_col), n.alias("n_tokens"), F.explode_outer("__toks").alias("token")
+        )
+        base = (
+            tok_rel.join(F.broadcast(wdf), "token", "left")
+            .groupBy(id_col, "n_tokens")
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("__wsum"))
+        )
+    score = F.round(
+        F.lit(bias) + F.col("__wsum") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        score.alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
+    )
+    return out.withColumn("keep_classifier", F.col("prob") >= threshold)

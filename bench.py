@@ -96,6 +96,15 @@ HEADLINE = [
     "q_text_boilerplate",
     "q_shard_manifest",
     "q_skew_report",
+    # round-6 wave-4 additions
+    "q_text_bm25_topk",
+    "q_hybrid_rrf",
+    "q_dedup_substring_spans",
+    "q_dedup_substring_stats",
+    "q_text_lm_ppl",
+    "q_source_jsonl",
+    "q_layout_zone_map",
+    "q_agg_sketch_rollup",
 ]
 
 

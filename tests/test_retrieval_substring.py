@@ -334,3 +334,71 @@ def test_hll_rollup_sketch_column_is_reusable(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
     ).collect()[0]["est"]
     assert round(re_merged) == 50
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier + winsorize
+# ---------------------------------------------------------------------------
+
+def test_classifier_literal_equals_broadcast(spark):
+    w = {"good": 2.0, "great": 1.0, "bad": -3.0}
+    rows = [
+        (1, "good great good"),
+        (2, "bad bad stuff"),
+        (3, "neutral words only"),
+        (4, ""),  # empty doc must survive both renderings
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit_rows = sorted(
+        map(
+            tuple,
+            textstats.linear_quality_classifier(
+                df, "doc_id", "text", w, mode="literal"
+            ).collect(),
+        )
+    )
+    bc_rows = sorted(
+        map(
+            tuple,
+            textstats.linear_quality_classifier(
+                df, "doc_id", "text", w, mode="broadcast"
+            ).collect(),
+        )
+    )
+    assert lit_rows == bc_rows
+    got = {r[0]: r for r in lit_rows}
+    import math
+
+    score1 = round((2.0 + 1.0 + 2.0) / 3, 6)
+    assert got[1][2] == score1
+    assert got[1][3] == round(1 / (1 + math.exp(-score1)), 6)
+    assert got[1][4] is True and got[2][4] is False
+    assert got[3][2] == 0.0 and got[3][4] is True  # sigmoid(0)=0.5 >= 0.5
+    assert got[4][1] == 0 and got[4][2] == 0.0
+
+
+def test_classifier_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.linear_quality_classifier(df, "doc_id", "text", {})
+    with pytest.raises(ValueError):
+        textstats.linear_quality_classifier(df, "doc_id", "text", {"a": 1.0}, mode="x")
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    from ai_etl_pipeline_spark.operators import clean as cl
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(v, float(v)) for v in vals], "k long, v double")
+    out = cl.winsorize(df, ["v"], lo=0.10, hi=0.90)
+    rows = {r["k"]: r for r in out.collect()}
+    # exact linear-interpolation percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert min(r["v"] for r in rows.values()) == pytest.approx(10.9)
+    assert max(r["v"] for r in rows.values()) == pytest.approx(90.1)
+    clipped = [k for k, r in rows.items() if r["v__was_clipped"]]
+    assert sorted(clipped) == list(range(1, 11)) + list(range(91, 101))
+    assert rows[50]["v"] == 50.0 and not rows[50]["v__was_clipped"]
+    with pytest.raises(ValueError):
+        cl.winsorize(df, [], 0.1, 0.9)
+    with pytest.raises(ValueError):
+        cl.winsorize(df, ["v"], 0.9, 0.1)
