@@ -5097,6 +5097,69 @@ SELECT event_id, user_id, event_type, z FROM z WHERE abs(z) > 2.5
 """
 
 
+def q_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick signed TF vectorizer (Weinberger et al. 2009):
+    text → L2-normalized 16-dim vectors via portable md5 buckets — the
+    cheap-vectorizer rung that feeds the ANN/k-means tier without an
+    external embedding model. Vectors are rendered as comma-joined
+    micro-int strings (the parity canonicalizer rejects raw array
+    cells; 1e6-scaled bigints are engine-portable where double→string
+    formatting is not)."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = similarity.feature_hash_vectors(docs, "doc_id", "text", dim=16)
+    return vecs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("vector"),
+                lambda v: F.round(v * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("vec_micro"),
+        F.size(F.filter(F.col("vector"), lambda v: v != 0)).alias("nnz"),
+    )
+
+
+_EMBED_FEATURE_HASH_SQL = rf"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS token FROM tokarr),
+wts AS (
+  SELECT doc_id, {md5_i64_sql('token')} % 16 AS bucket,
+         sum(CASE WHEN {md5_i64_sql("'s|' || token")} % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS w
+  FROM tok GROUP BY doc_id, bucket
+),
+dense AS (
+  SELECT d.doc_id, s.j, coalesce(w.w, 0.0) AS w
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) s
+  LEFT JOIN wts w ON w.doc_id = d.doc_id AND w.bucket = s.j
+),
+vec AS (SELECT doc_id, list(w ORDER BY j) AS v FROM dense GROUP BY doc_id),
+nrm AS (
+  SELECT doc_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+  FROM vec
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> round(x / n, 6))
+              ELSE v END AS v
+  FROM nrm
+)
+SELECT doc_id,
+       array_to_string(list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)),
+                       ',') AS vec_micro,
+       CAST(len(list_filter(v, x -> x <> 0)) AS INTEGER) AS nnz
+FROM final
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5122,6 +5185,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
+    "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
@@ -5150,7 +5214,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- driver-unverified in r1: sampling + curation ---
     # --- round-3 NEW training-data ops (must sit in 1-50) ---
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
-    "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
@@ -5184,6 +5247,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
+    "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
     "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),

@@ -853,3 +853,81 @@ def rrf_fuse(
     )
     out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return out.limit(topk) if topk is not None else out
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    signed: bool = True,
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Hashing-trick TF vectorizer (Weinberger et al. 2009): tokens →
+    portable md5 buckets in [0, dim); optional second hash bit gives the
+    signed variant (unbiased inner products); optional L2 normalization
+    so downstream cosine reduces to a dot product. Turns raw text into
+    ``array<double>`` vectors that feed this module's whole ANN /
+    k-means / SemDeDup tier WITHOUT an external embedding model — the
+    classic cheap-vectorizer rung below learned embeddings.
+
+    Scale shape: explode → one (id, bucket) aggregate → one per-id
+    regroup (two shuffles, both id/bucket-spread); densification is an
+    in-row transform over a bucket→weight map, so no dim-sized
+    explosion ever shuffles. Hashes are the portable md5 family — the
+    DuckDB oracle replays vectors exactly.
+
+    Returns ``(id_col, vector)``; documents with no tokens get the zero
+    vector.
+    """
+    from ..functions.portable import md5_i64, tokens_col
+
+    if dim < 2:
+        raise ValueError(f"feature_hash_vectors: dim must be >= 2, got {dim}")
+    toks = df.repartition(F.col(id_col)).select(  # see dedup.doc_tokens
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    h = md5_i64(F.col("token"))
+    sign = (
+        F.when(md5_i64(F.concat(F.lit("s|"), F.col("token"))) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        if signed
+        else F.lit(1.0)
+    )
+    weights = (
+        toks.select(F.col(id_col), (h % dim).alias("bucket"), sign.alias("s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    per_doc = weights.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("w")))
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("bigint")), F.lit(0.0)),
+    )
+    # left join: token-less docs carry a NULL map; element_at(NULL, j)
+    # is NULL, so the coalesce in `vec` densifies them to the zero vector
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(F.col(id_col), vec.alias("vector"))
+    )
+    if l2_normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("vector"), F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        )
+        out = out.select(
+            F.col(id_col),
+            F.when(
+                nrm > 0,
+                F.transform(F.col("vector"), lambda v: F.round(v / nrm, 6)),
+            )
+            .otherwise(F.col("vector"))
+            .alias("vector"),
+        )
+    return out

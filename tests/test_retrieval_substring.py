@@ -402,3 +402,49 @@ def test_winsorize_clips_to_exact_percentiles(spark):
         cl.winsorize(df, [], 0.1, 0.9)
     with pytest.raises(ValueError):
         cl.winsorize(df, ["v"], 0.9, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+def test_feature_hash_vectors_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["vector"]
+        for r in similarity.feature_hash_vectors(
+            df, "doc_id", "text", dim=8
+        ).collect()
+    }
+    # unit norm for non-empty docs
+    n1 = sum(v * v for v in out[1]) ** 0.5
+    assert n1 == pytest.approx(1.0, abs=1e-4)
+    # empty doc -> zero vector, not a dropped row
+    assert out[2] == [0.0] * 8
+    # single-token doc: exactly one nonzero bucket at +-1
+    nz = [v for v in out[3] if v != 0.0]
+    assert len(nz) == 1 and abs(nz[0]) == pytest.approx(1.0)
+    # determinism across runs
+    again = {
+        r["doc_id"]: r["vector"]
+        for r in similarity.feature_hash_vectors(df, "doc_id", "text", dim=8).collect()
+    }
+    assert again == out
+    with pytest.raises(ValueError):
+        similarity.feature_hash_vectors(df, "doc_id", "text", dim=1)
+
+
+def test_feature_hash_feeds_kmeans(spark, documents):
+    """The vectorizer's output must be consumable by the existing
+    k-means tier (array<double> contract)."""
+    vecs = similarity.feature_hash_vectors(
+        documents.where(F.col("doc_id") < 60), "doc_id", "text", dim=16
+    ).withColumnRenamed("vector", "embedding")
+    assigned = similarity.kmeans_lloyd(
+        vecs, "doc_id", "embedding", k=4, iterations=3
+    )
+    assert assigned.count() == 60
+    assert assigned.select("cluster").distinct().count() <= 4
