@@ -5160,6 +5160,153 @@ FROM final
 """
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (minus the absent partsupp table): part-name-
+    filtered revenue by nation × order-year through a 5-way join tree.
+    Dims broadcast (part filter first — the selective side prunes the
+    fact early), fact joins shuffle on their keys, one final small
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).alias("sum_profit")
+    )
+
+
+_PRODUCT_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items — selective fact filter pushed to the scan, customer/nation
+    dims broadcast, TakeOrderedAndProject top-k."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    ONE aggregate scan, unpivoted to long form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+_CORR_MATRIX_SQL = """
+WITH c AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 4) AS c0,
+         round(corr(l_quantity, l_discount), 4) AS c1,
+         round(corr(l_quantity, l_tax), 4) AS c2,
+         round(corr(l_extendedprice, l_discount), 4) AS c3,
+         round(corr(l_extendedprice, l_tax), 4) AS c4,
+         round(corr(l_discount, l_tax), 4) AS c5
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c0 AS corr FROM c
+UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM c
+UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM c
+UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM c
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM c
+UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM c
+"""
+
+
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: half the corpus written BEFORE the lang
+    column existed (old files), half after, read back through ONE
+    mergeSchema scan — old rows surface NULL lang. Aggregate proves
+    the union semantics; the oracle replays them on the logical
+    table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ai_etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    docs = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "evolved_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(out)
+    docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang").write.mode(
+        "append"
+    ).parquet(out)
+    merged = read_parquet_evolved(spark, out)
+    return merged.groupBy(
+        F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_SOURCE_EVOLUTION_SQL = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<pre-schema>' END AS lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       min(doc_id) AS min_doc
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5186,6 +5333,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
+    "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
+    "q_returned_items": (q_returned_items, _RETURNED_ITEMS_SQL),
+    "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
+    "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
@@ -5214,11 +5365,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- driver-unverified in r1: sampling + curation ---
     # --- round-3 NEW training-data ops (must sit in 1-50) ---
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
-    "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
-    "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
-    "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stream_enrich": (q_events_stream_enrich, _EVENTS_STREAM_ENRICH_SQL),
@@ -5226,7 +5374,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
     "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
     # --- driver-unverified in r1: multimodal ---
-    "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     # --- round-5 NEW: real stdlib WAV + BMP decode ---
@@ -5248,6 +5395,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
+    "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),
+    "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
+    "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
+    "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
     "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),

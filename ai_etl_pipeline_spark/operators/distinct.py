@@ -202,3 +202,35 @@ def hll_sketch_rollup(
         F.hll_sketch_estimate("sketch").alias("approx_distinct"),
         "sketch",
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregate
+    pass (`F.corr` co-moments are computed per pair inside a single
+    scan — k(k-1)/2 aggregates, not k² scans), unpivoted to the long
+    ``(col_x, col_y, corr)`` form with x < y. Rounded to 4 decimals:
+    engines accumulate co-moments in different orders, and correlation
+    is the one statistic here that divides two such sums."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # corr from co-moments with try_divide: F.corr raises under ANSI
+    # mode when a column has zero variance; the manual Pearson form
+    # yields NULL there instead (DuckDB/Postgres corr semantics)
+    one = df.agg(
+        *[
+            F.round(
+                F.try_divide(
+                    F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+                ),
+                4,
+            ).alias(f"__corr_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', `__corr_{i}`" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_x, col_y, corr)"
+    )

@@ -178,3 +178,14 @@ def zone_map_pruned_scan(
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(pred)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions
+    the footers of every file under ``path``, so files written before a
+    column existed read back with NULLs in that column — the
+    append-only ingest reality at 100 TB, where a corpus accretes
+    columns over years and no one rewrites old partitions. Merging
+    reads one footer per file at planning time (not the data), and the
+    per-file scans remain pushdown-capable columnar scans."""
+    return spark.read.option("mergeSchema", True).parquet(path)

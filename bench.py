@@ -105,6 +105,14 @@ HEADLINE = [
     "q_source_jsonl",
     "q_layout_zone_map",
     "q_agg_sketch_rollup",
+    "q_text_quality_classifier",
+    "q_clean_winsorize",
+    "q_events_anomaly",
+    "q_embed_feature_hash",
+    "q_product_profit",
+    "q_returned_items",
+    "q_corr_matrix",
+    "q_source_schema_evolution",
 ]
 
 

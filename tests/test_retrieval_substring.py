@@ -448,3 +448,36 @@ def test_feature_hash_feeds_kmeans(spark, documents):
     )
     assert assigned.count() == 60
     assert assigned.select("cluster").distinct().count() <= 4
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix + schema evolution
+# ---------------------------------------------------------------------------
+
+def test_correlation_matrix_known_values(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dx
+
+    rows = [(float(i), 2.0 * i, float(-i), 5.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in dx.correlation_matrix(
+        df, ["a", "b", "c", "d"]
+    ).collect()}
+    assert got[("a", "b")] == 1.0       # perfectly linear
+    assert got[("a", "c")] == -1.0      # anti-correlated
+    assert got[("a", "d")] is None      # zero-variance column -> NULL
+    assert len(got) == 6                # 4 choose 2
+    with pytest.raises(ValueError):
+        dx.correlation_matrix(df, ["a"])
+
+
+def test_schema_evolution_reader(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    out = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "y", 9.0)], "id long, a string, b double"
+    ).write.mode("append").parquet(out)
+    got = {r["id"]: r for r in read_parquet_evolved(spark, out).collect()}
+    assert set(got[1].asDict()) == {"id", "a", "b"}
+    assert got[1]["b"] is None and got[2]["b"] == 9.0
