@@ -289,3 +289,101 @@ def test_overlap_chunks_cover_and_reconstruct(spark, n_tokens, chunk, stride):
     if stride == chunk:
         rebuilt = " ".join(r["chunk_text"] for r in rows)
         assert rebuilt == text.lower()
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave 4: substring spans + BM25 vs reference implementations
+# ---------------------------------------------------------------------------
+
+def _ref_duplicate_spans(docs: list[tuple[int, str]], n: int) -> set[tuple[int, int, int]]:
+    """Driver-side reference: dup grams -> covered positions -> merged
+    maximal spans (1-based, inclusive)."""
+    toks = {i: t.lower().split() for i, t in docs}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[p : p + n]), set()).add(i)
+    spans = set()
+    for i, ts in toks.items():
+        covered = sorted(
+            p
+            for p in range(len(ts) - n + 1)
+            if len(gram_docs[tuple(ts[p : p + n])]) >= 2
+        )
+        start = end = None
+        for p in covered:
+            s, e = p + 1, p + n  # 1-based inclusive token interval
+            if start is None or s > end:  # the operator's island rule
+                if start is not None:
+                    spans.add((i, start, end))
+                start, end = s, e
+            else:
+                end = max(end, e)
+        if start is not None:
+            spans.add((i, start, end))
+    return spans
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_duplicate_spans_match_reference(spark, docs, n):
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_ngram_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            n=n,
+        ).collect()
+    }
+    assert got == _ref_duplicate_spans(rows, n)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    terms=st.sets(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_reference_randomized(spark, docs, terms):
+    import math
+
+    from ai_etl_pipeline_spark.operators import textstats
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in textstats.bm25_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            sorted(terms),
+        ).collect()
+    }
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    for i, ts in toks.items():
+        want = 0.0
+        for term in sorted(terms):
+            tf = ts.count(term)
+            dfreq = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+            want += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+        assert got[i] == pytest.approx(round(want, 6), abs=2e-6)
