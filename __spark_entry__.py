@@ -1487,7 +1487,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     mh_cols = ",\n         ".join(f"{_mh_expr(i, 'shingle')} AS mh{i}" for i in range(16))
     band_selects = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, md5(concat_ws('_', mh{2*b}, mh{2*b+1})) AS sig FROM sigs"
+        "    SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b, sig=md5_i64_sql(f"concat_ws('_', mh{2 * b}, mh{2 * b + 1})")
+        )
         for b in range(8)
     )
     return f"""
@@ -5355,8 +5357,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-3 CHANGED operator code (gopher/repetition refactored
     # into shared metric helpers; clusters convergence check rewritten;
     # minhash feeds clusters — all stay in-window) ---
-    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
-    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
@@ -5399,9 +5401,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_curation": (q_pipeline_curation, _PIPELINE_CURATION_SQL),
     "q_events_asof_join": (q_events_asof_join, _EVENTS_ASOF_JOIN_SQL),
     "q_media_metadata": (q_media_metadata, _MEDIA_METADATA_SQL),
+    "q_text_gopher": (q_text_gopher, _TEXT_GOPHER_SQL),
+    "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
-    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
-    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
     "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),

@@ -109,7 +109,15 @@ def lsh_candidate_pairs(
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+            # sig as the portable 60-bit md5 int, not the 32-char hex
+            # string: the band self-join shuffles TWO corpus x bands
+            # relations on this key, and an 8-byte long quarters the
+            # shuffle/spill bytes vs the hex rendering (measured: the
+            # 5.5M-doc scale bench overflowed 77 GB of spill on strings)
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_i64(F.concat_ws("_", *parts)).alias("sig"),
+            )
         )
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
@@ -594,8 +602,10 @@ def minhash_band_relation(
     a bucketed table on (band, sig) — ``writers.write_bucketed_table`` —
     and every nightly delta batch probes it with NO corpus-side shuffle
     (the probe side alone shuffles to the bucket layout).
-    ``sig`` is md5 over the band's signature rows, so band-key collisions
-    across bands are impossible (band is part of the join key anyway)."""
+    ``sig`` is the portable 60-bit md5 int over the band's signature
+    rows (band is part of the join key, so cross-band collisions don't
+    matter; 60 bits keep within-band false-candidates below the verify
+    stage's noise floor)."""
     sigs = minhash_signatures(
         doc_shingles(df, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
     )
@@ -604,7 +614,11 @@ def minhash_band_relation(
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+            # portable 60-bit int sig — see lsh_candidate_pairs
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_i64(F.concat_ws("_", *parts)).alias("sig"),
+            )
         )
     return sigs.select(
         F.col(id_col), F.explode(F.array(*cols)).alias("bk")

@@ -82,6 +82,16 @@ def timed(fn) -> tuple[float, int]:
     return round(time.monotonic() - t0, 2), n
 
 
+def release_shuffles(spark) -> None:
+    """Nudge the ContextCleaner between ops: shuffle map outputs live on
+    disk until their RDD objects are GC'd, so a multi-op size at 5M docs
+    otherwise ACCUMULATES every op's shuffle files (~60 GB — the
+    attempt-3 'No space left on device'). A JVM System.gc() after each
+    timed op lets the cleaner delete the previous op's files."""
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+
 def run_size(spark, n: int) -> dict:
     docs = build_corpus(spark, n).persist()
     n_docs = docs.count()  # materialize so generation isn't billed to op 1
@@ -91,6 +101,7 @@ def run_size(spark, n: int) -> dict:
             docs, "doc_id", "text", threshold=THRESHOLD
         ).count()
     )
+    release_shuffles(spark)
 
     # materialize the pair relation OUTSIDE the clusters timing: the
     # operator eagerly persists its input, so handing it the lazy
@@ -105,6 +116,7 @@ def run_size(spark, n: int) -> dict:
         lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
     )
     pairs.unpersist()
+    release_shuffles(spark)
 
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
@@ -113,6 +125,7 @@ def run_size(spark, n: int) -> dict:
             corpus, delta, "doc_id", "text", threshold=THRESHOLD
         ).count()
     )
+    release_shuffles(spark)
 
     # the 100 TB shape, separately timed: pay the corpus signature pass
     # ONCE into a (band, sig)-bucketed index table, then the per-batch
@@ -183,6 +196,16 @@ def main() -> None:
 
     out = {"metric": "dedup_scale", "unit": "sec", "sizes": {}}
     for n in sizes:
+        # fresh context per size: stop() removes this context's shuffle
+        # dirs from disk; the per-size warm-up below re-warms codegen so
+        # sizes stay comparable
+        spark.stop()
+        spark = get_session("dedup-scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        register_synthetic_docs(spark)
+        warm = build_corpus(spark, 500).persist()
+        dedup.minhash_lsh_near_duplicates(warm, "doc_id", "text", threshold=THRESHOLD).count()
+        warm.unpersist()
         out["sizes"][str(n)] = run_size(spark, n)
     ratios = {}
     keys = sorted(out["sizes"], key=int)
