@@ -173,7 +173,7 @@ def run_size(spark, n: int) -> dict:
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [5000, 50000]
-    spark = get_session("dedup-scale-bench")
+    spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd"})
     spark.sparkContext.setLogLevel("ERROR")
     register_synthetic_docs(spark)
     # warm-up runs the MEASURED operators on a tiny corpus: JVM, codegen
@@ -200,7 +200,7 @@ def main() -> None:
         # dirs from disk; the per-size warm-up below re-warms codegen so
         # sizes stay comparable
         spark.stop()
-        spark = get_session("dedup-scale-bench")
+        spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd"})
         spark.sparkContext.setLogLevel("ERROR")
         register_synthetic_docs(spark)
         warm = build_corpus(spark, 500).persist()
