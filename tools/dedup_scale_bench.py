@@ -92,87 +92,110 @@ def release_shuffles(spark) -> None:
     time.sleep(2)
 
 
-def run_size(spark, n: int) -> dict:
+ALL_OPS = ("minhash", "clusters", "incremental", "index")
+
+
+def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
+    """``ops`` selects which operators this size measures — a single
+    local[32] box cannot hold the SIMULTANEOUS spill of all five ops at
+    5.5M docs (attempts 3-6 each died at ~80 GB of /tmp), so the
+    largest size runs the subset that answers the scale question:
+    minhash pair-generation growth and the bucketed-probe path. On a
+    real cluster each op has its own executors/disks and the full set
+    runs everywhere."""
     docs = build_corpus(spark, n).persist()
     n_docs = docs.count()  # materialize so generation isn't billed to op 1
+    out: dict = {"n_docs": n_docs, "ops": list(ops)}
 
-    t_minhash, n_pairs = timed(
-        lambda: dedup.minhash_lsh_near_duplicates(
+    if "minhash" in ops:
+        t_minhash, n_pairs = timed(
+            lambda: dedup.minhash_lsh_near_duplicates(
+                docs, "doc_id", "text", threshold=THRESHOLD
+            ).count()
+        )
+        out["minhash_sec"], out["minhash_pairs"] = t_minhash, n_pairs
+        release_shuffles(spark)
+
+    if "clusters" in ops:
+        # materialize the pair relation OUTSIDE the clusters timing: the
+        # operator eagerly persists its input, so handing it the lazy
+        # minhash plan would re-execute all of pair generation inside the
+        # clustering measurement (a first cut showed exactly that — the
+        # "clusters" time tracked minhash, not clustering)
+        pairs = dedup.minhash_lsh_near_duplicates(
             docs, "doc_id", "text", threshold=THRESHOLD
-        ).count()
-    )
-    release_shuffles(spark)
-
-    # materialize the pair relation OUTSIDE the clusters timing: the
-    # operator eagerly persists its input, so handing it the lazy
-    # minhash plan would re-execute all of pair generation inside the
-    # clustering measurement (a first cut showed exactly that — the
-    # "clusters" time tracked minhash, not clustering)
-    pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", threshold=THRESHOLD
-    ).persist()
-    pairs.count()
-    t_clusters, n_clustered = timed(
-        lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
-    )
-    pairs.unpersist()
-    release_shuffles(spark)
+        ).persist()
+        pairs.count()
+        t_clusters, n_clustered = timed(
+            lambda: dedup.near_duplicate_clusters(pairs, docs, "doc_id").count()
+        )
+        pairs.unpersist()
+        release_shuffles(spark)
+        out["clusters_sec"], out["clusters_rows"] = t_clusters, n_clustered
 
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
-    t_incr, n_incr = timed(
-        lambda: dedup.minhash_lsh_incremental(
-            corpus, delta, "doc_id", "text", threshold=THRESHOLD
-        ).count()
-    )
-    release_shuffles(spark)
-
-    # the 100 TB shape, separately timed: pay the corpus signature pass
-    # ONCE into a (band, sig)-bucketed index table, then the per-batch
-    # probe only computes DELTA signatures and equi-joins the bucketed
-    # index with no corpus-side Exchange — probe cost should track the
-    # delta, not the corpus
-    import tempfile
-
-    spark = docs.sparkSession
-    tbl = f"t_scale_band_index_{n}"
-    t_index, _ = timed(
-        lambda: writers.write_bucketed_table(
-            dedup.minhash_band_relation(corpus, "doc_id", "text", 3, 16, 8),
-            tbl,
-            ["band", "sig"],
-            num_buckets=16,
-            sort_cols=["band", "sig"],
-            path=tempfile.mkdtemp(prefix=f"band_idx_{n}_"),
+    if "incremental" in ops:
+        t_incr, n_incr = timed(
+            lambda: dedup.minhash_lsh_incremental(
+                corpus, delta, "doc_id", "text", threshold=THRESHOLD
+            ).count()
         )
-        or 0
-    )
-    idx = spark.table(tbl)
-    t_probe, n_probe = timed(
-        lambda: dedup.minhash_lsh_incremental(
-            corpus, delta, "doc_id", "text",
-            threshold=THRESHOLD, corpus_bands=idx,
-        ).count()
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        release_shuffles(spark)
+        out["incremental_sec"], out["incremental_pairs"] = t_incr, n_incr
+
+    if "index" in ops:
+        # the 100 TB shape, separately timed: pay the corpus signature
+        # pass ONCE into a (band, sig)-bucketed index table, then the
+        # per-batch probe only computes DELTA signatures and equi-joins
+        # the bucketed index with no corpus-side Exchange — probe cost
+        # should track the delta, not the corpus
+        import tempfile
+
+        spark = docs.sparkSession
+        tbl = f"t_scale_band_index_{n}"
+        t_index, _ = timed(
+            lambda: writers.write_bucketed_table(
+                dedup.minhash_band_relation(corpus, "doc_id", "text", 3, 16, 8),
+                tbl,
+                ["band", "sig"],
+                num_buckets=16,
+                sort_cols=["band", "sig"],
+                path=tempfile.mkdtemp(prefix=f"band_idx_{n}_"),
+            )
+            or 0
+        )
+        idx = spark.table(tbl)
+        t_probe, n_probe = timed(
+            lambda: dedup.minhash_lsh_incremental(
+                corpus, delta, "doc_id", "text",
+                threshold=THRESHOLD, corpus_bands=idx,
+            ).count()
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        out["index_build_sec"] = t_index
+        out["bucketed_probe_sec"], out["bucketed_probe_pairs"] = t_probe, n_probe
 
     docs.unpersist()
-    return {
-        "n_docs": n_docs,
-        "minhash_sec": t_minhash,
-        "minhash_pairs": n_pairs,
-        "clusters_sec": t_clusters,
-        "clusters_rows": n_clustered,
-        "incremental_sec": t_incr,
-        "incremental_pairs": n_incr,
-        "index_build_sec": t_index,
-        "bucketed_probe_sec": t_probe,
-        "bucketed_probe_pairs": n_probe,
-    }
+    return out
+
+
+def _parse_size(arg: str) -> tuple[int, tuple[str, ...]]:
+    """``SIZE`` or ``SIZE:op1,op2`` (ops ⊆ ALL_OPS)."""
+    if ":" in arg:
+        size, opspec = arg.split(":", 1)
+        ops = tuple(o for o in opspec.split(",") if o)
+        bad = [o for o in ops if o not in ALL_OPS]
+        if bad:
+            raise SystemExit(f"unknown ops {bad}; valid: {ALL_OPS}")
+        return int(size), ops
+    return int(arg), ALL_OPS
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [5000, 50000]
+    specs = [_parse_size(a) for a in sys.argv[1:]] or [
+        (5000, ALL_OPS), (50000, ALL_OPS)
+    ]
     spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd"})
     spark.sparkContext.setLogLevel("ERROR")
     register_synthetic_docs(spark)
@@ -195,7 +218,7 @@ def main() -> None:
     warm.unpersist()
 
     out = {"metric": "dedup_scale", "unit": "sec", "sizes": {}}
-    for n in sizes:
+    for n, ops in specs:
         # fresh context per size: stop() removes this context's shuffle
         # dirs from disk; the per-size warm-up below re-warms codegen so
         # sizes stay comparable
@@ -206,25 +229,27 @@ def main() -> None:
         warm = build_corpus(spark, 500).persist()
         dedup.minhash_lsh_near_duplicates(warm, "doc_id", "text", threshold=THRESHOLD).count()
         warm.unpersist()
-        out["sizes"][str(n)] = run_size(spark, n)
+        out["sizes"][str(n)] = run_size(spark, n, ops)
+        # partial line per completed size: a late-phase failure (disk,
+        # OOM) must not lose the finished measurements
+        print(json.dumps({"partial": n, **out["sizes"][str(n)]}), flush=True)
     ratios = {}
     keys = sorted(out["sizes"], key=int)
     for a, b in zip(keys, keys[1:]):
         sa, sb = out["sizes"][a], out["sizes"][b]
         growth = sb["n_docs"] / sa["n_docs"]
-        ratios[f"{a}->{b}"] = {
-            "data_growth": round(growth, 1),
-            "minhash_time_growth": round(sb["minhash_sec"] / max(sa["minhash_sec"], 1e-9), 1),
-            "clusters_time_growth": round(sb["clusters_sec"] / max(sa["clusters_sec"], 1e-9), 1),
-            "incremental_time_growth": round(
-                sb["incremental_sec"] / max(sa["incremental_sec"], 1e-9), 1
-            ),
-            "bucketed_probe_time_growth": round(
-                sb["bucketed_probe_sec"] / max(sa["bucketed_probe_sec"], 1e-9), 1
-            ),
-        }
+        r: dict = {"data_growth": round(growth, 1)}
+        for op_key in (
+            "minhash_sec", "clusters_sec", "incremental_sec",
+            "bucketed_probe_sec",
+        ):
+            if op_key in sa and op_key in sb:
+                r[op_key.replace("_sec", "_time_growth")] = round(
+                    sb[op_key] / max(sa[op_key], 1e-9), 1
+                )
+        ratios[f"{a}->{b}"] = r
     out["growth"] = ratios
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
