@@ -10,14 +10,21 @@ with one appended word under id + n) guarantees the LSH/verify stages
 do real work instead of degenerating to zero candidates.
 
 Workload proportionality: the raw generator has a 16-word vocabulary
-and 6-15-word docs, so CHANCE near-dup pairs grow ~quadratically with
-corpus size (at 550k docs a first cut measured 14x more verified pairs
-for 10x more docs) — that measures the corpus, not the operator. Each
-doc therefore gets four unique md5-derived filler tokens and the
-near-dup threshold is 0.8: injected dups stay J = n/(n+1) >= 0.86,
-chance same-base collisions cap at ~10/18 = 0.55 and are verified
-away, so pair counts track the injected 10% and time growth reflects
-operator scaling.
+and 6-15-word docs, so millions of docs share an identical BASE word
+sequence (birthday collisions over 16^6..16^15 sequences) — chance
+pairs then grow ~quadratically with corpus size, which measures the
+corpus, not the operator (appending unique suffix tokens, the first
+cut, fixed VERIFIED pair counts but left base-only leading shingles
+colliding: at 2.75M docs ~half of all same-base pairs still banded
+together and the verify join's shuffle alone overflowed the box's
+~80 GB of /tmp). Fix: a doc-unique md5-derived filler token is
+INTERLEAVED after every 2 base tokens, so the maximum base-only run
+(2) is shorter than the shingle width (3) — every shingle contains a
+doc-unique token, chance inter-doc Jaccard is ~0, and candidate
+volume tracks the injected 10% dup layer exactly (the real-web-text
+regime, where vocabulary diversity keeps random-pair similarity near
+zero). Injected dups re-use the original doc's fillers and append one
+word, so their Jaccard stays >= ~0.85, over the 0.8 threshold.
 
 Measured per size, end-to-end to a driver-side count:
 - minhash:     full MinHash-LSH pair generation + Jaccard verify
@@ -51,24 +58,40 @@ THRESHOLD = 0.8
 
 
 def build_corpus(spark, n: int):
-    h = F.md5(F.col("doc_id").cast("string"))
-    base = (
+    toked = (
         spark.read.format("synthetic_docs")
         .option("n", n)
         .option("partitions", 32)
         .load()
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("text"),
-                F.substring(h, 1, 8),
-                F.substring(h, 9, 8),
-                F.substring(h, 17, 8),
-                F.substring(h, 25, 8),
-            ).alias("text"),
-        )
+        .select("doc_id", F.split(F.col("text"), " ").alias("__t"))
     )
+
+    def filler(i):
+        # doc-unique per-position token (6 hex chars)
+        return F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col("doc_id").cast("string"), i.cast("string")
+                )
+            ),
+            1,
+            6,
+        )
+
+    # interleave a filler after every 2 base tokens — see module
+    # docstring (kills base-only shingles, so chance J ~ 0)
+    n_groups = F.greatest(
+        F.ceil(F.size("__t") / F.lit(2.0)).cast("int"), F.lit(1)
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_groups - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.col("__t"), i * F.lit(2) + F.lit(1), 2), " "),
+            filler(i),
+        ),
+    )
+    base = toked.select("doc_id", F.array_join(pieces, " ").alias("text"))
     dups = base.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + n).alias("doc_id"),
         F.concat_ws(" ", F.col("text"), F.lit("extra")).alias("text"),
@@ -196,7 +219,7 @@ def main() -> None:
     specs = [_parse_size(a) for a in sys.argv[1:]] or [
         (5000, ALL_OPS), (50000, ALL_OPS)
     ]
-    spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd"})
+    spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd", "spark.io.compression.zstd.level": "3"})
     spark.sparkContext.setLogLevel("ERROR")
     register_synthetic_docs(spark)
     # warm-up runs the MEASURED operators on a tiny corpus: JVM, codegen
@@ -223,7 +246,7 @@ def main() -> None:
         # dirs from disk; the per-size warm-up below re-warms codegen so
         # sizes stay comparable
         spark.stop()
-        spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd"})
+        spark = get_session("dedup-scale-bench", extra_conf={"spark.io.compression.codec": "zstd", "spark.io.compression.zstd.level": "3"})
         spark.sparkContext.setLogLevel("ERROR")
         register_synthetic_docs(spark)
         warm = build_corpus(spark, 500).persist()
