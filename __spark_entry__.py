@@ -4993,10 +4993,14 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cls_case_sql() -> str:
+    # weights ×1000 as INTEGERS — the oracle mirrors the operator's
+    # exact-arithmetic rendering (float weight folds drifted across
+    # engines at 6-dp rounding ties; see linear_quality_classifier)
     arms = " ".join(
-        f"WHEN '{t}' THEN {w}" for t, w in sorted(_CLS_WEIGHTS.items())
+        f"WHEN '{t}' THEN {round(w * 1000)}"
+        for t, w in sorted(_CLS_WEIGHTS.items())
     )
-    return f"CASE t {arms} ELSE 0.0 END"
+    return f"CASE t {arms} ELSE 0 END"
 
 
 _TEXT_CLASSIFIER_SQL = rf"""
@@ -5008,19 +5012,27 @@ WITH tokarr AS (
 ),
 per AS (
   SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
-         coalesce(list_aggregate(list_transform(ts, t -> {_cls_case_sql()}),
-                                 'sum'), 0.0) AS wsum
+         CAST(coalesce(list_aggregate(list_transform(ts, t -> {_cls_case_sql()}),
+                                      'sum'), 0) AS BIGINT) AS ws
   FROM tokarr
 ),
-scored AS (
+pq AS (
   SELECT doc_id, n_tokens,
-         round(0.0 + wsum / greatest(n_tokens, 1), 6) AS score
+         ws * 1000000 AS p,
+         CAST(greatest(n_tokens, 1) AS BIGINT) * 1000 AS q
   FROM per
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN p >= 0 THEN (2 * p + q) // (2 * q)
+              ELSE -((2 * (-p) + q) // (2 * q)) END AS micro
+  FROM pq
 )
-SELECT doc_id, n_tokens, score,
-       round(1.0 / (1.0 + exp(-score)), 6) AS prob,
-       round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep_classifier
-FROM scored
+SELECT doc_id, n_tokens,
+       micro / 1000000.0 AS score,
+       round(1.0 / (1.0 + exp(-(micro / 1000000.0))), 6) AS prob,
+       round(1.0 / (1.0 + exp(-(micro / 1000000.0))), 6) >= 0.5 AS keep_classifier
+FROM m
 """
 
 
@@ -5310,6 +5322,156 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# round-6 wave 6: source-level quality gate, OOV rate, PQ re-rank
+# ---------------------------------------------------------------------------
+
+
+def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation gate (RefinedWeb idiom): per-source average
+    of the composite quality score, keep sources averaging >= 0.95 with
+    >= 10 docs. One source-keyed aggregate + a broadcast join back —
+    the corpus never shuffles for the join."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs, "text").select(
+        "doc_id", "source", "quality"
+    )
+    return textstats.source_quality_filter(
+        scored, "source", "quality", min_avg=0.95, min_docs=10
+    ).select("doc_id", "source", "quality", "src_avg_metric", "src_docs")
+
+
+_SOURCE_QUALITY_GATE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS INTEGER) AS n_chars_q,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS INTEGER) AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(text, '[0-9]')) AS digits,
+         {_LANG_HITS_SQL['en']} AS stop_hits
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, source,
+         round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN round(punct / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN round(digits / greatest(n_chars_q, 1), 6) <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN round(stop_hits / greatest(n_words, 1), 6) >= 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+  FROM f
+),
+gate AS (
+  SELECT source, round(avg(quality), 6) AS src_avg_metric,
+         CAST(count(*) AS INTEGER) AS src_docs
+  FROM sc GROUP BY source
+  HAVING round(avg(quality), 6) >= 0.95 AND count(*) >= 10
+)
+SELECT sc.doc_id, sc.source, sc.quality, gate.src_avg_metric, gate.src_docs
+FROM sc JOIN gate USING (source)
+"""
+
+
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own top-16 token
+    vocabulary: two corpus aggregates (token counts, per-doc rate), a
+    TakeOrdered vocab cut, broadcast join — the tokenizer-fit probe."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.oov_rate(docs, "doc_id", "text", vocab_size=16)
+
+
+_TEXT_OOV_RATE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+v AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM c
+  ) WHERE rn <= 16
+),
+pd AS (
+  SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_oov
+  FROM t LEFT JOIN v USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tok, 0) AS n_tok,
+       coalesce(pd.n_oov, 0) AS n_oov,
+       round(coalesce(pd.n_oov, 0) / greatest(coalesce(pd.n_tok, 0), 1), 6) AS oov_rate
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval: PQ-ADC candidates (top-15 per query over the
+    compressed codes) re-scored EXACTLY against the float vectors for
+    the final top-5 — the standard retrieve-then-rerank shape. The
+    oracle replays codebook training, encoding, ADC candidate cut and
+    the exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_knn(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=5, candidates=15, m=4, codebook_k=16, iterations=2,
+    )
+
+
+def _knn_pq_rerank_sql(
+    m: int = 4, dim: int = 64, k_codes: int = 16,
+    candidates: int = 15, k: int = 5, query_bound: int = 5,
+) -> str:
+    """_knn_pq_sql's chains, with the final top-k demoted to a
+    candidate cut and one exact re-rank CTE on top."""
+    sub = dim // m
+    chains = ",\n".join(_pq_kmeans_chain_sql(j, sub, k_codes) for j in range(m))
+    code_joins = " ".join(f"JOIN k{j} USING (vec_id)" for j in range(1, m))
+    book_joins = " ".join(
+        f"JOIN c1{j} b{j} ON b{j}.cluster = k{j}.code" for j in range(m)
+    )
+    concat = " || ".join(f"b{j}.c" for j in range(m))
+    return f"""
+WITH {chains},
+vq AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+recon AS (
+  SELECT k0.vec_id, {concat} AS rv
+  FROM k0 {code_joins} {book_joins}
+),
+adc AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         round(list_dot_product(q.vv, r.rv)
+               / (sqrt(list_dot_product(q.vv, q.vv))
+                  * sqrt(list_dot_product(r.rv, r.rv))), 6) AS cosine
+  FROM vq q JOIN recon r ON q.vec_id <> r.vec_id
+  WHERE q.vec_id < {query_bound}
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {candidates}
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.vv, c.vv)
+               / (sqrt(list_dot_product(q.vv, q.vv))
+                  * sqrt(list_dot_product(c.vv, c.vv))), 6) AS cosine
+  FROM cand
+  JOIN vq q ON q.vec_id = cand.query_id
+  JOIN vq c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM exact
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5321,6 +5483,11 @@ GROUP BY 1
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- round-6 wave 6 NEW: source-level quality gate, OOV rate,
+    #     PQ retrieve-then-rerank ---
+    "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
+    "q_text_oov_rate": (q_text_oov_rate, _TEXT_OOV_RATE_SQL),
+    "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
     "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
@@ -5365,8 +5532,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-6 NEW: PQ compressed ANN tier ---
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     # --- driver-unverified in r1: sampling + curation ---
-    # --- round-3 NEW training-data ops (must sit in 1-50) ---
-    "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
@@ -5377,7 +5542,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
     # --- driver-unverified in r1: multimodal ---
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
-    "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -5386,12 +5550,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
     # --- round-5 NEW: URL/domain curation filter ---
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
-    # --- round-5 NEW: fixed-budget stratum sample + RAG chunking +
-    #     data-quality expectations ---
-    "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
+    # --- round-5 NEW: data-quality expectations + profiler ---
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     # rotated out of the window to make room (green r4/r5, code unchanged)
+    "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
+    "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
+    "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),

@@ -699,6 +699,66 @@ def pq_knn(
     )
 
 
+def pq_rerank_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    candidates: int = 15,
+    m: int = 4,
+    codebook_k: int = 16,
+    iterations: int = 2,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Two-tier retrieval: the COMPRESSED tier (:func:`pq_knn`, ADC over
+    PQ codes) generates ``candidates`` neighbors per query, then the
+    EXACT tier re-scores just that candidate set against the float
+    vectors and keeps the top ``k`` — the standard retrieve-then-rerank
+    shape that buys back the recall the quantization error costs, while
+    the expensive exact arithmetic touches only |Q| × candidates rows.
+
+    Scale shape: tier 1 scans m-byte codes (pq_knn's plan, corpus never
+    shuffled); the candidate list (|Q| × candidates ids — retrieval
+    output, small by construction) is BROADCAST into the corpus scan to
+    fetch exact vectors, queries broadcast on top, and the final top-k
+    is one candidate-sized window. The corpus is never shuffled in
+    either tier.
+    """
+    if candidates < k:
+        raise ValueError(
+            f"pq_rerank_knn: candidates ({candidates}) must be >= k ({k})"
+        )
+    from pyspark.sql import Window
+
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, id_col, vec_col, m, codebook_k, iterations
+    )
+    cand = pq_knn(
+        corpus, queries, id_col, vec_col,
+        k=candidates, codebooks=books,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
+    )
+    exact = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -960,6 +960,17 @@ def linear_quality_classifier(
       → per-doc aggregate — one doc-keyed shuffle, any vocab size.
     ``auto`` picks by vocab size. Both produce identical results.
 
+    EXACT-ARITHMETIC SCORING (engine-portability): weights and bias
+    must be integer multiples of ``1/weight_scale`` (default 1/1000 —
+    guarded). Scores are computed entirely in scaled INTEGERS — the
+    weight sum accumulates exactly (no fold-order float drift) and the
+    6-dp rounding is an integer half-away-from-zero division — because
+    a float rendering proved non-replayable across engines: with
+    power-of-two token counts the true score lands exactly on a
+    6th-decimal tie, where Spark (shortest-decimal-string HALF_UP) and
+    DuckDB (float-multiply rounding) disagree on the SAME double.
+    ``score`` is micro-units / 1e6, bit-identical on any engine.
+
     Returns ``(id_col, n_tokens, score, prob, keep_classifier)``.
     """
     if not weights:
@@ -968,6 +979,22 @@ def linear_quality_classifier(
         raise ValueError(f"linear_quality_classifier: bad mode {mode!r}")
     if mode == "auto":
         mode = "literal" if len(weights) <= literal_bound else "broadcast"
+    weight_scale = 1000
+    scaled: dict[str, int] = {}
+    for t, w in weights.items():
+        wi = round(w * weight_scale)
+        if abs(wi - w * weight_scale) > 1e-6:
+            raise ValueError(
+                f"linear_quality_classifier: weight {w!r} for {t!r} is not "
+                f"a multiple of 1/{weight_scale}"
+            )
+        scaled[t] = int(wi)
+    bias_i = round(bias * weight_scale)
+    if abs(bias_i - bias * weight_scale) > 1e-6:
+        raise ValueError(
+            f"linear_quality_classifier: bias {bias!r} is not a multiple "
+            f"of 1/{weight_scale}"
+        )
 
     toked = df.select(  # materialize once; see doc_shingles lambda-inlining rule
         "*", tokens_col(F.col(text_col)).alias("__toks")
@@ -975,19 +1002,23 @@ def linear_quality_classifier(
     n = F.size("__toks")
     if mode == "literal":
         wmap = F.create_map(
-            *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+            *[
+                F.lit(x)
+                for t, wi in sorted(scaled.items())
+                for x in (t, wi)
+            ]
         )
         wsum = F.aggregate(
             F.col("__toks"),
-            F.lit(0.0),
-            lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0)),
         )
         base = toked.select(
-            F.col(id_col), n.alias("n_tokens"), wsum.alias("__wsum")
+            F.col(id_col), n.alias("n_tokens"), wsum.alias("__ws")
         )
     else:
         wdf = df.sparkSession.createDataFrame(
-            sorted(weights.items()), "token string, w double"
+            sorted(scaled.items()), "token string, w long"
         )
         # explode_OUTER: an empty document must still emit its row
         # (wsum 0), matching the literal rendering exactly
@@ -997,11 +1028,27 @@ def linear_quality_classifier(
         base = (
             tok_rel.join(F.broadcast(wdf), "token", "left")
             .groupBy(id_col, "n_tokens")
-            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("__wsum"))
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("__ws"))
         )
-    score = F.round(
-        F.lit(bias) + F.col("__wsum") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+    # score = bias + wsum/(scale·n) as ONE rational p/q, rounded to 6 dp
+    # by integer half-away-from-zero division: micro = ±((2|p'|+q) div 2q)
+    # with p' = p·10^6. |p'| ≤ (|bias_i| + tokens·max|w_i|)·10^6 — far
+    # inside int64 for any real vocabulary.
+    nz = F.greatest(F.col("n_tokens"), F.lit(1)).cast("long")
+    base = (
+        base.withColumn(
+            "__p", (F.lit(int(bias_i)) * nz + F.col("__ws")) * F.lit(1_000_000)
+        )
+        .withColumn("__q", nz * F.lit(weight_scale))
+        .withColumn(
+            "__micro",
+            F.when(
+                F.col("__p") >= 0,
+                F.expr("(2 * __p + __q) div (2 * __q)"),
+            ).otherwise(-F.expr("(2 * -__p + __q) div (2 * __q)")),
+        )
     )
+    score = F.col("__micro") / F.lit(1_000_000.0)
     out = base.select(
         F.col(id_col),
         F.col("n_tokens"),
@@ -1009,3 +1056,102 @@ def linear_quality_classifier(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
     )
     return out.withColumn("keep_classifier", F.col("prob") >= threshold)
+
+
+def source_quality_filter(
+    df: DataFrame,
+    source_col: str,
+    metric_col: str,
+    min_avg: float,
+    min_docs: int = 1,
+    keep: bool = True,
+) -> DataFrame:
+    """Domain-level quality gate (the RefinedWeb/C4 idiom, public): a
+    whole SOURCE (domain, crawl host, feed) is kept or dropped on its
+    AGGREGATE quality, not document-by-document — boilerplate farms
+    produce individually-plausible pages, but their per-domain average
+    gives them away.
+
+    Keeps (or, with ``keep=False``, drops) the rows of every source
+    whose per-source ``avg(metric_col)`` is ≥ ``min_avg`` AND whose doc
+    count is ≥ ``min_docs`` (singleton sources have meaningless means —
+    the standard min-support guard). Adds ``src_avg_metric`` /
+    ``src_docs`` so downstream mixture sampling can weight by source
+    quality without re-aggregating.
+
+    Scale shape: ONE corpus aggregate on the source key (domain-count
+    rows out — millions at web scale, still broadcast-sized), then a
+    BROADCAST join back; the corpus itself is never shuffled for the
+    join. The aggregate is avg+count, so map-side partial aggregation
+    keeps the shuffle domain-sized, and a skewed giant source is just
+    one hot reduce key carrying two running scalars.
+    """
+    stats = df.groupBy(source_col).agg(
+        F.round(F.avg(metric_col), 6).alias("src_avg_metric"),
+        F.count("*").cast("int").alias("src_docs"),
+    )
+    passed = (F.col("src_avg_metric") >= min_avg) & (
+        F.col("src_docs") >= min_docs
+    )
+    gate = stats.where(passed if keep else ~passed)
+    return df.join(F.broadcast(gate), source_col)
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Out-of-vocabulary rate against a corpus-derived top-``vocab_size``
+    vocabulary — the standard tokenizer-fit / domain-shift probe: a
+    document whose tokens mostly fall outside the corpus's own head
+    vocabulary is boilerplate, another language, or binary junk.
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace tokens
+    (ties broken token-asc, so the cut is deterministic and an oracle
+    replays it). Per-doc ``oov_rate`` = token INSTANCES outside the
+    vocabulary / total instances; token-less docs rate 0.
+
+    Scale shape: two corpus shuffles — the (token → count) aggregate
+    (map-side combined, vocabulary-spread keys) and the per-doc
+    re-aggregate; the vocabulary itself is top-k via
+    TakeOrderedAndProject (never a full sort) and joins back as a
+    BROADCAST. Returns (id_col, n_tok, n_oov, oov_rate).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"oov_rate: vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens_col(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        toks.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("token").cast("int").alias("n_tok"),
+            F.sum(
+                F.when(
+                    F.col("token").isNotNull() & F.col("__in_vocab").isNull(),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tok",
+        "n_oov",
+        F.round(F.col("n_oov") / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
+            "oov_rate"
+        ),
+    )

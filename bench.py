@@ -113,6 +113,10 @@ HEADLINE = [
     "q_returned_items",
     "q_corr_matrix",
     "q_source_schema_evolution",
+    # round-6 wave-6 additions
+    "q_source_quality_gate",
+    "q_text_oov_rate",
+    "q_knn_pq_rerank",
 ]
 
 

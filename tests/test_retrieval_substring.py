@@ -481,3 +481,85 @@ def test_schema_evolution_reader(spark, tmp_path):
     got = {r["id"]: r for r in read_parquet_evolved(spark, out).collect()}
     assert set(got[1].asDict()) == {"id", "a", "b"}
     assert got[1]["b"] is None and got[2]["b"] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave 6: source-level quality gate, OOV rate, PQ re-rank
+# ---------------------------------------------------------------------------
+
+def test_source_quality_filter_keeps_high_avg_sources(spark):
+    rows = (
+        [(i, "good", 0.9) for i in range(10)]
+        + [(100 + i, "bad", 0.2) for i in range(10)]
+        + [(200, "tiny", 1.0)]  # above threshold but below min_docs
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    kept = textstats.source_quality_filter(
+        df, "source", "q", min_avg=0.5, min_docs=2
+    )
+    out = kept.collect()
+    assert {r["source"] for r in out} == {"good"}
+    assert len(out) == 10
+    assert all(r["src_avg_metric"] == 0.9 and r["src_docs"] == 10 for r in out)
+    # keep=False inverts the gate: failing sources (low avg OR low support)
+    dropped = textstats.source_quality_filter(
+        df, "source", "q", min_avg=0.5, min_docs=2, keep=False
+    )
+    assert {r["source"] for r in dropped.collect()} == {"bad", "tiny"}
+
+
+def test_oov_rate_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # a:3 b:1
+            (2, "a b c"),        # c rare
+            (3, "   "),          # token-less
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> vocab {a, b} (a:4, b:2, c:1)
+    out = {r["doc_id"]: r for r in textstats.oov_rate(df, "doc_id", "text", 2).collect()}
+    assert out[1]["n_tok"] == 4 and out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tok"] == 3 and out[2]["n_oov"] == 1
+    assert out[2]["oov_rate"] == round(1 / 3, 6)
+    assert out[3]["n_tok"] == 0 and out[3]["n_oov"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_oov_rate_vocab_tie_is_deterministic(spark):
+    # b and c tie on frequency; token-asc tiebreak puts b in, c out
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.oov_rate(df, "doc_id", "text", 2).collect()}
+    # vocab {a:3, b:2} (c:2 loses the tie) -> doc 2 has 2 oov of 4
+    assert out[2]["n_oov"] == 2 and out[2]["oov_rate"] == 0.5
+    with pytest.raises(ValueError):
+        textstats.oov_rate(df, "doc_id", "text", 0)
+
+
+def test_pq_rerank_scores_are_exact_and_guarded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    rer = similarity.pq_rerank_knn(emb, queries, k=3, candidates=8).collect()
+    assert len(rer) == 9
+    # re-ranked scores must equal the EXACT cosine (tier 2 rescored
+    # against float vectors, not the PQ reconstruction)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_knn(emb, queries, k=10_000).collect()
+    }
+    for r in rer:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    with pytest.raises(ValueError):
+        similarity.pq_rerank_knn(emb, queries, k=5, candidates=3)
+
+
+def test_pq_rerank_full_candidates_equals_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 40
+    )
+    queries = emb.where(F.col("vec_id") < 2)
+    # candidate tier spans the whole corpus -> recall 1 by construction
+    rer = similarity.pq_rerank_knn(emb, queries, k=5, candidates=39)
+    bf = similarity.brute_force_knn(emb, queries, k=5)
+    assert sorted(map(tuple, rer.collect())) == sorted(map(tuple, bf.collect()))
