@@ -4290,6 +4290,11 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = relational.bloom_prune_join(
         li, urgent.select("o_orderkey"), "l_orderkey", "o_orderkey",
         how="left_semi",
+        # m = 2^20 bits is ~35 bits/key for this dim — generous enough
+        # that k=2 probes already give ~0.3% fp (fewer probes beats
+        # more at fixed m); halves both the probe expression cost and
+        # the build explode
+        num_hashes=2,
     )
     return survivors.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),

@@ -299,21 +299,52 @@ def bloom_filter_build(
     Entirely JVM-side: positions come from ``xxhash64`` (the filter is
     internal — never replayed by an oracle, so the portable-md5 contract
     doesn't apply), packing is one ``bit_or`` aggregate over ≤
-    ``num_hashes * |dim|`` position rows, densification is a
-    map-from-entries + sequence transform. No driver collect: the
-    result stays a one-row DataFrame meant for ``F.broadcast`` +
-    crossJoin (the documented one-row broadcast pattern, same as the
-    IVF centroid table).
+    ``num_hashes * |dim|`` position rows, densification is a word-index
+    range join + sorted-struct collect. No driver collect: the result
+    stays a one-row DataFrame. NOTE: do NOT crossJoin this frame onto a
+    fact table — BroadcastNestedLoopJoin copies the word array into
+    every output row's UnsafeRow (~filter_size × |fact| of memcpy);
+    :func:`bloom_prune_join` probes a packed BINARY literal instead.
 
     Sizing: false-positive rate ≈ (1 - e^(-kn/m))^k; the default
     m=2^20, k=4 gives ~2.4% at n=100k keys. Size m ≈ 10 bits/key for
     ~1% at other scales.
     """
+    words = _bloom_sparse_words(dim, key_col, m_bits, num_hashes)
+    n_words = m_bits // 64
+    # densify by joining the full word-index range and sorting (struct
+    # sort = order by first field), NOT by map_from_entries +
+    # element_at-per-index: element_at on an ArrayBasedMapData is a
+    # LINEAR scan, so that rendering is O(n_words²) inside a single
+    # final-aggregate row (~14 s at the default 16384 words; this one
+    # is O(n_words log n_words) and distributed until the last collect)
+    spark = dim.sparkSession
+    idx = spark.range(n_words).select(F.col("id").alias("__bf_i"))
+    # broadcast: words is ≤ n_words rows of two longs (≤ 256 KiB at the
+    # default m) — a shuffle here would cost more than the build itself
+    dense = idx.join(F.broadcast(words), idx["__bf_i"] == words["__bf_w"], "left").select(
+        F.col("__bf_i"),
+        F.coalesce(F.col("__bf_word"), F.lit(0).cast("bigint")).alias("__bf_val"),
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__bf_i"), F.col("__bf_val")))),
+            lambda s: s["__bf_val"],
+        ).alias("__bf_words")
+    )
+
+
+def _bloom_sparse_words(
+    dim: DataFrame, key_col: str, m_bits: int, num_hashes: int
+) -> DataFrame:
+    """Sparse Bloom words: ``(__bf_w, __bf_word)`` for every 64-bit word
+    with at least one set bit — the shared kernel of
+    :func:`bloom_filter_build` (dense one-row frame) and
+    :func:`bloom_filter_pack` (driver-side byte packing)."""
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     if not (1 <= num_hashes <= 16):
         raise ValueError(f"num_hashes must be in [1,16], got {num_hashes}")
-    n_words = m_bits // 64
     pos = F.explode(
         F.array(
             *[
@@ -333,18 +364,7 @@ def bloom_filter_build(
         .groupBy("__bf_w")
         .agg(F.expr("bit_or(__bf_mask)").alias("__bf_word"))
     )
-    return words.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__bf_w"), F.col("__bf_word")))
-        ).alias("__bf_map")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__bf_map"), i.cast("bigint")), F.lit(0).cast("bigint")
-            ),
-        ).alias("__bf_words")
-    )
+    return words
 
 
 def _bloom_member_expr(pos_cols: list[str]) -> str:
@@ -354,6 +374,57 @@ def _bloom_member_expr(pos_cols: list[str]) -> str:
         f" & shiftleft(cast(1 as bigint), cast(({p} & 63) as int))) != 0)"
         for p in pos_cols
     )
+
+
+def bloom_filter_pack(
+    dim: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> bytes:
+    """The :func:`bloom_filter_build` bit set packed to ``m_bits / 8``
+    little-endian BYTES on the driver — one bounded collect of exactly
+    one row (the filter is dimension-DERIVED but never dimension-SIZED:
+    128 KiB at the default m regardless of key cardinality, the same
+    audit class as the IVF centroid collect).
+
+    Little-endian word packing makes the byte layout position-uniform:
+    bit ``p`` of the filter lives in byte ``p >> 3`` at in-byte bit
+    ``p & 7`` — no word math needed on the probe side.
+
+    Collects the SPARSE non-zero words (≤ m_bits/64 two-long rows) and
+    densifies in Python: one job (scan → explode → word aggregate →
+    collect), no densify join — the build latency rides the fact
+    query's critical path, so stages matter.
+    """
+    import struct
+
+    rows = _bloom_sparse_words(dim, key_col, m_bits, num_hashes).collect()
+    arr = bytearray(m_bits // 8)
+    for r in rows:
+        struct.pack_into("<q", arr, r["__bf_w"] * 8, r["__bf_word"])
+    return bytes(arr)
+
+
+def _bloom_member_bytes(packed: Column, pos: Column) -> Column:
+    """Bit test against a BINARY-literal Bloom filter: extract the one
+    byte holding position ``pos`` and test its bit. ``substring`` /
+    ``hex`` / ``conv`` are all whole-stage-codegen JVM expressions; the
+    filter itself is a single Literal — ONE entry in the codegen
+    references array, shared by every row — so nothing filter-sized is
+    ever copied per row (the defect of the one-row-broadcast crossJoin
+    rendering this replaces: BroadcastNestedLoopJoin materialized the
+    128 KiB word array into every fact row's UnsafeRow)."""
+    byte_val = F.conv(
+        F.hex(packed.substr((F.shiftright(pos, 3) + F.lit(1)).cast("int"), F.lit(1))),
+        16,
+        10,
+    ).cast("int")
+    # bit test without shiftleft-by-a-Column (PySpark's shiftleft only
+    # takes a literal shift): floor(byte / 2^bit) % 2 — exact for
+    # byte in [0,255], bit in [0,7]
+    mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(8)).cast("int"))
+    return F.pmod(F.floor(byte_val / mask).cast("int"), F.lit(2)) == F.lit(1)
 
 
 def bloom_prune_join(
@@ -380,30 +451,45 @@ def bloom_prune_join(
     a second map-side scan of the fact for shuffling only the hit
     subset — the right trade whenever the anti-join survivor set is
     large (the common decontamination shape).
+
+    Rendering: the filter is packed to ``m_bits/8`` bytes driver-side
+    (:func:`bloom_filter_pack` — one bounded one-row collect, filter-
+    sized not dimension-sized) and rides the probe as a single BINARY
+    literal. A literal is one codegen reference shared by all rows; the
+    previous one-row-broadcast ``crossJoin`` rendering concatenated the
+    word array into every fact row's UnsafeRow (~filter_size × |fact|
+    bytes of memcpy — the exact scale-wall this operator exists to
+    avoid). The probe is byte-extract + bit-test per hash, entirely
+    inside whole-stage codegen, evaluated map-side before any shuffle.
+    Note the filter build runs EAGERLY at call time (one small Spark
+    job over the dim).
     """
     if how not in ("left_semi", "inner", "left_anti"):
         raise ValueError(f"bloom_prune_join supports semi/inner/anti, got {how!r}")
     dim_key = dim_key or fact_key
-    bloom = bloom_filter_build(dim, dim_key, m_bits=m_bits, num_hashes=num_hashes)
-    pos_cols = [f"__bfp{j}" for j in range(num_hashes)]
-    tagged = fact.crossJoin(F.broadcast(bloom))
-    for j, c in enumerate(pos_cols):
-        tagged = tagged.withColumn(
-            c, F.pmod(F.xxhash64(F.lit(j), F.col(fact_key)), F.lit(m_bits))
+    packed = F.lit(
+        bloom_filter_pack(dim, dim_key, m_bits=m_bits, num_hashes=num_hashes)
+    )
+    member_terms = [
+        _bloom_member_bytes(
+            packed, F.pmod(F.xxhash64(F.lit(j), F.col(fact_key)), F.lit(m_bits))
         )
-    member = F.expr(_bloom_member_expr(pos_cols))
-    drop = ["__bf_words", *pos_cols]
+        for j in range(num_hashes)
+    ]
+    member = member_terms[0]
+    for t in member_terms[1:]:
+        member = member & t
     # alias the dim key internally so identical fact/dim key names never
     # produce an ambiguous self-join-style condition
     dim_keys = dim.select(F.col(dim_key).alias("__bf_dim_key"))
     key_cond = F.col(fact_key) == F.col("__bf_dim_key")
     if how == "left_anti":
-        misses = tagged.where(~member).drop(*drop)
-        hits = tagged.where(member).drop(*drop)
+        misses = fact.where(~member)
+        hits = fact.where(member)
         return misses.unionByName(
             hits.join(dim_keys, on=key_cond, how="left_anti")
         )
-    pruned = tagged.where(member).drop(*drop)
+    pruned = fact.where(member)
     if how == "left_semi":
         return pruned.join(dim_keys, on=key_cond, how="left_semi")
     if fact_key == dim_key:

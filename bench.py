@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N, "slowest": {top-8 map}, "detail": path}.
+
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+script, NOT the stdout line: at 160+ queries the inline map overflowed
+the driver's tail-capture window and round 6's headline number was
+recorded as "parsed": null. The stdout line is bounded (~500 bytes)
+regardless of how many queries the registry grows to.
 
 Timing = full query execution to a driver-side collect (results are
 small aggregates / bounded row sets). Session build time excluded; one
@@ -149,14 +155,37 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "slowest": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
