@@ -350,35 +350,41 @@ def near_duplicate_clusters(
     training-data pipeline actually consumes: keep ``doc_id ==
     cluster_id``, drop the rest.
 
-    Algorithm: iterative hash-min label propagation (the Pregel-style
-    rendering of connected components). Each node starts labeled with
-    its own id; every iteration each node takes the min label over
-    itself and its neighbors; fixpoint = component minimum.
+    Algorithm: hash-min label propagation + pointer halving + EDGE
+    CONTRACTION (the Pregel-style rendering of connected components,
+    accelerated the way production CC implementations are). Each node
+    starts labeled with its own id; every round each node takes the min
+    label over itself and its neighbors, label chains are compressed by
+    one ``lab <- lab(lab)`` self-join, and the edge set is rewritten to
+    ``(lab(a), lab(b))`` with self-loops dropped — so agreeing regions
+    leave the edge set and far-apart regions become adjacent through
+    their representatives. Fixpoint = component minimum.
 
     Scale shape: the ITERATION runs only over nodes that appear in a
     pair (candidate-sized, orders of magnitude below the corpus);
     singleton docs join back at the end with ``coalesce(label, id)`` and
-    never enter the loop. Each iteration is two candidate-sized
-    shuffles — neighbor-min propagation plus a pointer-halving
-    self-join (``lab <- lab(lab)``) that compresses label chains, so
-    convergence is O(log diameter) rounds rather than O(diameter):
-    a 64-node path converges in ~7 rounds, not 63 (property-tested).
-    Edges and every label round are ``localCheckpoint``-ed:
-    persist alone does NOT truncate the logical plan, so Catalyst would
-    re-optimize a lineage that grows by one join+agg per round — with a
-    large pair-generator plan upstream, planning time (driver-side!)
-    quickly dominates the tiny per-round shuffles. Checkpointing makes
-    every round's plan O(1): join of two leaf relations.
-    Convergence is detected by a TYPE-INDEPENDENT stationarity check:
-    the exact decimal sum of md5 hashes over (id, label) pairs — one
-    scalar aggregate per round over the just-checkpointed labels, no
-    join. (Summing raw ids cast to decimal was type-DEPENDENT: STRING
-    ids cast to NULL on both sides and the loop exited after one round
-    with wrong clusters. Labels are monotonically non-increasing, so
-    any change flips at least one row's hash; a cancelling collision
-    across rows needs a 60-bit multi-row coincidence — negligible
-    against the exactness of the rest of the pipeline, and the sum is
-    decimal(38,0) so it never overflows at any corpus size.)
+    never enter the loop. Contraction bounds the round count at
+    O(log n) on every graph shape — propagation+halving alone is
+    logarithmic on chains but was measured at 28 rounds on a blocky
+    equal-distance match graph where contraction needs 5 — and the
+    edge set SHRINKS geometrically, so later rounds cost less, not the
+    same. Edges and every label round are lazily
+    ``localCheckpoint``-ed: persist alone does NOT truncate the logical
+    plan, so Catalyst would re-optimize a lineage that grows by one
+    join+agg per round — checkpointing keeps every round's plan O(1),
+    and LAZY checkpoints let the per-round ``edges.count()`` (the
+    termination probe: contracted edge set empty ⟺ labels stationary)
+    be the single job that materializes the whole round. A final
+    pointer-doubling pass resolves the label forest to the exact
+    component minimum, with stationarity detected by a
+    TYPE-INDEPENDENT check: the exact decimal sum of md5 hashes over
+    (id, label) pairs. (Summing raw ids cast to decimal was
+    type-DEPENDENT: STRING ids cast to NULL on both sides and the loop
+    exited after one round with wrong clusters. Labels are
+    monotonically non-increasing, so any change flips at least one
+    row's hash; a cancelling collision across rows needs a 60-bit
+    multi-row coincidence — negligible, and the sum is decimal(38,0) so
+    it never overflows at any corpus size.)
 
     Returns (id_col, cluster_id, cluster_size) for EVERY doc in
     ``all_ids``.
@@ -389,24 +395,52 @@ def near_duplicate_clusters(
     # Candidate-sized by contract, so materializing it is cheap.
     pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
     pairs.count()
+    # LAZY localCheckpoints throughout the loop: localCheckpoint(False)
+    # truncates the LOGICAL plan immediately (the returned frame is a
+    # LogicalRDD leaf) but defers materialization to the next action, so
+    # two propagation rounds + the convergence aggregate all ride ONE
+    # job. The eager variant cost 2 jobs per round (checkpoint + sum);
+    # on small graphs the fixed per-job driver overhead dominated the
+    # candidate-sized shuffles 4:1.
     edges = (
         pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     state_sum = F.sum(
         md5_i64(
             F.concat_ws("|", F.col("id").cast("string"), F.col("lab").cast("string"))
         ).cast("decimal(38,0)")
     )
-    prev_sum = labels.agg(state_sum).first()[0]
-    for it in range(max_iter):
+    # Each round: (1) neighbor-min propagation, (2) pointer halving
+    # lab <- lab(lab) (every label is itself a node id in the same
+    # component, so one self-join compresses label chains — the lever
+    # on chain-shaped components), (3) EDGE CONTRACTION through the
+    # fresh labels: (a, b) -> (lab(a), lab(b)), self-loops dropped.
+    # Contraction is what kills the round count on dense blocky
+    # components: already-agreeing regions disappear from the edge set
+    # entirely, and surviving edges connect REPRESENTATIVES, so the
+    # component minimum hops between far-apart regions in one round
+    # instead of flooding node by node (measured on the sf0.1 customer
+    # match graph: 28 rounds without contraction, 5 with; the edge set
+    # shrank 5634 -> 738 -> 64 -> 4 -> 0). Termination = contracted
+    # edge set EMPTY: every connected pair shares a label, which makes
+    # labels stationary — no separate convergence aggregate, the
+    # edges.count() that drives the loop is the only action per round
+    # (one job: all checkpoints are lazy).
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > 2 * max_iter:
+            raise RuntimeError(
+                f"connected components did not converge in {2 * max_iter} rounds"
+            )
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("lab")
         )
@@ -415,32 +449,58 @@ def near_duplicate_clusters(
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
         )
-        # pointer halving: lab <- lab(lab). Every label is itself a node
-        # id in the same component (labels start as own-id and only min
-        # over other labels), so one self-join compresses label chains —
-        # a path of length d collapses in O(log d) rounds instead of
-        # O(d). The join is candidate-sized like everything else here;
-        # one extra shuffle per round buys exponentially fewer rounds on
-        # chain-shaped components (passage-overlap graphs produce them).
         lablab = propagated.select(
             F.col("id").alias("__lid"), F.col("lab").alias("__llab")
         )
-        new_labels = (
+        labels = (
             propagated.join(lablab, propagated["lab"] == lablab["__lid"], "left")
             .select(
                 F.col("id"),
                 F.coalesce(F.col("__llab"), F.col("lab")).alias("lab"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(state_sum).first()[0]
-        labels = new_labels
+        la = labels.select(F.col("id").alias("__ea"), F.col("lab").alias("__la"))
+        lb = labels.select(F.col("id").alias("__eb"), F.col("lab").alias("__lb"))
+        edges = (
+            edges.join(la, edges["a"] == la["__ea"])
+            .join(lb, edges["b"] == lb["__eb"])
+            .select(F.col("__la").alias("a"), F.col("__lb").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if edges.count() == 0:
+            break
+    # RESOLUTION: contraction terminates on edge emptiness, which
+    # guarantees agreement among CURRENT representatives but can leave a
+    # node's label pointing at an intermediate representative whose own
+    # label moved later (forest depth grows ≤ 1 per round, halving only
+    # compresses one level). Pointer-double lab <- lab(lab) to the exact
+    # fixpoint — O(log depth) candidate-sized self-joins, stationarity
+    # by the same type-independent decimal hash sum as before (labels
+    # only decrease; a cancelling multi-row md5 collision is the same
+    # negligible 60-bit coincidence).
+    prev_sum = labels.agg(state_sum).first()[0]
+    for _ in range(max_iter):
+        lablab = labels.select(
+            F.col("id").alias("__lid"), F.col("lab").alias("__llab")
+        )
+        labels = (
+            labels.join(lablab, labels["lab"] == lablab["__lid"], "left")
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("__llab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(state_sum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     else:
         raise RuntimeError(
-            f"connected components did not converge in {max_iter} iterations"
+            f"label resolution did not converge in {max_iter} iterations"
         )
     # internal label columns renamed before the final join so a caller
     # id column literally named "id"/"lab" never collides
@@ -650,11 +710,32 @@ def minhash_lsh_incremental(
     Output (id_a, id_b, jaccard), id_a < id_b, every pair containing at
     least one delta document. Union of this with the corpus's own
     indexed pairs = exactly the full-rerun answer.
+
+    FORMAT BREAK (round 6): ``sig`` changed from the 32-char md5 hex
+    STRING to the portable 60-bit BIGINT (quarters the band-join
+    shuffle bytes). A ``(band, sig)`` table bucketed under the old
+    format joins on a different type AND different values — it would
+    match ZERO candidates silently; the schema assertion below makes a
+    stale index fail loudly instead. Re-index (rewrite the bucketed
+    table via ``minhash_band_relation`` + ``write_bucketed_table``) to
+    migrate.
     """
     if corpus_bands is None:
         corpus_bands = minhash_band_relation(
             corpus, id_col, text_col, shingle_k, num_hashes, bands
         )
+    else:
+        from pyspark.sql.types import LongType
+
+        sig_field = corpus_bands.schema["sig"]
+        if not isinstance(sig_field.dataType, LongType):
+            raise TypeError(
+                "corpus_bands.sig must be BIGINT (portable 60-bit md5 int; "
+                f"got {sig_field.dataType.simpleString()}). A (band, sig) "
+                "index persisted before the round-6 format break stores "
+                "md5 hex strings and would match zero candidates — "
+                "re-index the corpus with minhash_band_relation."
+            )
     # delta-sized by contract: persist so the corpus-probe join and the
     # delta self-join don't each recompute the delta's signatures
     probe = minhash_band_relation(
@@ -719,14 +800,25 @@ def containment_pairs(
     farms, scraped aggregators, boilerplate wrappers around copied
     bodies).
 
-    Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
-    candidate join (``max_df`` drops stop-grams from candidate
-    generation only), candidate-sized verify. Emits a row per DIRECTED
-    pair that passes: ``(id_contained, id_container, containment)``
-    with ``id_contained``'s gram set the denominator; both directions
-    of an unordered pair can pass (mutual containment = near-dup).
-    The intersection is counted once per unordered pair and reused for
-    both directions.
+    Same scale shape as :func:`ngram_jaccard_pairs` (inverted-index
+    candidates, ``max_df`` drops stop-grams from candidate generation
+    only), but the intersection is counted IN the posting self-join
+    that generates the candidates: that join already touches exactly
+    one row per (pair, shared cold token), so ``groupBy(pair).count()``
+    there replaces both the old ``distinct()`` AND the old verify join
+    — which re-derived the candidate docs' grams and expanded
+    candidates × per-doc grams before intersecting (the dominant
+    constant factor: pairs × |doc| rows through a shuffle). The
+    max_df-excluded (hot) tokens, absent from the posting join, are
+    added back by one candidate-sized join against only the hot-token
+    postings (per-doc hot postings ≤ the handful of stop-grams, so the
+    correction is O(candidates × hot_grams_per_doc)).
+
+    Emits a row per DIRECTED pair that passes: ``(id_contained,
+    id_container, containment)`` with ``id_contained``'s gram set the
+    denominator; both directions of an unordered pair can pass (mutual
+    containment = near-dup). The intersection is counted once per
+    unordered pair and reused for both directions.
     """
 
     def items_of(frame: DataFrame) -> DataFrame:
@@ -740,6 +832,7 @@ def containment_pairs(
 
     items = items_of(df)
     cand_items = items
+    hot = None
     if max_df is not None:
         n_docs = df.select(id_col).distinct().count()
         hot = (
@@ -751,34 +844,43 @@ def containment_pairs(
         cand_items = items.join(F.broadcast(hot), "token", "left_anti")
     a = cand_items.withColumnRenamed(id_col, "id_a")
     b = cand_items.withColumnRenamed(id_col, "id_b")
-    cands = (
+    # one row per (pair, shared cold token) -> count = cold intersection
+    inter_cold = (
         a.join(b, on=["token"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
-    )
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    verify_items = items_of(cand_docs)
-    sizes = verify_items.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ia = verify_items.withColumnRenamed(id_col, "id_a")
-    ib = verify_items.withColumnRenamed(id_col, "__cid_b").withColumnRenamed(
-        "token", "token_b"
-    )
-    inter = (
-        cands.join(ia, "id_a")
-        .join(
-            ib,
-            (F.col("__cid_b") == F.col("id_b")) & (F.col("token") == F.col("token_b")),
-        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    if hot is not None:
+        # candidate-pair-sized; referenced twice below (pair list + final
+        # join), so materialize once
+        inter_cold = inter_cold.persist()
+        hot_items = items.join(F.broadcast(hot), "token", "left_semi")
+        ha = hot_items.withColumnRenamed(id_col, "id_a")
+        hb = hot_items.withColumnRenamed(id_col, "id_b")
+        inter_hot = (
+            inter_cold.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, ["id_b", "token"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter_hot"))
+        )
+        inter = (
+            inter_cold.join(inter_hot, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter") + F.coalesce(F.col("inter_hot"), F.lit(0))).alias(
+                    "inter"
+                ),
+            )
+        )
+    else:
+        inter = inter_cold
+    # denominators: one partial-aggregated pass over the gram relation
+    # (one row per doc after map-side combine); the inner joins below
+    # restrict it to candidate docs without a collected id list
+    sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     scored = inter.join(sa, "id_a").join(sb, "id_b")
