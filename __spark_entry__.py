@@ -29,6 +29,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Per-(tag, sf, PROCESS) scratch path for queries that write then
+    re-read files. The PID component keeps concurrent drivers (bench
+    and verify battery on the same sf) from overwriting each other's
+    dir mid-read; within one process, re-runs reuse the dir and every
+    writer uses mode=overwrite."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"{tag}_{key}_pid{os.getpid()}")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) — use the nanos-tolerant
     reader (sources/readers.py) and surface microsecond timestamps."""
@@ -4858,18 +4872,11 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per language. ``sum(length(text))`` proves the text
     column — unicode, quotes, escapes — survived the round-trip
     byte-for-byte; the oracle aggregates the parquet originals."""
-    import hashlib
-    import os
-    import tempfile
-
     from ai_etl_pipeline_spark.sources.readers import read_jsonl
     from ai_etl_pipeline_spark.sources.writers import write_jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "jsonl_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    out = _scratch_dir("jsonl_roundtrip", sf_dir)
     write_jsonl(docs.select("doc_id", "text", "lang", "n_chars"), out)
     back = read_jsonl(
         spark, out, schema="doc_id bigint, text string, lang string, n_chars bigint"
@@ -4901,10 +4908,6 @@ def q_layout_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan BEFORE Spark opens any footer. The oracle replays the same
     range filter over the logical table — pruning must be invisible to
     results."""
-    import hashlib
-    import os
-    import tempfile
-
     from ai_etl_pipeline_spark.sources.readers import (
         zone_map_manifest,
         zone_map_pruned_scan,
@@ -4913,10 +4916,7 @@ def q_layout_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "zonemap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    out = _scratch_dir("zonemap", sf_dir)
     li.repartitionByRange(8, "l_orderkey").write.mode("overwrite").parquet(out)
     man = zone_map_manifest(spark, out, ["l_orderkey"])
     pruned = zone_map_pruned_scan(spark, out, man, "l_orderkey", lo=1000, hi=9000)
@@ -5070,10 +5070,12 @@ WITH b AS (
   FROM lineitem
 ),
 w AS (
-  SELECT least(greatest(l_extendedprice, lo_p), hi_p) AS price_w,
-         least(greatest(l_quantity, lo_q), hi_q) AS qty_w,
-         (l_extendedprice < lo_p OR l_extendedprice > hi_p) AS pc,
-         (l_quantity < lo_q OR l_quantity > hi_q) AS qc
+  SELECT CASE WHEN l_extendedprice IS NULL THEN NULL
+              ELSE least(greatest(l_extendedprice, lo_p), hi_p) END AS price_w,
+         CASE WHEN l_quantity IS NULL THEN NULL
+              ELSE least(greatest(l_quantity, lo_q), hi_q) END AS qty_w,
+         coalesce(l_extendedprice < lo_p OR l_extendedprice > hi_p, false) AS pc,
+         coalesce(l_quantity < lo_q OR l_quantity > hi_q, false) AS qc
   FROM lineitem CROSS JOIN b
 )
 SELECT count(*) AS n_rows,
@@ -5084,6 +5086,93 @@ SELECT count(*) AS n_rows,
        round(max(price_w), 2) AS max_price_w,
        round(avg(qty_w), 4) AS avg_qty_w
 FROM w
+"""
+
+
+def q_clean_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-bounded winsorization (``approx=True`` →
+    ``percentile_approx``, the rendering that removes the last
+    one-reducer-sees-every-value aggregate from the 100 TB story).
+    Sketch bounds are engine-specific, so per the q_agg_approx
+    precedent the oracle-able rendering is the tolerance flag: the
+    approx-clipped corpus stats must sit within the GK sketch's
+    documented rank-error envelope of the exact-percentile clip
+    computed side by side. accuracy=10000 → rank error 1e-4; the clip
+    count at a 5% tail is ~10% of rows, so its relative error bound is
+    ~0.1% — gated at 2% (3-sigma-style headroom), the clipped mean at
+    0.1%."""
+    li = _t(spark, sf_dir, "lineitem")
+    wa = clean.winsorize(
+        li, ["l_extendedprice"], lo=0.05, hi=0.95, approx=True
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("l_extendedprice").alias("avg_a"),
+        F.sum(F.col("l_extendedprice__was_clipped").cast("long")).alias("nc_a"),
+    )
+    we = clean.winsorize(li, ["l_extendedprice"], lo=0.05, hi=0.95).agg(
+        F.avg("l_extendedprice").alias("avg_e"),
+        F.sum(F.col("l_extendedprice__was_clipped").cast("long")).alias("nc_e"),
+    )
+    return wa.crossJoin(we).select(
+        "n_rows",
+        (
+            F.abs(F.col("avg_a") - F.col("avg_e")) / F.col("avg_e") <= 0.001
+        ).alias("avg_within_0_1pct"),
+        (
+            F.abs(F.col("nc_a") - F.col("nc_e")) / F.col("nc_e") <= 0.02
+        ).alias("clipcount_within_2pct"),
+    )
+
+
+_CLEAN_WINSORIZE_APPROX_SQL = """
+SELECT count(*) AS n_rows,
+       TRUE AS avg_within_0_1pct,
+       TRUE AS clipcount_within_2pct
+FROM lineitem
+"""
+
+
+def q_quality_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate on the SKETCH percentile
+    (``quantile_threshold_filter(approx=True)``): same shape as
+    q_quality_quantile but the threshold comes from percentile_approx,
+    so per-stratum values can differ from quantile_cont (GK returns an
+    actual element, no interpolation) and the kept set can shift by a
+    few boundary rows. Tolerance-flag oracle: per source, the approx
+    gate's kept count within 5% of the exact gate's (plus exact total
+    row counts per source as anchor columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    approx_kept = (
+        textstats.quantile_threshold_filter(
+            docs, "n_chars", 0.25, strata_col="source", keep="above", approx=True
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_a"))
+    )
+    exact_kept = (
+        textstats.quantile_threshold_filter(
+            docs, "n_chars", 0.25, strata_col="source", keep="above"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_e"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(approx_kept, "source")
+        .join(exact_kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.abs(F.col("kept_a") - F.col("kept_e")) / F.col("kept_e") <= 0.05
+            ).alias("kept_within_5pct"),
+        )
+    )
+
+
+_QUALITY_QUANTILE_APPROX_SQL = """
+SELECT source, count(*) AS n_docs, TRUE AS kept_within_5pct
+FROM documents GROUP BY source
 """
 
 
@@ -5289,17 +5378,10 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema scan — old rows surface NULL lang. Aggregate proves
     the union semantics; the oracle replays them on the logical
     table."""
-    import hashlib
-    import os
-    import tempfile
-
     from ai_etl_pipeline_spark.sources.readers import read_parquet_evolved
 
     docs = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "evolved_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    out = _scratch_dir("evolved", sf_dir)
     docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
         "overwrite"
     ).parquet(out)
@@ -5505,6 +5587,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
+    # --- round-7 NEW: sketch-percentile renderings (removes the last
+    #     one-reducer exact-percentile aggregate from the 100 TB story) ---
+    "q_clean_winsorize_approx": (q_clean_winsorize_approx, _CLEAN_WINSORIZE_APPROX_SQL),
+    "q_quality_quantile_approx": (q_quality_quantile_approx, _QUALITY_QUANTILE_APPROX_SQL),
+    # --- round-7 AFFECTED by the quantile_threshold_filter approx knob ---
+    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
+    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
@@ -5514,8 +5603,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
-    "q_sample_weighted": (q_sample_weighted, _SAMPLE_WEIGHTED_SQL),
-    "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
     "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
@@ -5575,7 +5662,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_repetition": (q_text_repetition, _TEXT_REPETITION_SQL),
     "q_dedup_passages": (q_dedup_passages, _DEDUP_PASSAGES_SQL),
     "q_text_normalize": (q_text_normalize, _TEXT_NORMALIZE_SQL),
-    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
     "q_map_values_literal": (q_map_values_literal, _MAP_LITERAL_SQL),
     "q_map_values_broadcast": (q_map_values_broadcast, _MAP_BROADCAST_SQL),
     "q_top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_REVENUE_SQL),
@@ -5592,8 +5678,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_corpus_shuffle": (q_corpus_shuffle, _CORPUS_SHUFFLE_SQL),
     "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
-    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
+    # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_sample_weighted": (q_sample_weighted, _SAMPLE_WEIGHTED_SQL),
+    "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (

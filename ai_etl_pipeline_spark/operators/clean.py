@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Placeholder tokens replaced with NULL, exactly the reference list
@@ -271,28 +271,52 @@ def winsorize(
     cols: list[str],
     lo: float = 0.01,
     hi: float = 0.99,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Percentile clipping (winsorization) of numeric feature columns —
-    the standard outlier guard ahead of scaling/training. Exact linear-
-    interpolation percentiles (``F.percentile``; quantile_cont
-    semantics) for every column come from ONE aggregate reduced to a
-    single broadcast row, then the clip is an in-row
-    ``least(greatest(...))`` projection — two passes total, no shuffle
-    beyond the scalar aggregate, any number of columns.
+    the standard outlier guard ahead of scaling/training. Percentiles
+    for every column come from ONE aggregate reduced to a single
+    broadcast row, then the clip is an in-row ``least(greatest(...))``
+    projection — two passes total, no shuffle beyond the scalar
+    aggregate, any number of columns.
+
+    ``approx=False`` uses exact linear-interpolation percentiles
+    (``F.percentile``; quantile_cont semantics) — but an exact
+    percentile funnels EVERY value of every column through the single
+    final-aggregate row, a one-reducer memory/straggler wall at corpus
+    scale. ``approx=True`` swaps in ``F.percentile_approx``
+    (Greenwald-Khanna sketch: fixed memory ~O(accuracy), mergeable
+    map-side partials, rank error ≤ 1/accuracy) — the rendering to use
+    at 100 TB; clip bounds a hair off the exact quantile are
+    immaterial to an outlier guard.
+
+    NULL inputs stay NULL and are never counted as clipped:
+    Spark's (and DuckDB's) ``least``/``greatest`` SKIP nulls, so the
+    naive clip would silently impute missing values to the low bound —
+    a data-cleaning operator must not invent values.
 
     Replaces each column with its clipped value and adds
-    ``<col>__was_clipped``."""
+    ``<col>__was_clipped`` (false for NULL inputs)."""
     if not cols:
         raise ValueError("winsorize: cols must be non-empty")
     if not (0.0 <= lo < hi <= 1.0):
         raise ValueError(f"winsorize: need 0 <= lo < hi <= 1, got {lo}, {hi}")
+
+    def pct(c: str, q: float) -> Column:
+        if approx:
+            return F.percentile_approx(F.col(c), F.lit(q), F.lit(accuracy)).cast(
+                "double"
+            )
+        return F.percentile(F.col(c), F.lit(q))
+
     bounds = df.agg(
         *[
             p
             for c in cols
             for p in (
-                F.percentile(F.col(c), F.lit(lo)).alias(f"__lo_{c}"),
-                F.percentile(F.col(c), F.lit(hi)).alias(f"__hi_{c}"),
+                pct(c, lo).alias(f"__lo_{c}"),
+                pct(c, hi).alias(f"__hi_{c}"),
             )
         ]
     )
@@ -301,6 +325,11 @@ def winsorize(
         lo_c, hi_c = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
         out = out.withColumn(
             f"{c}__was_clipped",
-            (F.col(c) < lo_c) | (F.col(c) > hi_c),
-        ).withColumn(c, F.least(F.greatest(F.col(c), lo_c), hi_c))
+            F.coalesce((F.col(c) < lo_c) | (F.col(c) > hi_c), F.lit(False)),
+        ).withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(), F.least(F.greatest(F.col(c), lo_c), hi_c)
+            ),
+        )
     return out.drop(*[n for c in cols for n in (f"__lo_{c}", f"__hi_{c}")])

@@ -214,23 +214,43 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     if len(cols) < 2:
         raise ValueError("correlation_matrix: need at least 2 columns")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # positional toDF rename before ANY by-name reference: every
+    # by-name accessor (F.col, df[name], even df[index] internally)
+    # routes through the attribute-name parser, where a stray backtick
+    # or quote is a syntax error / injection surface. toDF assigns new
+    # names by POSITION, so hostile names never get parsed; the
+    # original names only survive as F.lit labels in the output.
+    safe = df.toDF(*[f"__cm{i}" for i in range(len(df.columns))])
+    ref = {c: F.col(f"__cm{df.columns.index(c)}") for c in cols}
     # corr from co-moments with try_divide: F.corr raises under ANSI
     # mode when a column has zero variance; the manual Pearson form
     # yields NULL there instead (DuckDB/Postgres corr semantics)
-    one = df.agg(
+    one = safe.agg(
         *[
             F.round(
                 F.try_divide(
-                    F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+                    F.covar_samp(ref[a], ref[b]),
+                    F.stddev_samp(ref[a]) * F.stddev_samp(ref[b]),
                 ),
                 4,
             ).alias(f"__corr_{i}")
             for i, (a, b) in enumerate(pairs)
         ]
     )
-    stack = ", ".join(
-        f"'{a}', '{b}', `__corr_{i}`" for i, (a, b) in enumerate(pairs)
+    # unpivot via explode-of-structs, NOT a string-built stack()
+    # selectExpr: column names are carried as F.lit values / resolved
+    # references, so a name containing a quote or backtick cannot break
+    # the parse or inject into SQL
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"__corr_{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
     )
-    return one.selectExpr(
-        f"stack({len(pairs)}, {stack}) as (col_x, col_y, corr)"
+    return one.select(F.explode(entries).alias("__e")).select(
+        "__e.col_x", "__e.col_y", "__e.corr"
     )

@@ -509,6 +509,8 @@ def quantile_threshold_filter(
     quantile: float,
     strata_col: str | None = None,
     keep: str = "above",
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Keep rows whose ``metric_col`` clears the per-stratum exact
     ``quantile`` threshold — the calibrated quality gate of a curation
@@ -522,24 +524,31 @@ def quantile_threshold_filter(
     — the filter is a map-side broadcast-hash-join probe. Adds the
     ``threshold`` column (rounded to 6dp for stable cross-engine
     rendering).
+
+    ``approx=True`` swaps the exact ``F.percentile`` (which funnels
+    every metric value of a stratum through one aggregate row — a
+    one-reducer wall when a stratum spans a whole 100 TB corpus) for
+    the Greenwald-Khanna ``F.percentile_approx`` sketch: fixed
+    ~O(accuracy) memory, mergeable map-side partials, rank error
+    ≤ 1/accuracy. A calibrated gate does not care that the cut sits a
+    few rank-ppm off the exact quantile — prefer it at scale.
     """
     if not 0.0 <= quantile <= 1.0:
         raise ValueError(f"quantile must be in [0, 1], got {quantile}")
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
-    if strata_col is None:
-        th = df.agg(
-            F.round(F.percentile(F.col(metric_col), F.lit(quantile)), 6).alias(
-                "threshold"
-            )
+    pct = (
+        F.percentile_approx(F.col(metric_col), F.lit(quantile), F.lit(accuracy)).cast(
+            "double"
         )
+        if approx
+        else F.percentile(F.col(metric_col), F.lit(quantile))
+    )
+    if strata_col is None:
+        th = df.agg(F.round(pct, 6).alias("threshold"))
         joined = df.crossJoin(F.broadcast(th))
     else:
-        th = df.groupBy(strata_col).agg(
-            F.round(F.percentile(F.col(metric_col), F.lit(quantile)), 6).alias(
-                "threshold"
-            )
-        )
+        th = df.groupBy(strata_col).agg(F.round(pct, 6).alias("threshold"))
         joined = df.join(F.broadcast(th), strata_col)
     cond = (
         F.col(metric_col) >= F.col("threshold")

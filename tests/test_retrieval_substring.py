@@ -404,6 +404,61 @@ def test_winsorize_clips_to_exact_percentiles(spark):
         cl.winsorize(df, ["v"], 0.9, 0.1)
 
 
+def test_winsorize_null_inputs_stay_null(spark):
+    """NULL inputs must stay NULL (least/greatest skip NULLs, so the
+    naive clip silently imputes missing values to the LOW bound) and
+    must never count as clipped."""
+    from ai_etl_pipeline_spark.operators import clean as cl
+
+    rows = [(v, float(v)) for v in range(1, 101)] + [(1000, None), (1001, None)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    for approx in (False, True):
+        out = {r["k"]: r for r in cl.winsorize(df, ["v"], 0.10, 0.90, approx=approx).collect()}
+        assert out[1000]["v"] is None and out[1001]["v"] is None
+        assert out[1000]["v__was_clipped"] is False
+        assert out[1001]["v__was_clipped"] is False
+        # non-null rows still clip (bounds computed over non-null values)
+        assert out[1]["v__was_clipped"] is True
+        assert out[50]["v__was_clipped"] is False
+
+
+def test_winsorize_approx_matches_exact_on_small_input(spark):
+    """GK sketch at accuracy >> n is exact up to interpolation: on
+    1..100 the approx bounds are actual elements within one rank of the
+    exact interpolated percentiles, and the exact path is unchanged."""
+    from ai_etl_pipeline_spark.operators import clean as cl
+
+    df = spark.createDataFrame(
+        [(v, float(v)) for v in range(1, 101)], "k long, v double"
+    )
+    exact = {r["k"]: r["v"] for r in cl.winsorize(df, ["v"], 0.10, 0.90).collect()}
+    approx = {
+        r["k"]: r["v"]
+        for r in cl.winsorize(df, ["v"], 0.10, 0.90, approx=True).collect()
+    }
+    # exact path: interpolated bounds (regression guard for approx knob)
+    assert min(exact.values()) == pytest.approx(10.9)
+    assert max(exact.values()) == pytest.approx(90.1)
+    # approx path: bounds within 1 rank of the exact ones
+    assert abs(min(approx.values()) - 10.9) <= 1.0
+    assert abs(max(approx.values()) - 90.1) <= 1.0
+    assert approx[50] == 50.0
+
+
+def test_quantile_threshold_filter_approx(spark, documents):
+    from ai_etl_pipeline_spark.operators import textstats as ts
+
+    exact = ts.quantile_threshold_filter(documents, "n_chars", 0.5, keep="above")
+    approx = ts.quantile_threshold_filter(
+        documents, "n_chars", 0.5, keep="above", approx=True
+    )
+    ne, na = exact.count(), approx.count()
+    assert ne > 0 and na > 0
+    # kept sets agree up to boundary rows (sketch exact at this n, but
+    # returns an element rather than an interpolated value)
+    assert abs(ne - na) <= max(5, int(0.05 * ne))
+
+
 # ---------------------------------------------------------------------------
 # feature hashing
 # ---------------------------------------------------------------------------
