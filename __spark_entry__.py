@@ -2822,6 +2822,56 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (the LZW sibling of
+    q_media_bmp_decode / q_media_png_decode): the SAME closed-form
+    pixels — r=(id*7+x*3+y*5)%256, g=(id*11+x+2y)%256, b=(id*13+4x+y)%256
+    over a (8+id%5)x(6+id%4) canvas — are ENCODED with the stdlib GIF
+    writer (palette from the image's distinct colors, literal-code LZW
+    with the uncompressed-GIF clear cadence) and DECODED by the stdlib
+    header walk + variable-width LZW + palette-stats parser inside
+    mapInPandas; the oracle recomputes the channel means from the
+    closed form in SQL — byte-exact through palette, LZW and bit
+    packing."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                w, h = 8 + (i % 5), 6 + (i % 4)
+                px = [
+                    [
+                        (
+                            (i * 7 + x * 3 + y * 5) % 256,
+                            (i * 11 + x + 2 * y) % 256,
+                            (i * 13 + 4 * x + y) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                rows.append((i, multimodal.encode_gif_rgb24(w, h, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass numeric profiling of three lineitem measures — the
     statistics half of the data-quality pair: ONE aggregate over the
@@ -4208,6 +4258,270 @@ WHERE total_rev = (SELECT max(total_rev) FROM r)
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure pushdown probe — a conjunctive filter
+    over one fact table reduced to one scalar. Every predicate reaches
+    the parquet scan (PushedFilters), no join, no shuffle beyond the
+    final single-row aggregate; at 100 TB this is the query whose cost
+    is bounded by row-group pruning, not compute."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "forecast_revenue"
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The fact joins supplier AND (via orders) customer, each
+    enriched with its nation name from a broadcast dim; the
+    disjunctive nation-pair predicate keeps both directions. One fact
+    shuffle (the orders join — both sides fact-sized), everything else
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sup_n = sup.join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_n = cust.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key")
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
+    )
+
+
+_VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    import volume by year — a conditional-aggregate ratio on top of a
+    5-way join. All dims broadcast; the one big-big join (lineitem ×
+    orders) shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    # customers in EUROPE (the importing market)
+    europe_cust = (
+        cust.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    sup_nat = sup.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("__sk"),
+    ).select("s_suppkey", "supp_nation")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(europe_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .select("o_year", "mkt_share")
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's typical
+    quantity — the correlated-aggregate-subquery query. Rendered as the
+    decorrelated join Catalyst itself would produce: per-part average
+    quantity (parts-sized aggregate, broadcast back), filter, one
+    scalar. Restricted to one brand so the per-part aggregate prunes
+    with a broadcast semi join BEFORE the corpus aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = li_b.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "__pk")),
+                  F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+_SMALL_QTY_REVENUE_SQL = """
+WITH b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+),
+a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut FROM b GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_orders
+FROM b JOIN a USING (l_partkey)
+WHERE l_quantity < qty_cut
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand,
+    size-range, quantity-range) triples — the OR-of-conjunctions
+    predicate that exercises join-condition pushdown: the part-side
+    conjuncts (brand, size) filter the broadcast dim per branch, the
+    fact-side conjunct (quantity) rides the join condition, and rows
+    match if ANY branch holds."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    branch = [
+        ("Brand#1", 1, 15, 1, 11),
+        ("Brand#13", 1, 25, 10, 20),
+        ("Brand#20", 1, 35, 20, 30),
+    ]
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in branch:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    joined = li.join(
+        F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey")) & cond
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_DISJUNCTIVE_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join with an aggregate threshold —
     suppliers who moved more than 50 units of at least one small part.
@@ -5572,9 +5886,6 @@ FROM (
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-6 wave 6 NEW: source-level quality gate, OOV rate,
     #     PQ retrieve-then-rerank ---
-    "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
-    "q_text_oov_rate": (q_text_oov_rate, _TEXT_OOV_RATE_SQL),
-    "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
     "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
@@ -5594,6 +5905,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-7 AFFECTED by the quantile_threshold_filter approx knob ---
     "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
     "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
+    # --- round-7 NEW: remaining TPC-H shapes (Q6/Q7/Q8/Q17/Q19) ---
+    "q_forecast_revenue": (q_forecast_revenue, _FORECAST_REVENUE_SQL),
+    "q_volume_shipping": (q_volume_shipping, _VOLUME_SHIPPING_SQL),
+    "q_market_share": (q_market_share, _MARKET_SHARE_SQL),
+    "q_small_qty_revenue": (q_small_qty_revenue, _SMALL_QTY_REVENUE_SQL),
+    "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
@@ -5625,6 +5942,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     # --- driver-unverified in r1: sampling + curation ---
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
+    # --- round-7: media decoders affected by the GIF dispatch change;
+    #     q_media_gif_decode is NEW (stdlib LZW decode, closed-form oracle) ---
+    "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
+    "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
+    # --- round-7 NEW: real stdlib GIF decode (LZW; same closed-form
+    #     oracle) ---
+    "q_media_gif_decode": (q_media_gif_decode, _MEDIA_BMP_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
@@ -5636,10 +5960,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
-    "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
     # --- round-6 NEW: real stdlib PNG decode (same oracle closed form,
     #     filter type rotates through all five unfilter paths) ---
-    "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
     # --- round-5 NEW: URL/domain curation filter ---
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
     # --- round-5 NEW: data-quality expectations + profiler ---
@@ -5680,6 +6002,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
+    "q_text_oov_rate": (q_text_oov_rate, _TEXT_OOV_RATE_SQL),
+    "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
     "q_sample_weighted": (q_sample_weighted, _SAMPLE_WEIGHTED_SQL),
     "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
     # --- driver-unverified in r1: end-to-end pipelines ---

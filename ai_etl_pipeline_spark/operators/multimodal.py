@@ -12,11 +12,17 @@ real and tested. Decoding:
 - **BMP (24-bit) is REAL**: stdlib-only (``struct``) header parse +
   stride-aware channel statistics — see :func:`decode_bmp` /
   :func:`extract_image_features`.
-- other formats remain stubbed (no codec libraries in this container)
-  behind ``decode_stub``: deterministic fake features derived from the
-  bytes, or ``NotImplementedError`` in strict mode. Swapping in a real
-  decoder means replacing ONE pandas function; the distributed plan is
-  unchanged (the WAV and BMP paths demonstrate exactly that swap).
+- **PNG (8-bit RGB/RGBA, non-interlaced) is REAL**: stdlib-only chunk
+  walk + ``zlib`` inflate + all five unfilter paths — :func:`decode_png`.
+- **GIF (87a/89a, first frame, non-interlaced) is REAL**: stdlib-only
+  header/extension walk + variable-width LZW decode + palette channel
+  stats — :func:`decode_gif`.
+- JPEG (and video codecs) remain stubbed (no codec libraries in this
+  container) behind ``decode_stub``: deterministic fake features
+  derived from the bytes, or ``NotImplementedError`` in strict mode.
+  Swapping in a real decoder means replacing ONE pandas function; the
+  distributed plan is unchanged (the WAV/BMP/PNG/GIF paths demonstrate
+  exactly that swap).
 """
 
 from __future__ import annotations
@@ -363,6 +369,215 @@ def encode_png_rgb24(
     )
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(content: bytes | None) -> bool:
+    """GIF signature check — the cheap per-row dispatch before decode."""
+    return (
+        content is not None
+        and len(content) >= 13
+        and bytes(content[:6]) in GIF_SIGS
+    )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits), codes
+    packed LSB-first, CLEAR resets the table, EOI terminates. Pure
+    stdlib, bounded by ``max_pixels`` so a corrupt stream cannot blow
+    memory."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW stream longer than the image")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL stdlib-only GIF decode (87a/89a, first frame,
+    non-interlaced): parse the logical screen descriptor and color
+    tables, skip extension blocks, LZW-decompress the first image's
+    pixel indices and average the palette channels. Returns the same
+    shape as :func:`decode_bmp`/:func:`decode_png`. Raises
+    ``ValueError`` on non-GIF, interlaced frames, missing color table,
+    or truncation — callers dispatch with :func:`is_gif` first."""
+    import struct
+
+    raw = bytes(content)
+    if not is_gif(raw):
+        raise ValueError("not a GIF payload")
+    _, _, flags, _, _ = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = raw[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(raw):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = raw[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+                raise ValueError(f"GIF dimensions out of range ({w}x{h})")
+            if pos >= len(raw):
+                raise ValueError("truncated GIF (missing LZW code size)")
+            min_code_size = raw[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"invalid GIF LZW code size {min_code_size}")
+            chunks = []
+            while pos < len(raw) and raw[pos] != 0:
+                ln = raw[pos]
+                chunk = raw[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                chunks.append(chunk)
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF pixel data short: {len(idx)} of {w * h} indices"
+                )
+            n_colors = len(ct) // 3
+            sum_r = sum_g = sum_b = 0
+            for i in idx[: w * h]:
+                if i >= n_colors:
+                    raise ValueError(f"GIF index {i} outside the color table")
+                sum_r += ct[3 * i]
+                sum_g += ct[3 * i + 1]
+                sum_b += ct[3 * i + 2]
+            n = w * h
+            return {
+                "width": w,
+                "height": h,
+                "bpp": 8,
+                "n_pixels": n,
+                "mean_r": round(sum_r / n, 3),
+                "mean_g": round(sum_g / n, 3),
+                "mean_b": round(sum_b / n, 3),
+            }
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif_rgb24(
+    width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Stdlib GIF writer (tests + synthetic corpora): GIF89a, one
+    non-interlaced frame, palette built from the image's distinct
+    colors (≤ 256). Pixels are emitted as LITERAL LZW codes with a
+    CLEAR every ``2^mcs - 2`` pixels — the classic "uncompressed GIF"
+    cadence that keeps the decoder's code width fixed, so any
+    conformant LZW decoder (including :func:`decode_gif`) reproduces
+    the indices exactly. Inverse of :func:`decode_gif`."""
+    import struct
+
+    palette: dict[tuple[int, int, int], int] = {}
+    for row in rgb_rows:
+        for px in row:
+            if px not in palette:
+                palette[px] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} colors")
+    mcs = max(2, (len(palette) - 1).bit_length())
+    n_entries = 1 << mcs
+    ct = bytearray()
+    for px in sorted(palette, key=palette.get):
+        ct += bytes(px)
+    ct += b"\x00" * (3 * n_entries - len(ct))
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    acc = bits = 0
+    body = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for row in rgb_rows:
+        for px in row:
+            if since_clear == (1 << mcs) - 2:
+                emit(clear)
+                since_clear = 0
+            emit(palette[px])
+            since_clear += 1
+    emit(eoi)
+    if bits:
+        body.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        sub += bytes((len(chunk),)) + chunk
+    sub += b"\x00"
+    header = b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (mcs - 1), 0, 0)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return header + bytes(ct) + img + bytes((mcs,)) + bytes(sub) + b"\x3b"
+
+
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -378,8 +593,8 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     """REAL image decode via ``mapInPandas``: payloads are dispatched
-    by magic bytes to the stdlib BMP or PNG decoder; rows matching
-    neither are skipped (decode AFTER a magic filter has pruned the
+    by magic bytes to the stdlib BMP, PNG or GIF decoder; rows matching
+    none are skipped (decode AFTER a magic filter has pruned the
     corpus). Arrow-batched, schema fixed, map-only — the image twin of
     :func:`extract_audio_features`."""
 
@@ -391,6 +606,8 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
                     decode = decode_bmp
                 elif is_png(content):
                     decode = decode_png
+                elif is_gif(content):
+                    decode = decode_gif
                 else:
                     continue
                 try:

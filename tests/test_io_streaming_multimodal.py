@@ -355,6 +355,58 @@ def test_bmp_decode_dispatch_and_strict():
     assert feats[4] == 3.0  # mean_r of (1,5)
 
 
+def test_gif_roundtrip_exact_channel_means():
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (255, 0, 0)],
+    ]
+    blob = multimodal.encode_gif_rgb24(3, 2, rows)
+    assert multimodal.is_gif(blob) and not multimodal.is_gif(b"BM...whatever" * 2)
+    d = multimodal.decode_gif(blob)
+    assert (d["width"], d["height"], d["n_pixels"]) == (3, 2, 6)
+    flat = [p for r in rows for p in r]
+    assert d["mean_r"] == round(sum(p[0] for p in flat) / 6, 3)
+    assert d["mean_g"] == round(sum(p[1] for p in flat) / 6, 3)
+    assert d["mean_b"] == round(sum(p[2] for p in flat) / 6, 3)
+
+
+def test_gif_large_palette_and_clear_cadence():
+    # 16x16 image, 256 distinct colors -> 8-bit codes, 9-bit LZW width,
+    # multiple CLEAR resets and >255-byte sub-block splitting exercised
+    rows = [
+        [((y * 16 + x), (y * 16 + x) * 3 % 256, 255 - (y * 16 + x)) for x in range(16)]
+        for y in range(16)
+    ]
+    d = multimodal.decode_gif(multimodal.encode_gif_rgb24(16, 16, rows))
+    flat = [p for r in rows for p in r]
+    assert d["n_pixels"] == 256
+    assert d["mean_r"] == round(sum(p[0] for p in flat) / 256, 3)
+    assert d["mean_b"] == round(sum(p[2] for p in flat) / 256, 3)
+
+
+def test_gif_guards():
+    blob = multimodal.encode_gif_rgb24(2, 2, [[(1, 2, 3), (4, 5, 6)]] * 2)
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"JUNK" * 10)
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(blob[:-6])  # truncated: trailer+EOI gone
+    with pytest.raises(ValueError, match="palette overflow"):
+        multimodal.encode_gif_rgb24(
+            32, 32, [[(x, y, (x * y) % 256) for x in range(32)] for y in range(32)]
+        )
+
+
+def test_extract_image_features_decodes_gif(spark):
+    blob = multimodal.encode_gif_rgb24(2, 2, [[(9, 9, 9)] * 2] * 2)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"not an image" * 5))],
+        "media_id long, content binary",
+    )
+    out = multimodal.extract_image_features(df).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert out[0]["n_pixels"] == 4 and out[0]["mean_g"] == 9.0
+
+
 def test_extract_image_features_skips_non_bmp(spark):
     blob = multimodal.encode_bmp_rgb24(2, 2, [[(9, 9, 9)] * 2] * 2)
     df = spark.createDataFrame(

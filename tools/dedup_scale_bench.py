@@ -46,7 +46,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from ai_etl_pipeline_spark.operators import dedup  # noqa: E402
+from ai_etl_pipeline_spark.operators import dedup, linkage, textstats  # noqa: E402
 from ai_etl_pipeline_spark.session import get_session  # noqa: E402
 from ai_etl_pipeline_spark.sources import writers  # noqa: E402
 from ai_etl_pipeline_spark.sources.python_datasource import (  # noqa: E402
@@ -115,7 +115,12 @@ def release_shuffles(spark) -> None:
     time.sleep(2)
 
 
-ALL_OPS = ("minhash", "clusters", "incremental", "index")
+ALL_OPS = (
+    "minhash", "clusters", "incremental", "index",
+    # round-7 additions: the three heaviest round-6 queries get their
+    # own growth curves (verdict task #6)
+    "containment", "entity", "bm25",
+)
 
 
 def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
@@ -199,6 +204,60 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         out["index_build_sec"] = t_index
         out["bucketed_probe_sec"], out["bucketed_probe_pairs"] = t_probe, n_probe
 
+    if "containment" in ops:
+        # asymmetric containment over 3-word shingles: the injected dup
+        # layer (base text + one appended word) gives base ⊂ dup
+        # containment ≈ 1, so verified pairs track the 10% layer;
+        # fillers keep chance shingle overlap ~0, so candidate volume
+        # tracks it too
+        t_cont, n_cont = timed(
+            lambda: dedup.containment_pairs(
+                docs, "doc_id", "text", threshold=THRESHOLD, ngram=3, max_df=0.5
+            ).count()
+        )
+        release_shuffles(spark)
+        out["containment_sec"], out["containment_pairs"] = t_cont, n_cont
+
+    if "entity" in ops:
+        # synthetic record names: groups of 5 consecutive ids share a
+        # 10-char prefix and differ in the last char — every in-group
+        # pair is an edit-distance-1 match, so the match graph (5-node
+        # cliques) grows LINEARLY with the corpus and the measurement
+        # covers blocked join + threshold levenshtein + closure, not a
+        # quadratic corpus artifact. Blocking on the shared prefix
+        # bounds blocks at 5 (the operator's bounded-block contract).
+        recs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"),
+                F.lpad((F.col("doc_id") / 5).cast("long").cast("string"), 9, "0"),
+                (F.col("doc_id") % 5).cast("string"),
+            ).alias("name"),
+        )
+        t_ent, n_ent = timed(
+            lambda: linkage.entity_resolution(
+                recs,
+                "doc_id",
+                "name",
+                [F.length("name"), F.substring("name", 1, 10)],
+                max_distance=1,
+            ).count()
+        )
+        release_shuffles(spark)
+        out["entity_sec"], out["entity_rows"] = t_ent, n_ent
+
+    if "bm25" in ops:
+        # fixed 3-term query from the base vocabulary (every doc has
+        # hits, so the in-row tf expressions and the one corpus-stats
+        # aggregate both do full work); top-10 via TakeOrderedAndProject
+        t_bm, n_bm = timed(
+            lambda: textstats.bm25_topk(
+                docs, "doc_id", "text", ["data", "model", "corpus"], k=10
+            ).count()
+        )
+        release_shuffles(spark)
+        out["bm25_sec"], out["bm25_rows"] = t_bm, n_bm
+
     docs.unpersist()
     return out
 
@@ -264,7 +323,8 @@ def main() -> None:
         r: dict = {"data_growth": round(growth, 1)}
         for op_key in (
             "minhash_sec", "clusters_sec", "incremental_sec",
-            "bucketed_probe_sec",
+            "bucketed_probe_sec", "containment_sec", "entity_sec",
+            "bm25_sec",
         ):
             if op_key in sa and op_key in sb:
                 r[op_key.replace("_sec", "_time_growth")] = round(
