@@ -4522,6 +4522,136 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → scan round-trip (the Hive/Trino-ecosystem columnar
+    interchange): documents written as zstd ORC, read back through the
+    native reader with an explicit projection, aggregated per
+    language. ``sum(length(text))`` proves the text column survived
+    byte-for-byte; the oracle aggregates the parquet originals."""
+    from ai_etl_pipeline_spark.sources.readers import read_orc
+    from ai_etl_pipeline_spark.sources.writers import write_orc
+
+    docs = _t(spark, sf_dir, "documents")
+    out = _scratch_dir("orc_roundtrip", sf_dir)
+    write_orc(docs.select("doc_id", "text", "lang", "n_chars"), out)
+    back = read_orc(spark, out, columns=["doc_id", "text", "lang", "n_chars"])
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: near-dup clusters (MinHash-LSH + components)
+    joined with a per-doc score (n_chars — longest copy wins), keep the
+    best-scoring member per cluster instead of min-id. The selection
+    is one cluster-partitioned window; the oracle replays pair
+    generation, the recursive-CTE closure AND the ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    clusters = dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
+    scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    out = dedup.keep_best_per_cluster(scored, "n_chars", "doc_id")
+    return out.select(
+        "doc_id", "cluster_id", "n_chars", "cluster_rank", "keep"
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+SELECT c.doc_id, c.cluster_id, d.n_chars,
+       CAST(row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY d.n_chars DESC, c.doc_id ASC)
+            AS INTEGER) AS cluster_rank,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS keep
+FROM ({_clusters_sql()}) c JOIN documents d USING (doc_id)
+"""
+
+
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold CV assignment keyed on the document's GROUP
+    (source): every row of a group shares a fold, so near-identical
+    documents can never straddle a train/validation boundary. Pure
+    per-row hash, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.kfold_assign(docs, "source", k=5).select(
+        "doc_id", "source", "fold"
+    )
+
+
+_SAMPLE_KFOLD_SQL = """
+SELECT doc_id, source,
+       CAST((CAST('0x' || substr(md5('kfold|' || CAST(source AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000) % 5 AS INTEGER) AS fold
+FROM documents
+"""
+
+
+def q_sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleave into one global
+    training order (position = per-source rank × n_sources +
+    source_index) — consecutive positions rotate through languages
+    with NO global sort or single-reducer window; gaps appear only
+    after a source exhausts."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.interleave_sources(docs, "lang", "doc_id").select(
+        "doc_id", "lang", "train_order"
+    )
+
+
+_SAMPLE_INTERLEAVE_SQL = """
+WITH src AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS src_idx
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+n AS (SELECT count(*) AS n_src FROM src),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       CAST(r.rn * n.n_src + s.src_idx AS BIGINT) AS train_order
+FROM r JOIN src s USING (lang), n
+"""
+
+
+def q_clean_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of two lineitem measures into
+    8 buckets each — one percentile-array aggregate broadcast back,
+    bin index as an in-row count of cut points below the value; the
+    2-D bin histogram verifies every boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = clean.quantile_bins(li, ["l_quantity", "l_extendedprice"], n_bins=8)
+    return (
+        b.groupBy(
+            F.col("l_quantity__bin").alias("qty_bin"),
+            F.col("l_extendedprice__bin").alias("price_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_CLEAN_QUANTILE_BINS_SQL = """
+WITH c AS (
+  SELECT quantile_cont(l_quantity, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qcuts,
+         quantile_cont(l_extendedprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS pcuts
+  FROM lineitem
+)
+SELECT CAST(len(list_filter(qcuts, x -> l_quantity > x)) AS INTEGER) AS qty_bin,
+       CAST(len(list_filter(pcuts, x -> l_extendedprice > x)) AS INTEGER) AS price_bin,
+       count(*) AS n_rows
+FROM lineitem CROSS JOIN c
+GROUP BY 1, 2
+"""
+
+
 def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join with an aggregate threshold —
     suppliers who moved more than 50 units of at least one small part.
@@ -5911,6 +6041,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_market_share": (q_market_share, _MARKET_SHARE_SQL),
     "q_small_qty_revenue": (q_small_qty_revenue, _SMALL_QTY_REVENUE_SQL),
     "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
+    # --- round-7 NEW wave 2: ORC interchange, quality-aware dedup winner,
+    #     k-fold assignment, source interleave, quantile binning ---
+    "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
+    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
+    "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
+    "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
+    "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),

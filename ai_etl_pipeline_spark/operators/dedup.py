@@ -1016,3 +1016,31 @@ def substring_dup_stats(
         )
         .withColumn("keep_substring", F.col("dup_frac") <= max_dup_frac)
     )
+
+
+def keep_best_per_cluster(
+    clustered: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware cluster representative selection: instead of the
+    canonical min-id winner, keep the member with the HIGHEST score
+    (quality metric, length, recency …), ties by min id so the choice
+    stays total-ordered and replayable. The curation idiom: near-dup
+    clusters from any pair generator + a quality score → drop all but
+    the best copy of each duplicated document.
+
+    One cluster-partitioned window (row_number over score desc, id
+    asc) — a single shuffle on the cluster key; singleton clusters pass
+    through trivially. Adds ``keep`` (boolean) and ``cluster_rank``
+    (1-based int)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clustered.withColumn("cluster_rank", F.row_number().over(w))
+        .withColumn("keep", F.col("cluster_rank") == 1)
+    )

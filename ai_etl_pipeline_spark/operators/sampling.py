@@ -255,3 +255,68 @@ def token_budget_sample(
         df.withColumn("running_tokens", running)
         .where(F.col("running_tokens") <= budget)
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation assignment: the fold is a
+    deterministic hash of the GROUP key (near-dup cluster id, source
+    domain, user id …), so every row of a group lands in the same
+    fold — the CV twin of :func:`group_holdout_split`. Adds an int
+    ``fold`` column in [0, k).
+
+    Pure per-row predicate (one md5, one modulo) — no shuffle, no
+    join, engine-portable like every sampler here; folds are stable
+    across runs and across engines, so an experiment's fold membership
+    is reproducible evidence, not a runtime accident.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", (_bucket(F.col(group_col), salt) % F.lit(k)).cast("int")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    out_col: str = "train_order",
+) -> DataFrame:
+    """Deterministic round-robin interleave of sources into one global
+    training order: position = per-source rank × n_sources +
+    source_index — so consecutive positions rotate through the sources
+    (until a source exhausts) and a training run never sees a long
+    single-source run, without ANY global sort or single-reducer
+    window. The closed form leaves gaps once short sources run out;
+    training readers order by the column, so gaps are harmless and the
+    order is total (rank and index are both deterministic).
+
+    Cost: one per-source window (rank by id — shuffle partitioned BY
+    SOURCE, the bounded-stratum shape) + one broadcast join against
+    the sorted source dimension. The alternative — row_number over a
+    global ORDER BY — funnels the corpus through one reducer and is
+    exactly what this operator exists to avoid.
+    """
+    from pyspark.sql import Window
+
+    sources = (
+        df.select(F.col(source_col)).distinct().orderBy(source_col)
+        .withColumn("__src_idx", F.row_number().over(
+            Window.partitionBy().orderBy(source_col)) - 1)
+        .withColumn("__n_src", F.count("*").over(Window.partitionBy()))
+    )
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w) - 1)
+    return (
+        ranked.join(F.broadcast(sources), source_col)
+        .withColumn(
+            out_col,
+            (F.col("__rn").cast("bigint") * F.col("__n_src") + F.col("__src_idx")),
+        )
+        .drop("__rn", "__src_idx", "__n_src")
+    )

@@ -189,3 +189,15 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     reads one footer per file at planning time (not the data), and the
     per-file scans remain pushdown-capable columnar scans."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the other columnar interchange format big-data stacks
+    (Hive/Trino heritage) hand off. Spark's native ORC reader gives the
+    same scan services as parquet: column pruning, predicate pushdown
+    into stripe/row-group indexes (PushedFilters in the plan), split
+    parallelism per stripe — so an ORC-shaped upstream needs no convert
+    step before querying. ``columns`` applies an explicit projection at
+    the scan."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -243,3 +243,20 @@ def write_jsonl(
     if compression is not None:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (native Spark writer, zstd by default) — emit for
+    Hive/Trino-ecosystem consumers without an extra conversion hop;
+    ``partition_cols`` gives the same hive-layout directory pruning as
+    the parquet sink."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

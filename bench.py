@@ -123,6 +123,20 @@ HEADLINE = [
     "q_source_quality_gate",
     "q_text_oov_rate",
     "q_knn_pq_rerank",
+    # round-7 additions
+    "q_clean_winsorize_approx",
+    "q_quality_quantile_approx",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_media_gif_decode",
+    "q_source_orc",
+    "q_dedup_keep_best",
+    "q_sample_kfold",
+    "q_sample_interleave",
+    "q_clean_quantile_bins",
 ]
 
 
