@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ai_etl_pipeline_spark.functions.portable import md5_i64_sql, tokens_col
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
-from ai_etl_pipeline_spark.operators import validate
+from ai_etl_pipeline_spark.operators import graph, validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -4652,6 +4652,70 @@ GROUP BY 1, 2
 """
 
 
+_PR_ITERS, _PR_DAMP, _PR_BASE = 8, 85, 1_000_000
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped random-walk centrality (PageRank, 8 fixed power
+    iterations) over the undirected customer↔supplier trade graph
+    (edge = "this customer bought from this supplier"): which entities
+    anchor the trade network. INTEGER micro-unit arithmetic makes the
+    iteration bit-exact across engines, so the oracle UNROLLS the same
+    8 iterations as chained CTEs and hash-matches the ranks — an
+    iterative graph algorithm under the full exact gate, not a
+    tolerance flag. Top-20, ties broken by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, base=_PR_BASE
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_sql() -> str:
+    teleport = (100 - _PR_DAMP) * _PR_BASE
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST(({teleport} + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS incoming
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH base_edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM base_edges
+  UNION
+  SELECT dst, src FROM base_edges
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
+FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
 def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join with an aggregate threshold —
     suppliers who moved more than 50 units of at least one small part.
@@ -6048,6 +6112,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
     "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
+    # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
+    "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),

@@ -1,0 +1,125 @@
+"""Graph / centrality operators (north-star extension; ABSENT in the
+reference, which has no relational surface at all — SURVEY.md §2.4).
+
+Connected components (the dedup workhorse) lives in
+``dedup.near_duplicate_clusters``; this module holds the ranking side:
+damped random-walk centrality (PageRank) over an edge relation.
+
+Scale shape: every iteration is one contribution projection + one
+destination-keyed aggregate + one join back to the node set — all
+edge-/node-sized shuffles, nothing corpus-quadratic, and the iteration
+count is FIXED (power iteration), so the whole computation stays one
+lazy plan: no driver actions, no convergence probes, resumable and
+replayable like any other DataFrame.
+
+Arithmetic is INTEGER micro-units (rank scaled by ``base``) with
+integer division everywhere: floating-point PageRank is
+accumulation-order-dependent (different engines, different partition
+orders → different low bits), which would make cross-engine
+verification a tolerance argument. Integer ranks make the fixpoint
+iteration BIT-EXACT — the DuckDB oracle unrolls the same iterations
+and hash-matches the ranks, something float centrality cannot offer.
+The cost is bounded truncation drift (≤ 1 unit per division at
+base=1e6 — i.e. ≤ 1e-6 of a rank per hop), irrelevant for ordering
+entities by importance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    base: int = 1_000_000,
+    symmetric: bool = True,
+    checkpoint_every: int | None = 6,
+) -> DataFrame:
+    """Damped random-walk centrality over an edge relation: fixed
+    ``iterations`` of ``rank'(u) = ((100 - d)·base + d·Σ_{v→u}
+    (rank(v) div out_deg(v))) div 100`` with integer micro-unit
+    arithmetic (see module docstring). ``symmetric=True`` unions the
+    reversed edges first — the undirected-graph rendering, which also
+    guarantees no dangling nodes (every node that appears has at least
+    one out-edge, so no rank mass needs a redistribution pass).
+
+    Node set = all edge endpoints; ranks start at ``base`` each.
+    Returns ``(node, rank, degree)`` — rank in micro-units.
+
+    ``checkpoint_every`` lazily ``localCheckpoint``s the rank frame
+    every N iterations: the plan stays O(N) deep for Catalyst while
+    still requiring zero driver actions (materialization happens on
+    the caller's first action, like every other operator here). Set
+    None to keep one pure plan (fine to ~10 iterations).
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
+    if not 1 <= damping_pct <= 99:
+        raise ValueError(f"pagerank: damping_pct must be in [1, 99], got {damping_pct}")
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    if symmetric:
+        e = e.unionByName(
+            e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        )
+    # lazy localCheckpoint the iteration's working set ONCE: every
+    # iteration references edges/deg/nodes, and without truncation each
+    # reference re-executes the whole upstream edge derivation (a
+    # fact-fact join in the trade-graph query) — 8 iterations paid the
+    # base join ~16×. Lazy, so the operator still performs no driver
+    # action; blocks are reclaimed by the ContextCleaner when the
+    # result is dropped.
+    # hash-partition the edge relation on the join key BEFORE the
+    # checkpoint: LogicalRDD preserves outputPartitioning, so the
+    # per-iteration contribution join reuses the layout instead of
+    # re-shuffling the (big) edge side every round — only the
+    # node-sized contribution frame moves per iteration
+    e = (
+        e.where(F.col("__src") != F.col("__dst"))
+        .distinct()
+        .repartition(F.col("__src"))
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("__src").agg(F.count("*").alias("__deg")).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("__src").alias("__node")).distinct().localCheckpoint(eager=False)
+    )
+    ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
+    teleport = (100 - damping_pct) * base
+    for it in range(iterations):
+        # per-NODE contribution first (node-sized join of two node-keyed
+        # frames), then a single edge join — the edge relation is the
+        # big side and should be touched exactly once per iteration
+        node_contrib = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
+            F.col("__src"), F.expr("__rank div __deg").alias("__contrib")
+        )
+        incoming = (
+            e.join(node_contrib, "__src")
+            .groupBy("__dst")
+            .agg(F.sum("__contrib").alias("__incoming"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
+            .select(
+                F.col("__node"),
+                F.expr(
+                    f"(cast({teleport} as bigint) + {damping_pct} * "
+                    "coalesce(__incoming, cast(0 as bigint))) div 100"
+                ).alias("__rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    out_deg = deg.select(F.col("__src").alias("__node"), F.col("__deg"))
+    return (
+        ranks.join(out_deg, "__node")
+        .select(
+            F.col("__node").alias("node"),
+            F.col("__rank").alias("rank"),
+            F.col("__deg").cast("bigint").alias("degree"),
+        )
+    )

@@ -137,6 +137,7 @@ HEADLINE = [
     "q_sample_kfold",
     "q_sample_interleave",
     "q_clean_quantile_bins",
+    "q_graph_pagerank",
 ]
 
 

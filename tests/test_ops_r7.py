@@ -97,3 +97,28 @@ def test_orc_roundtrip(spark, documents):
         assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pagerank_integer_exact_tiny_graph(spark):
+    from ai_etl_pipeline_spark.operators import graph
+
+    # path a-b-c (symmetric): b is the center and must rank highest
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r["node"]: r for r in graph.pagerank(edges, iterations=8).collect()}
+
+    # replicate the integer iteration in python
+    adj = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    rank = {n: 1_000_000 for n in adj}
+    for _ in range(8):
+        contrib = {n: rank[n] // len(adj[n]) for n in adj}
+        incoming = {n: sum(contrib[m] for m in adj if n in adj[m]) for n in adj}
+        rank = {n: (15 * 1_000_000 + 85 * incoming[n]) // 100 for n in adj}
+    for n in adj:
+        assert out[n]["rank"] == rank[n], (n, out[n]["rank"], rank[n])
+    assert out["b"]["rank"] > out["a"]["rank"] == out["c"]["rank"]
+    assert out["b"]["degree"] == 2
+
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, damping_pct=0)
