@@ -1954,6 +1954,173 @@ FROM h
 """
 
 
+def q_text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with a CONFIDENCE margin (best vs runner-up marker
+    hits) — the router signal a curation pipeline gates on: "en by one
+    stopword" is not "en with margin 5". In-row struct sort, no
+    shuffle; the oracle sorts the same four hit counts as a list."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_id_confidence(docs, "text").select(
+        "doc_id", "lang_pred", "best_hits", "second_hits", "lang_margin"
+    )
+
+
+_TEXT_LANGID_MARGIN_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_LANG_HITS_SQL['en']} AS h_en, {_LANG_HITS_SQL['es']} AS h_es,
+         {_LANG_HITS_SQL['de']} AS h_de, {_LANG_HITS_SQL['fr']} AS h_fr
+  FROM documents
+),
+s AS (SELECT doc_id, h_en, h_es, h_de, h_fr,
+             list_sort([h_en, h_es, h_de, h_fr]) AS l FROM h)
+SELECT doc_id,
+       CASE WHEN l[4] > 0 THEN
+            (CASE WHEN h_fr = l[4] THEN 'fr'
+                  WHEN h_es = l[4] THEN 'es'
+                  WHEN h_en = l[4] THEN 'en'
+                  ELSE 'de' END)
+            ELSE 'und' END AS lang_pred,
+       CAST(l[4] AS INTEGER) AS best_hits,
+       CAST(l[3] AS INTEGER) AS second_hits,
+       CAST(l[4] - l[3] AS INTEGER) AS lang_margin
+FROM s
+"""
+
+
+def q_clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (50% breakdown point —
+    the detector z-scores can't be trusted for, since mean and stddev
+    are dragged by the very outliers they should find): two scalar
+    aggregates broadcast back, flags in-row. Corpus-level counts +
+    extremes verify the thresholds end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = clean.mad_outliers(li, ["l_extendedprice", "l_quantity"], k=3.5)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice__is_outlier").cast("long")).alias(
+            "n_price_outliers"
+        ),
+        F.sum(F.col("l_quantity__is_outlier").cast("long")).alias(
+            "n_qty_outliers"
+        ),
+        F.round(F.max("l_extendedprice__mad_resid"), 4).alias("max_price_resid"),
+        F.round(F.avg("l_quantity__mad_resid"), 4).alias("avg_qty_resid"),
+    )
+
+
+_CLEAN_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT quantile_cont(l_extendedprice, 0.5) AS med_p,
+         quantile_cont(l_quantity, 0.5) AS med_q
+  FROM lineitem
+),
+mad AS (
+  SELECT quantile_cont(abs(l_extendedprice - med_p), 0.5) AS mad_p,
+         quantile_cont(abs(l_quantity - med_q), 0.5) AS mad_q
+  FROM lineitem CROSS JOIN med
+),
+f AS (
+  SELECT round(abs(l_extendedprice - med_p), 6) AS rp,
+         round(abs(l_quantity - med_q), 6) AS rq,
+         coalesce(abs(l_extendedprice - med_p) > 3.5 * mad_p, false) AS op,
+         coalesce(abs(l_quantity - med_q) > 3.5 * mad_q, false) AS oq
+  FROM lineitem CROSS JOIN med CROSS JOIN mad
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN op THEN 1 ELSE 0 END) AS BIGINT) AS n_price_outliers,
+       CAST(sum(CASE WHEN oq THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_outliers,
+       round(max(rp), 4) AS max_price_resid,
+       round(avg(rq), 4) AS avg_qty_resid
+FROM f
+"""
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (MinHash-LSH,
+    same parameters as q_dedup_clusters) attributed to their sources —
+    "how much of source A is republished in source B", the signal that
+    decides which domains to de-prioritize at crawl time. Unordered
+    source pairs via least/greatest; candidate-sized joins only."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_x"),
+            F.greatest("source_a", "source_b").alias("src_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def _cross_source_sql() -> str:
+    return f"""
+SELECT least(da.source, db.source) AS src_x,
+       greatest(da.source, db.source) AS src_y,
+       count(*) AS n_pairs,
+       round(avg(p.jaccard), 6) AS avg_jaccard
+FROM ({_minhash_sql()}) p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+def q_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation: first-8-component prefix of each
+    embedding re-L2-normalized (the MRL cheap tier — a 4× cut through
+    every downstream ANN scan). Exact vector replay: unit vectors AND
+    the pre-normalization prefix norms hash-matched at 6dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    t = similarity.truncate_embeddings(emb, "embedding", dim=8)
+    t = t.withColumn(
+        "__sl", F.slice(F.expr("transform(embedding, x -> cast(x as double))"), 1, 8)
+    )
+    return t.select(
+        "vec_id",
+        # comma-joined micro-int rendering: the parity canonicalizer
+        # rejects raw array cells (q_embed_feature_hash precedent)
+        F.array_join(
+            F.transform(
+                F.col("trunc_vec"),
+                lambda v: F.round(v * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("tvec_micro"),
+        F.round(similarity.norm_expr("__sl"), 6).alias("pre_norm"),
+    )
+
+
+_EMBED_TRUNCATE_SQL = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS tv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, tv,
+         sqrt(list_aggregate(list_transform(tv, x -> x * x), 'sum')) AS nm
+  FROM t
+)
+SELECT vec_id,
+       array_to_string(
+         list_transform(tv, x -> CAST(CAST(round(
+           (CASE WHEN nm > 0 THEN x / nm ELSE x END) * 1000000
+         ) AS BIGINT) AS VARCHAR)), ',') AS tvec_micro,
+       round(nm, 6) AS pre_norm
+FROM n
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text").select(
@@ -6082,10 +6249,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     PQ retrieve-then-rerank ---
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
-    "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
-    "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
-    "q_dedup_substring_spans": (q_dedup_substring_spans, _DEDUP_SUBSTRING_SPANS_SQL),
-    "q_dedup_substring_stats": (q_dedup_substring_stats, _DEDUP_SUBSTRING_STATS_SQL),
     "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
@@ -6114,6 +6277,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
+    # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
+    #     duplication matrix, Matryoshka truncation ---
+    "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
+    "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
+    "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
+    "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
@@ -6205,6 +6374,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
+    "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
+    "q_dedup_substring_spans": (q_dedup_substring_spans, _DEDUP_SUBSTRING_SPANS_SQL),
+    "q_dedup_substring_stats": (q_dedup_substring_stats, _DEDUP_SUBSTRING_STATS_SQL),
     "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
     "q_text_oov_rate": (q_text_oov_rate, _TEXT_OOV_RATE_SQL),
     "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),

@@ -376,3 +376,53 @@ def quantile_bins(
             f"{c}__bin", F.when(x.isNotNull(), bin_idx.cast("int"))
         )
     return out.drop(*[f"__cuts_{c}" for c in cols])
+
+
+def mad_outliers(
+    df: DataFrame,
+    cols: list[str],
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags via median / MAD (median absolute
+    deviation) — the outlier detector that survives what breaks
+    z-scores: mean and stddev are themselves dragged by the outliers
+    they are supposed to find, while median and MAD have a 50%
+    breakdown point. Flags ``|x - median| > k * MAD`` (k=3.5 is the
+    conventional cutoff ≈ 2.33σ under normality via the 0.6745
+    consistency constant).
+
+    Two scalar aggregates (medians, then MADs over the residuals),
+    each ONE row broadcast back — the corpus never shuffles. Adds
+    ``<col>__mad_resid`` (|x - median|, 6dp) and ``<col>__is_outlier``
+    (NULL inputs stay NULL/false like :func:`winsorize`). A column
+    with MAD = 0 (over half the values identical) flags every value
+    off the median — documented behavior of the estimator, not a bug;
+    widen with :func:`quantile_bins` diagnostics if that bites."""
+    if not cols:
+        raise ValueError("mad_outliers: cols must be non-empty")
+    if k <= 0:
+        raise ValueError(f"mad_outliers: k must be positive, got {k}")
+    meds = df.agg(
+        *[F.percentile(F.col(c), F.lit(0.5)).alias(f"__med_{c}") for c in cols]
+    )
+    with_med = df.crossJoin(F.broadcast(meds))
+    mads = with_med.agg(
+        *[
+            F.percentile(
+                F.abs(F.col(c) - F.col(f"__med_{c}")), F.lit(0.5)
+            ).alias(f"__mad_{c}")
+            for c in cols
+        ]
+    )
+    out = with_med.crossJoin(F.broadcast(mads))
+    for c in cols:
+        resid = F.abs(F.col(c) - F.col(f"__med_{c}"))
+        out = out.withColumn(
+            f"{c}__mad_resid", F.round(resid, 6)
+        ).withColumn(
+            f"{c}__is_outlier",
+            F.coalesce(resid > F.lit(k) * F.col(f"__mad_{c}"), F.lit(False)),
+        )
+    return out.drop(
+        *[n for c in cols for n in (f"__med_{c}", f"__mad_{c}")]
+    )

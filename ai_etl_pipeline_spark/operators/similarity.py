@@ -991,3 +991,32 @@ def feature_hash_vectors(
             .alias("vector"),
         )
     return out
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 8,
+    out_col: str = "trunc_vec",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style dimensionality truncation: keep the first
+    ``dim`` components and (by default) re-L2-normalize — the standard
+    cheap-tier trick for MRL-trained embedding models, where prefixes
+    of the vector are themselves valid embeddings. A 4× dim cut is a
+    4× shuffle/memory/dot-product cut through the WHOLE ANN stack
+    (brute force, IVF, PQ all take the truncated column unchanged).
+
+    In-row slice + fold (sequential, oracle-reproducible); vectors
+    shorter than ``dim`` pass through whole; zero vectors skip the
+    renormalize divide."""
+    if dim < 1:
+        raise ValueError(f"truncate_embeddings: dim must be >= 1, got {dim}")
+    df = df.withColumn("__t", F.slice(F.expr(_dbl(vec_col)), 1, dim))
+    if not renormalize:
+        return df.withColumn(out_col, F.col("__t")).drop("__t")
+    df = df.withColumn("__tn", norm_expr("__t"))
+    unit = F.when(
+        F.col("__tn") > 0.0, F.expr("transform(__t, x -> x / __tn)")
+    ).otherwise(F.col("__t"))
+    return df.withColumn(out_col, unit).drop("__t", "__tn")

@@ -1164,3 +1164,35 @@ def oov_rate(
             "oov_rate"
         ),
     )
+
+
+def language_id_confidence(
+    df: DataFrame, text_col: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """:func:`language_id` plus a CONFIDENCE margin: hit counts of the
+    best and runner-up language markers and their difference — the
+    router signal a curation pipeline gates on ("en with margin >= 3"
+    is a very different claim from "en by one stopword"). Margin 0 =
+    ambiguous; best_hits 0 = 'und'.
+
+    In-row: the per-language hit structs are sorted descending (ties
+    by code, matching language_id's greatest-struct rule) inside the
+    row — no explode, no shuffle, scan speed."""
+    structs = [
+        F.struct(
+            _marker_hits(F.col(text_col), ws).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, ws in sorted(LANG_MARKERS.items())
+    ]
+    arr = F.reverse(F.array_sort(F.array(*structs)))
+    best, second = arr[0], arr[1]
+    return (
+        df.withColumn(
+            "lang_pred",
+            F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")),
+        )
+        .withColumn("best_hits", best["hits"])
+        .withColumn("second_hits", second["hits"])
+        .withColumn("lang_margin", best["hits"] - second["hits"])
+    )

@@ -138,6 +138,10 @@ HEADLINE = [
     "q_sample_interleave",
     "q_clean_quantile_bins",
     "q_graph_pagerank",
+    "q_text_langid_margin",
+    "q_clean_mad_outliers",
+    "q_dedup_cross_source",
+    "q_embed_truncate",
 ]
 
 

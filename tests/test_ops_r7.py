@@ -122,3 +122,59 @@ def test_pagerank_integer_exact_tiny_graph(spark):
         graph.pagerank(edges, iterations=0)
     with pytest.raises(ValueError):
         graph.pagerank(edges, damping_pct=0)
+
+
+def test_mad_outliers_flags_and_nulls(spark):
+    from ai_etl_pipeline_spark.operators import clean
+
+    rows = [(i, float(i)) for i in range(1, 12)] + [(99, 1000.0), (100, None)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = {r["k"]: r for r in clean.mad_outliers(df, ["v"], k=3.5).collect()}
+    # median of 1..11,1000 = 6.5; MAD = median|x-6.5| = 3.5 -> cutoff 12.25
+    assert out[99]["v__is_outlier"] is True
+    assert all(out[i]["v__is_outlier"] is False for i in range(1, 12))
+    assert out[100]["v__is_outlier"] is False and out[100]["v__mad_resid"] is None
+    with pytest.raises(ValueError):
+        clean.mad_outliers(df, [], 3.5)
+    with pytest.raises(ValueError):
+        clean.mad_outliers(df, ["v"], 0)
+
+
+def test_language_id_confidence_margin(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house with food for everyone"),
+            (2, "der la the und von"),  # mixed: de=2 en=1 es=1
+            (3, "zzz qqq xxx"),  # no markers
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.language_id_confidence(df, "text").collect()}
+    assert out[1]["lang_pred"] == "en" and out[1]["lang_margin"] >= 3
+    assert out[2]["lang_pred"] == "de" and out[2]["best_hits"] == 2
+    assert out[2]["second_hits"] == 1 and out[2]["lang_margin"] == 1
+    assert out[3]["lang_pred"] == "und" and out[3]["best_hits"] == 0
+    # agrees with language_id on the argmax (tie rule included)
+    lid = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df, "text").collect()}
+    assert all(lid[k] == out[k]["lang_pred"] for k in lid)
+
+
+def test_truncate_embeddings_unit_norm_and_short_vectors(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0]), (3, [5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["trunc_vec"] for r in
+           similarity.truncate_embeddings(df, "embedding", dim=2).collect()}
+    assert out[1] == pytest.approx([0.6, 0.8])  # 3-4-5 triangle
+    assert out[2] == [0.0, 0.0]  # zero vector: no divide
+    assert out[3] == [1.0]  # shorter than dim passes through whole
+    raw = {r["vec_id"]: r["trunc_vec"] for r in
+           similarity.truncate_embeddings(df, "embedding", dim=2, renormalize=False).collect()}
+    assert raw[1] == [3.0, 4.0]
+    with pytest.raises(ValueError):
+        similarity.truncate_embeddings(df, "embedding", dim=0)
