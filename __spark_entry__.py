@@ -2121,6 +2121,102 @@ FROM n
 """
 
 
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: each document takes
+    the next 3 positions on a salted-hash ring built WITHIN its
+    language (hard-ish same-language negatives) — a reproducible
+    random permutation with no RNG state, so engines and training
+    workers agree. One stratum-partitioned window + one
+    stratum-keyed join."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_ring_negatives(
+        docs, "doc_id", k=3, strata_col="lang"
+    ).select("anchor", "negative", "lang", "ring_offset")
+
+
+_SAMPLE_NEGATIVES_SQL = """
+WITH ring AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('negring|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                    doc_id ASC) - 1 AS pos,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+probes AS (
+  SELECT r.doc_id AS anchor, r.lang, r.n, t.j AS ring_offset,
+         (r.pos + t.j) % r.n AS want
+  FROM ring r, unnest(generate_series(1, 3)) AS t(j)
+)
+SELECT p.anchor, g.doc_id AS negative, p.lang,
+       CAST(min(p.ring_offset) AS INTEGER) AS ring_offset
+FROM probes p JOIN ring g ON g.lang = p.lang AND g.pos = p.want
+WHERE p.anchor <> g.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+def q_pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed mixture construction (the static-DoReMi idiom):
+    corpus-trained bigram perplexity → equal-frequency 3-bucket
+    binning → per-bucket token budget (keep the longest documents up
+    to 800 tokens per perplexity bucket). Chains three already-gated
+    operators; the oracle replays LM training, binning and the
+    budgeted window end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    ppl = (
+        textstats.lm_perplexity(docs, "doc_id", "text")
+        .where(F.col("ppl").isNotNull())
+        .select("doc_id", "ppl")
+    )
+    binned = clean.quantile_bins(ppl, ["ppl"], n_bins=3).withColumnRenamed(
+        "ppl__bin", "ppl_bin"
+    )
+    with_tok = binned.join(
+        docs.select(
+            "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    out = sampling.token_budget_sample(
+        with_tok, "doc_id", "n_tokens", budget=800, strata_col="ppl_bin"
+    )
+    return out.select("doc_id", "ppl_bin", "n_tokens", "running_tokens")
+
+
+def _quality_mix_sql() -> str:
+    return rf"""
+WITH ppl_all AS ({_TEXT_LM_PPL_SQL}),
+scored AS (SELECT doc_id, ppl FROM ppl_all WHERE ppl IS NOT NULL),
+cuts AS (
+  SELECT quantile_cont(ppl, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c
+  FROM scored
+),
+binned AS (
+  SELECT doc_id, CAST(len(list_filter(c, x -> ppl > x)) AS INTEGER) AS ppl_bin
+  FROM scored CROSS JOIN cuts
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens
+  FROM documents
+),
+j AS (SELECT b.doc_id, b.ppl_bin, t.n_tokens FROM binned b JOIN tok t USING (doc_id)),
+r AS (
+  SELECT doc_id, ppl_bin, n_tokens,
+         CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY ppl_bin ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_tokens
+  FROM j
+)
+SELECT doc_id, ppl_bin, n_tokens, running_tokens FROM r
+WHERE running_tokens <= 800
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text").select(
@@ -6249,10 +6345,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     PQ retrieve-then-rerank ---
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
-    "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
-    "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     # --- round-7 NEW: sketch-percentile renderings (removes the last
@@ -6283,6 +6377,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
+    "q_sample_negatives": (q_sample_negatives, _SAMPLE_NEGATIVES_SQL),
+    "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
@@ -6374,6 +6470,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
+    "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
     "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
     "q_dedup_substring_spans": (q_dedup_substring_spans, _DEDUP_SUBSTRING_SPANS_SQL),

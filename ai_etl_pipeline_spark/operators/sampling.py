@@ -320,3 +320,66 @@ def interleave_sources(
         )
         .drop("__rn", "__src_idx", "__n_src")
     )
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    strata_col: str | None = None,
+    salt: str = "negring",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: rows
+    are placed on a hash ring (ordered by the salted md5 of their id —
+    i.e. a reproducible random permutation), and each anchor takes the
+    next ``k`` ring positions (wrap-around) as negatives. Hash order ≈
+    uniform random, so negatives are unbiased draws, yet the pairing
+    is a pure function of (corpus, salt) — re-runs, engines and
+    training workers all agree without coordination or an RNG state.
+
+    With ``strata_col`` the ring is built per stratum (negatives drawn
+    from the SAME language/domain — the "hard-ish negatives" default)
+    and every window/join is stratum-partitioned — the scale path. The
+    global variant is a single ordered partition; use it only on
+    bounded candidate sets (same contract as token_budget_sample).
+
+    Returns (anchor, negative, <strata>, ring_offset), self-pairs
+    dropped and duplicates deduped (both only occur when a stratum has
+    ≤ k rows).
+    """
+    if k < 1:
+        raise ValueError(f"hash_ring_negatives: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = md5_i64(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    w = part.orderBy(h.asc(), F.col(id_col).asc())
+    ring = (
+        df.select(
+            F.col(id_col),
+            *([F.col(strata_col)] if strata_col else []),
+        )
+        .withColumn("__pos", F.row_number().over(w) - 1)
+        .withColumn("__n", F.count("*").over(part))
+    )
+    probes = ring.select(
+        F.col(id_col).alias("anchor"),
+        *([F.col(strata_col)] if strata_col else []),
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("ring_offset"),
+        F.col("__pos"),
+    ).withColumn("__want", F.pmod(F.col("__pos") + F.col("ring_offset"), F.col("__n")))
+    targets = ring.select(
+        F.col(id_col).alias("negative"),
+        *([F.col(strata_col).alias("__ts")] if strata_col else []),
+        F.col("__pos").alias("__tpos"),
+    )
+    on = [probes["__want"] == targets["__tpos"]]
+    if strata_col:
+        on.append(probes[strata_col] == targets["__ts"])
+    return (
+        probes.join(targets, on[0] if len(on) == 1 else (on[0] & on[1]))
+        .where(F.col("anchor") != F.col("negative"))
+        .groupBy("anchor", "negative", *([strata_col] if strata_col else []))
+        .agg(F.min("ring_offset").alias("ring_offset"))
+    )

@@ -142,6 +142,8 @@ HEADLINE = [
     "q_clean_mad_outliers",
     "q_dedup_cross_source",
     "q_embed_truncate",
+    "q_sample_negatives",
+    "q_pipeline_quality_mix",
 ]
 
 

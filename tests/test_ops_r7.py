@@ -178,3 +178,30 @@ def test_truncate_embeddings_unit_norm_and_short_vectors(spark):
     assert raw[1] == [3.0, 4.0]
     with pytest.raises(ValueError):
         similarity.truncate_embeddings(df, "embedding", dim=0)
+
+
+def test_hash_ring_negatives_properties(spark):
+    rows = [(i, "a" if i < 8 else "b") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.hash_ring_negatives(df, "doc_id", k=3, strata_col="lang").collect()
+    by_anchor = {}
+    for r in out:
+        assert r["anchor"] != r["negative"]
+        by_anchor.setdefault(r["anchor"], []).append(r)
+    # every doc anchors exactly k distinct negatives (strata sizes > k)
+    assert set(by_anchor) == set(range(12))
+    for a, rs in by_anchor.items():
+        assert len(rs) == 3
+        assert len({r["negative"] for r in rs}) == 3
+        # negatives stay within the anchor's stratum
+        lang = "a" if a < 8 else "b"
+        assert all(r["lang"] == lang for r in rs)
+    # deterministic across invocations
+    again = sampling.hash_ring_negatives(df, "doc_id", k=3, strata_col="lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # tiny stratum (n <= k): self-pairs dropped, duplicates collapsed
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    t = sampling.hash_ring_negatives(tiny, "doc_id", k=3, strata_col="lang").collect()
+    assert sorted((r["anchor"], r["negative"]) for r in t) == [(1, 2), (2, 1)]
+    with pytest.raises(ValueError):
+        sampling.hash_ring_negatives(df, "doc_id", k=0)
