@@ -2217,6 +2217,85 @@ WHERE running_tokens <= 800
 """
 
 
+def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: every user's irregular event stream
+    resampled onto an hourly grid with last-observation-carried-forward
+    values — the step that turns event logs into model-ready regular
+    intervals. One key-sized bounds aggregate, in-row grid explode, ONE
+    user-partitioned window; per-user grid stats verify every fill."""
+    ev = _events(spark, sf_dir)
+    grid = relational.resample_locf(
+        ev.select("user_id", "ts", "value"), "user_id", "ts", ["value"],
+        step="1 hour",
+    )
+    return grid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_grid"),
+        F.sum(F.col("value").isNotNull().cast("long")).alias("n_filled"),
+        F.round(F.sum("value"), 4).alias("sum_locf"),
+    )
+
+
+_EVENTS_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT user_id,
+         date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS mn,
+         max(CAST(ts AS TIMESTAMP)) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+  FROM b
+),
+u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS is_grid, value FROM events
+  UNION ALL
+  SELECT user_id, ts, 1, NULL FROM grid
+),
+f AS (
+  SELECT user_id, is_grid,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM u
+)
+SELECT user_id, count(*) AS n_grid,
+       CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled,
+       round(sum(value), 4) AS sum_locf
+FROM f WHERE is_grid = 1 GROUP BY user_id
+"""
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 12-bin histogram of lineitem prices (the profiling
+    complement of the equal-frequency quantile_bins): one min/max
+    aggregate broadcast back, in-row bin index, bounded groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct.histogram(li, "l_extendedprice", bins=12)
+
+
+_AGG_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+         CAST(max(l_extendedprice) AS DOUBLE) AS mx
+  FROM lineitem
+),
+x AS (
+  SELECT CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                               / ((mx - mn) / 12.0)), 11) END AS INTEGER) AS bin,
+         mn, mx
+  FROM lineitem CROSS JOIN b
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin,
+       round(mn + bin * ((mx - mn) / 12.0), 6) AS bin_lo,
+       round(mn + (bin + 1) * ((mx - mn) / 12.0), 6) AS bin_hi,
+       count(*) AS n_rows
+FROM x GROUP BY bin, mn, mx
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text").select(
@@ -6345,8 +6424,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     PQ retrieve-then-rerank ---
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
-    "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
-    "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     # --- round-7 NEW: sketch-percentile renderings (removes the last
@@ -6379,10 +6456,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
     "q_sample_negatives": (q_sample_negatives, _SAMPLE_NEGATIVES_SQL),
     "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),
+    "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
+    "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
+    "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
+    "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
-    "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
-    "q_returned_items": (q_returned_items, _RETURNED_ITEMS_SQL),
     "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
@@ -6470,6 +6549,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
+    "q_returned_items": (q_returned_items, _RETURNED_ITEMS_SQL),
     "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
     "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),

@@ -254,3 +254,44 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(entries).alias("__e")).select(
         "__e.col_x", "__e.col_y", "__e.corr"
     )
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-WIDTH histogram (the dashboard/profiling complement of
+    clean.quantile_bins' equi-frequency cut): one min/max aggregate
+    broadcast back, bin index in-row as ``floor((x - min) / width)``
+    with the max value clamped into the last bin, then one bounded
+    groupBy. Returns (bin, bin_lo, bin_hi, n_rows) for NON-EMPTY bins
+    (left-closed right-open intervals except the last, which is
+    closed). NULLs are excluded; a constant column degenerates to one
+    bin holding everything."""
+    if bins < 1:
+        raise ValueError(f"histogram: bins must be >= 1, got {bins}")
+    b = df.agg(
+        F.min(F.col(col)).cast("double").alias("__mn"),
+        F.max(F.col(col)).cast("double").alias("__mx"),
+    )
+    with_b = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(b))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    idx = F.when(
+        F.col("__mx") == F.col("__mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((F.col(col).cast("double") - F.col("__mn")) / width),
+            F.lit(bins - 1),
+        )
+    ).cast("int")
+    return (
+        with_b.withColumn("bin", idx)
+        .withColumn("bin_lo", F.round(F.col("__mn") + F.col("bin") * width, 6))
+        .withColumn("bin_hi", F.round(F.col("__mn") + (F.col("bin") + 1) * width, 6))
+        .groupBy("bin")
+        .agg(
+            F.first("bin_lo").alias("bin_lo"),
+            F.first("bin_hi").alias("bin_hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("bin", "bin_lo", "bin_hi", "n_rows")
+    )

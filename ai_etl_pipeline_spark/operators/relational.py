@@ -525,3 +525,60 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), F.col(key_col))
         .limit(top_k)
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Time-series gap-fill: a regular per-key time grid (from the
+    key's truncated min timestamp through its max, every ``step``) with
+    each value column filled by LAST OBSERVATION CARRIED FORWARD — the
+    resampling step feature pipelines need before joining irregular
+    event streams onto model-ready regular intervals.
+
+    Shape: one per-key min/max aggregate (key-sized), an in-row
+    ``sequence`` explode for the grid (no shuffle — rows already carry
+    their key), then ONE key-partitioned window over the union of
+    observations and grid points: ``last(value, ignorenulls=true)``
+    over rows-unbounded-preceding. Observations order BEFORE the grid
+    point at the same timestamp, so an on-grid observation is its own
+    fill. Grid points before a key's first observation stay NULL
+    (nothing to carry). Returns one row per (key, grid_ts)."""
+    if not value_cols:
+        raise ValueError("resample_locf: value_cols must be non-empty")
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__mn"),
+        F.max(ts_col).alias("__mx"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, interval {step})")
+        ).alias(ts_col),
+    )
+    obs = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("__is_grid"),
+        *[F.col(c) for c in value_cols],
+    )
+    g = grid.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("__is_grid"),
+        *[F.lit(None).cast(dict(df.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = obs.unionByName(g)
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled.where(F.col("__is_grid") == 1).drop("__is_grid")

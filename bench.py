@@ -144,6 +144,8 @@ HEADLINE = [
     "q_embed_truncate",
     "q_sample_negatives",
     "q_pipeline_quality_mix",
+    "q_events_resample_locf",
+    "q_agg_histogram",
 ]
 
 

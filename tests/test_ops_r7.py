@@ -205,3 +205,45 @@ def test_hash_ring_negatives_properties(spark):
     assert sorted((r["anchor"], r["negative"]) for r in t) == [(1, 2), (2, 1)]
     with pytest.raises(ValueError):
         sampling.hash_ring_negatives(df, "doc_id", k=0)
+
+
+def test_resample_locf_fills_gaps(spark):
+    from ai_etl_pipeline_spark.operators import relational
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 02:30:00", 20.0),
+        (2, "2024-01-01 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = relational.resample_locf(df, "k", "ts", ["v"], step="1 hour")
+    got = {(r["k"], str(r["ts"])): r["v"] for r in out.collect()}
+    # user 1: grid 00:00,01:00,02:00 (obs at 00:10 not yet seen at 00:00)
+    assert got[(1, "2024-01-01 00:00:00")] is None  # before first obs
+    assert got[(1, "2024-01-01 01:00:00")] == 10.0  # carried forward
+    assert got[(1, "2024-01-01 02:00:00")] == 10.0  # 02:30 obs is later
+    # user 2: single on-grid observation is its own fill
+    assert got[(2, "2024-01-01 05:00:00")] == 7.0
+    assert len([k for k in got if k[0] == 1]) == 3
+    with pytest.raises(ValueError):
+        relational.resample_locf(df, "k", "ts", [], "1 hour")
+
+
+def test_histogram_equi_width(spark):
+    from ai_etl_pipeline_spark.operators import distinct as d
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(0, 101)] + [(None,)], "v double"
+    )
+    out = {r["bin"]: r for r in d.histogram(df, "v", bins=4).collect()}
+    # width 25: bins [0,25) [25,50) [50,75) [75,100]; max lands in last
+    assert [out[b]["n_rows"] for b in range(4)] == [25, 25, 25, 26]
+    assert out[0]["bin_lo"] == 0.0 and out[3]["bin_hi"] == 100.0
+    # constant column: one bin, everything in it
+    const = spark.createDataFrame([(5.0,)] * 7, "v double")
+    c = d.histogram(const, "v", bins=4).collect()
+    assert len(c) == 1 and c[0]["n_rows"] == 7 and c[0]["bin"] == 0
+    with pytest.raises(ValueError):
+        d.histogram(df, "v", bins=0)
