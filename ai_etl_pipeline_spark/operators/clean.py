@@ -382,6 +382,8 @@ def mad_outliers(
     df: DataFrame,
     cols: list[str],
     k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust outlier flags via median / MAD (median absolute
     deviation) — the outlier detector that survives what breaks
@@ -397,20 +399,29 @@ def mad_outliers(
     (NULL inputs stay NULL/false like :func:`winsorize`). A column
     with MAD = 0 (over half the values identical) flags every value
     off the median — documented behavior of the estimator, not a bug;
-    widen with :func:`quantile_bins` diagnostics if that bites."""
+    widen with :func:`quantile_bins` diagnostics if that bites.
+
+    ``approx=True`` swaps both median passes to the mergeable GK
+    ``percentile_approx`` sketch — same one-reducer rationale as
+    :func:`winsorize`; a robustness cutoff a few rank-ppm off the
+    exact median is immaterial to an outlier gate."""
     if not cols:
         raise ValueError("mad_outliers: cols must be non-empty")
     if k <= 0:
         raise ValueError(f"mad_outliers: k must be positive, got {k}")
-    meds = df.agg(
-        *[F.percentile(F.col(c), F.lit(0.5)).alias(f"__med_{c}") for c in cols]
-    )
+
+    def med(col: Column, alias: str) -> Column:
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy)).cast(
+                "double"
+            ).alias(alias)
+        return F.percentile(col, F.lit(0.5)).alias(alias)
+
+    meds = df.agg(*[med(F.col(c), f"__med_{c}") for c in cols])
     with_med = df.crossJoin(F.broadcast(meds))
     mads = with_med.agg(
         *[
-            F.percentile(
-                F.abs(F.col(c) - F.col(f"__med_{c}")), F.lit(0.5)
-            ).alias(f"__mad_{c}")
+            med(F.abs(F.col(c) - F.col(f"__med_{c}")), f"__mad_{c}")
             for c in cols
         ]
     )

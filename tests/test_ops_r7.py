@@ -247,3 +247,20 @@ def test_histogram_equi_width(spark):
     assert len(c) == 1 and c[0]["n_rows"] == 7 and c[0]["bin"] == 0
     with pytest.raises(ValueError):
         d.histogram(df, "v", bins=0)
+
+
+def test_mad_outliers_approx_agrees(spark):
+    from ai_etl_pipeline_spark.operators import clean
+
+    rows = [(i, float(i)) for i in range(1, 200)] + [(999, 10000.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    exact = {r["k"]: r["v__is_outlier"] for r in clean.mad_outliers(df, ["v"]).collect()}
+    approx = {
+        r["k"]: r["v__is_outlier"]
+        for r in clean.mad_outliers(df, ["v"], approx=True).collect()
+    }
+    # sketch exact at this n up to element-vs-interpolated medians:
+    # the extreme outlier flags identically, boundary rows may differ
+    assert approx[999] is True and exact[999] is True
+    diff = [k for k in exact if exact[k] != approx[k]]
+    assert len(diff) <= 10
