@@ -2296,6 +2296,157 @@ FROM x GROUP BY bin, mn, mx
 """
 
 
+def q_cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (migration/backfill validator): orders
+    vs a deterministically perturbed copy (every 97th key removed,
+    every 89th order's priority rewritten, every 83rd re-keyed high as
+    an insert), classified added/removed/changed/unchanged by ONE
+    keys+rowhash full-outer join — the shuffle carries 32-char hashes,
+    never row payloads. Compare columns are int/string only (double
+    and timestamp rendering is engine-specific; hash what's portable,
+    or cast at ingest)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    changed = F.when(
+        F.col("o_orderkey") % 89 == 0, F.lit("9-CHANGED")
+    ).otherwise(F.col("o_orderpriority"))
+    new = (
+        base.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn("o_orderpriority", changed)
+        .unionByName(
+            base.where(F.col("o_orderkey") % 83 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+            )
+        )
+    )
+    diff = cdc.table_diff(base, new, ["o_orderkey"])
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_CDC_TABLE_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+),
+newt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN '9-CHANGED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_orderpriority
+  FROM base WHERE o_orderkey % 83 = 0
+),
+oh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+             coalesce(o_orderstatus, '<NULL>'),
+             coalesce(o_orderpriority, '<NULL>'))) AS h
+  FROM base
+),
+nh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+             coalesce(o_orderstatus, '<NULL>'),
+             coalesce(o_orderpriority, '<NULL>'))) AS h
+  FROM newt
+),
+d AS (
+  SELECT coalesce(oh.o_orderkey, nh.o_orderkey) AS k, oh.h AS ho, nh.h AS hn
+  FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey
+)
+SELECT CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       count(*) AS n_keys, min(k) AS min_key, max(k) AS max_key
+FROM d GROUP BY 1
+"""
+
+
+def q_dedup_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family dedup: documents augmented with per-doc variable
+    fields (invoice/total numbers) still fingerprint together once
+    digit runs collapse — the receipt/listing/log-line duplication
+    that token-set near-dup under-weights on short docs. Exact
+    group-by over the fingerprint; families = docs sharing a
+    normalized template."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" invoice "),
+            (F.col("doc_id") * 7).cast("string"),
+            F.lit(" total "),
+            (F.col("doc_id") * 13).cast("string"),
+        ).alias("text2"),
+    )
+    fp = dedup.template_fingerprint(aug, "text2")
+    return fp.groupBy("template_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_DEDUP_TEMPLATES_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' invoice ' || CAST(doc_id * 7 AS VARCHAR)
+              || ' total ' || CAST(doc_id * 13 AS VARCHAR) AS text2
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text2), '[0-9]+', '#', 'g'),
+               '\s+', ' ', 'g'))) AS template_fp
+  FROM aug
+)
+SELECT template_fp, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM fp GROUP BY template_fp
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the cheap first rung of URL-level dedup):
+    deterministic messy URLs — uppercase scheme/host, default :443
+    port, utm/ref tracking params interleaved with real ones, a
+    fragment — canonicalized in-row. The oracle CONSTRUCTS the
+    expected canonical form directly (ground truth, not a regex
+    replay)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://W"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=y&ref=abc&q=term#frag"),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return textstats.canonicalize_url(with_url, "url").select("doc_id", "canon_url")
+
+
+_URL_CANONICALIZE_SQL = """
+SELECT doc_id,
+       'https://w' || CAST(doc_id % 7 AS VARCHAR)
+         || '.host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/Path/' || CAST(doc_id AS VARCHAR)
+         || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&q=term' AS canon_url
+FROM documents
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text").select(
@@ -6424,7 +6575,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     PQ retrieve-then-rerank ---
     # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
     #     substring-level duplicate-span dedup (Lee et al. 2022) ---
-    "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     # --- round-7 NEW: sketch-percentile renderings (removes the last
     #     one-reducer exact-percentile aggregate from the 100 TB story) ---
@@ -6458,10 +6608,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),
     "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
     "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
+    "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
+    "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
+    "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
-    "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
-    "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
@@ -6549,6 +6700,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
+    "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
+    "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),
     "q_product_profit": (q_product_profit, _PRODUCT_PROFIT_SQL),
     "q_returned_items": (q_returned_items, _RETURNED_ITEMS_SQL),
     "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),

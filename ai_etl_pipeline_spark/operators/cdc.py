@@ -153,3 +153,53 @@ def incremental_agg(
         *[F.sum(c).alias(c) for c in sum_cols],
         F.sum(count_col).cast("long").alias(count_col),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconciliation diff of two keyed snapshots — the migration /
+    backfill / replication validator: every key classified as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    an md5 row-hash over ``compare_cols`` (default: all shared
+    non-key columns, in ``old``'s column order).
+
+    ONE full-outer join on the keys; the hash is computed map-side on
+    each input, so the shuffle carries (keys + 32-char hash), not the
+    row payload — the shape that survives comparing two 100 TB
+    snapshots. NULLs hash as an explicit sentinel (concat_ws would
+    silently SKIP them, making ('a', NULL) collide with ('a',)); the
+    unit separator keeps ('ab','c') distinct from ('a','bc').
+
+    Returns ``(key_cols..., diff_status)``."""
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in key_cols
+        ]
+    if not compare_cols:
+        raise ValueError("table_diff: no shared non-key columns to compare")
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias(alias)
+        )
+
+    o = hashed(old, "__old_h")
+    n = hashed(new, "__new_h")
+    j = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__old_h").isNull(), F.lit("added"))
+        .when(F.col("__new_h").isNull(), F.lit("removed"))
+        .when(F.col("__old_h") != F.col("__new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*key_cols, status.alias("diff_status"))

@@ -1044,3 +1044,23 @@ def keep_best_per_cluster(
         clustered.withColumn("cluster_rank", F.row_number().over(w))
         .withColumn("keep", F.col("cluster_rank") == 1)
     )
+
+
+def template_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "template_fp"
+) -> DataFrame:
+    """Boilerplate-TEMPLATE fingerprint: lowercase, collapse every
+    digit run to ``#``, collapse whitespace, trim, md5 — so "Order 1234
+    shipped  2024-01-05" and "order 99 shipped 2024-03-07" collide.
+    Exact dedup over this fingerprint catches the template-generated
+    page families (receipts, listings, log lines) that token-set
+    near-dup misses when the variable fields dominate short documents.
+    One in-row regexp chain, scan speed, dialect-portable."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "#"),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, F.md5(norm))

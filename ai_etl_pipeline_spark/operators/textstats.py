@@ -1196,3 +1196,48 @@ def language_id_confidence(
         .withColumn("second_hits", second["hits"])
         .withColumn("lang_margin", best["hits"] - second["hits"])
     )
+
+
+# tracking parameters stripped by canonicalize_url: the ubiquitous
+# analytics/click identifiers that make one page crawl as many URLs
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str, out_col: str = "canon_url"
+) -> DataFrame:
+    """URL canonicalization ahead of URL-level dedup (the cheap first
+    rung of the dedup ladder — one page crawled as many URLs):
+    lowercase the scheme and host, drop the fragment, strip default
+    ports (:80 http / :443 https), and remove tracking query
+    parameters (utm_*, gclid, fbclid, ref) while preserving the
+    remaining parameter order. Path case, trailing slashes and
+    parameter VALUES are deliberately untouched — those can change the
+    resource. Pure regexp/array chain, scan speed, dialect-portable
+    (no lookaround), non-URL rows pass through with scheme/host empty."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    newq = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, canon)

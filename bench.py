@@ -146,6 +146,9 @@ HEADLINE = [
     "q_pipeline_quality_mix",
     "q_events_resample_locf",
     "q_agg_histogram",
+    "q_cdc_table_diff",
+    "q_dedup_templates",
+    "q_url_canonicalize",
 ]
 
 

@@ -264,3 +264,59 @@ def test_mad_outliers_approx_agrees(spark):
     assert approx[999] is True and exact[999] is True
     diff = [k for k in exact if exact[k] != approx[k]]
     assert len(diff) <= 10
+
+
+def test_table_diff_statuses(spark):
+    from ai_etl_pipeline_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    out = {r["k"]: r["diff_status"] for r in cdc.table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+    # NULL is not the same as the string '<NULL>'-free concat skip:
+    # a row whose value flips NULL -> 'x' must register as changed
+    new2 = spark.createDataFrame([(3, "c", 99)], "k long, s string, v long")
+    out2 = {r["k"]: r["diff_status"] for r in cdc.table_diff(old, new2, ["k"]).collect()}
+    assert out2[3] == "changed"
+    with pytest.raises(ValueError):
+        cdc.table_diff(old, new, [])
+    with pytest.raises(ValueError):
+        cdc.table_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_template_fingerprint_collapses_digits(spark):
+    out = dedup.template_fingerprint(
+        spark.createDataFrame(
+            [
+                (1, "Order 1234 shipped  2024-01-05"),
+                (2, "order 99 SHIPPED 2025-03-07".replace("SHIPPED", "shipped")),
+                (3, "totally different text"),
+            ],
+            "doc_id long, text string",
+        ),
+        "text",
+    ).collect()
+    fps = {r["doc_id"]: r["template_fp"] for r in out}
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+
+
+def test_canonicalize_url_rules(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    cases = [
+        (1, "HTTP://Example.COM:80/A/B?utm_source=x&q=1&ref=r#frag", "http://example.com/A/B?q=1"),
+        (2, "https://Host.net:443/", "https://host.net/"),
+        (3, "https://host.net:8443/x", "https://host.net:8443/x"),  # non-default port kept
+        (4, "http://a.b/p?utm_a=1&utm_b=2", "http://a.b/p"),  # all params stripped -> no '?'
+        (5, "https://a.b/p?gclid=z&keep=1&fbclid=w", "https://a.b/p?keep=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "k long, url string")
+    out = {r["k"]: r["canon_url"] for r in textstats.canonicalize_url(df, "url").collect()}
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
