@@ -2447,6 +2447,114 @@ FROM documents
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts over
+    each user's time-ordered stream): one user-partitioned lead window
+    + one bounded groupBy — the behavioral-analytics complement of the
+    funnel (which fixes the order; this measures ALL observed
+    orders)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    return steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
+_EVENTS_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup match graph (MinHash-LSH pairs,
+    q_dedup_clusters parameters): triangle density separates clique-
+    shaped true duplicate families from chain-shaped borderline
+    matches. Oriented-edge closure — two candidate-sized joins; the
+    oracle replays pair generation plus the same closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    return graph.triangle_count(pairs, "id_a", "id_b")
+
+
+def _graph_triangles_sql() -> str:
+    return f"""
+WITH p AS ({_minhash_sql()}),
+e AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM p WHERE id_a <> id_b
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM tri) AS n_triangles
+"""
+
+
+def q_join_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join diagnosis for lineitem ⋈ orders: per-side row /
+    distinct-key / heaviest-key stats from two single-pass aggregates
+    (the corpus is never joined), and the strategy call — broadcast /
+    AQE-skew-or-salt / shuffle — that key_skew_report feeds at 100 TB.
+    Threshold chosen so the sf-scaled orders side exercises the
+    broadcast branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return relational.join_strategy_report(
+        li.select(F.col("l_orderkey").alias("k")),
+        orders.select(F.col("o_orderkey").alias("k")),
+        "k",
+        broadcast_rows=1_000_000,
+    )
+
+
+_JOIN_STRATEGY_SQL = """
+WITH l AS (
+  SELECT CAST(sum(c) AS BIGINT) AS left_rows,
+         count(*) AS left_keys,
+         CAST(max(c) AS BIGINT) AS left_max_key_rows
+  FROM (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey)
+),
+r AS (
+  SELECT CAST(sum(c) AS BIGINT) AS right_rows,
+         count(*) AS right_keys,
+         CAST(max(c) AS BIGINT) AS right_max_key_rows
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+)
+SELECT left_rows, left_keys, left_max_key_rows,
+       right_rows, right_keys, right_max_key_rows,
+       round(CAST(CASE WHEN left_rows >= right_rows THEN left_max_key_rows
+                       ELSE right_max_key_rows END AS DOUBLE)
+             / greatest(left_rows, right_rows), 6) AS max_key_share,
+       CASE WHEN right_rows <= 1000000 THEN 'broadcast_right'
+            WHEN left_rows <= 1000000 THEN 'broadcast_left'
+            WHEN (CASE WHEN left_rows >= right_rows THEN left_max_key_rows
+                       ELSE right_max_key_rows END)
+                 > 0.2 * greatest(left_rows, right_rows) THEN 'salt_or_aqe_skew'
+            ELSE 'shuffle_hash_or_sort_merge' END AS recommendation
+FROM l CROSS JOIN r
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text").select(
@@ -6611,6 +6719,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
     "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
     "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),
+    "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
+    "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
+    "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
@@ -6618,11 +6729,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
-    "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    "q_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
-    "q_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
     "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     # --- round-6 CHANGED code paths (kmeans assignment persist /
     # SemDeDup block bound) — must stay in-window ---
@@ -6700,6 +6808,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
     # rotated out of the window in r7 (r6-green, code unchanged)
+    "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
+    "q_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
+    "q_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
     "q_text_quality_classifier": (q_text_quality_classifier, _TEXT_CLASSIFIER_SQL),
     "q_events_anomaly": (q_events_anomaly, _EVENTS_ANOMALY_SQL),
     "q_embed_feature_hash": (q_embed_feature_hash, _EMBED_FEATURE_HASH_SQL),

@@ -123,3 +123,42 @@ def pagerank(
             F.col("__deg").cast("bigint").alias("degree"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected edge relation — the
+    cluster-cohesion measure of a near-dup graph (cliques from true
+    duplicate families close their triangles; chains from borderline
+    matches don't). Classic oriented-edge rendering: normalize every
+    edge to (a < b), then count paths (a,b),(b,c) closed by (a,c) —
+    each triangle counted exactly once because its vertices appear in
+    sorted order. Two candidate-sized equi-joins; the quadratic is
+    bounded by the max degree like every pair generator here (skewed
+    hub nodes → salt or cap upstream). Returns one row
+    ``(n_nodes, n_edges, n_triangles)``."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "left_semi"
+    )
+    nodes = e.select(F.col("a").alias("n")).unionByName(
+        e.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -582,3 +582,48 @@ def resample_locf(
     for c in value_cols:
         filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return filled.where(F.col("__is_grid") == 1).drop("__is_grid")
+
+
+def join_strategy_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_frac: float = 0.2,
+) -> DataFrame:
+    """Pre-flight join diagnosis — the decision :func:`key_skew_report`
+    feeds, as one row: per-side row counts, distinct key counts, and
+    the heaviest key's share, plus a ``recommendation``:
+    ``broadcast_right`` / ``broadcast_left`` when a side fits the
+    broadcast budget (row-count proxy; calibrate ``broadcast_rows`` to
+    executor memory / row width), ``salt_or_aqe_skew`` when one key
+    owns more than ``skew_frac`` of the bigger side (one reducer would
+    eat that key's whole shuffle partition), else
+    ``shuffle_hash_or_sort_merge``. Two single-pass aggregates — the
+    corpus is read once per side and never joined."""
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count("*").alias("__c"))
+        return per_key.agg(
+            F.sum("__c").alias(f"{tag}_rows"),
+            F.count("*").alias(f"{tag}_keys"),
+            F.max("__c").alias(f"{tag}_max_key_rows"),
+        )
+    l, r = side(left, "left"), side(right, "right")
+    rep = l.crossJoin(F.broadcast(r))
+    bigger_rows = F.greatest(F.col("left_rows"), F.col("right_rows"))
+    bigger_max = F.when(
+        F.col("left_rows") >= F.col("right_rows"), F.col("left_max_key_rows")
+    ).otherwise(F.col("right_max_key_rows"))
+    rec = (
+        F.when(F.col("right_rows") <= broadcast_rows, F.lit("broadcast_right"))
+        .when(F.col("left_rows") <= broadcast_rows, F.lit("broadcast_left"))
+        .when(bigger_max > skew_frac * bigger_rows, F.lit("salt_or_aqe_skew"))
+        .otherwise(F.lit("shuffle_hash_or_sort_merge"))
+    )
+    return rep.select(
+        "left_rows", "left_keys", "left_max_key_rows",
+        "right_rows", "right_keys", "right_max_key_rows",
+        F.round(bigger_max / bigger_rows, 6).alias("max_key_share"),
+        rec.alias("recommendation"),
+    )

@@ -149,6 +149,9 @@ HEADLINE = [
     "q_cdc_table_diff",
     "q_dedup_templates",
     "q_url_canonicalize",
+    "q_events_transitions",
+    "q_graph_triangles",
+    "q_join_strategy_report",
 ]
 
 

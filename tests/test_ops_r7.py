@@ -320,3 +320,37 @@ def test_canonicalize_url_rules(spark):
     out = {r["k"]: r["canon_url"] for r in textstats.canonicalize_url(df, "url").collect()}
     for i, _, want in cases:
         assert out[i] == want, (i, out[i], want)
+
+
+def test_triangle_count_known_graphs(spark):
+    from ai_etl_pipeline_spark.operators import graph
+
+    # K4 has 4 triangles; edges given unordered/duplicated/self-looped
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = graph.triangle_count(df).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # a path has none
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert graph.triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_join_strategy_report_branches(spark):
+    from ai_etl_pipeline_spark.operators import relational
+
+    big = spark.range(0, 2000).select((F.col("id") % 50).alias("k"))
+    small = spark.range(0, 10).select(F.col("id").alias("k"))
+    r = relational.join_strategy_report(big, small, "k", broadcast_rows=100).first()
+    assert r["recommendation"] == "broadcast_right"
+    assert r["left_rows"] == 2000 and r["right_keys"] == 10
+    # skew: one key owns half the big side, neither side broadcastable
+    skewed = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    other = spark.range(0, 900).select(F.col("id").alias("k"))
+    r2 = relational.join_strategy_report(skewed, other, "k", broadcast_rows=100).first()
+    assert r2["recommendation"] == "salt_or_aqe_skew"
+    assert r2["max_key_share"] == 0.5
+    even = spark.range(0, 1000).select(F.col("id").alias("k"))
+    r3 = relational.join_strategy_report(even, other, "k", broadcast_rows=100).first()
+    assert r3["recommendation"] == "shuffle_hash_or_sort_merge"
