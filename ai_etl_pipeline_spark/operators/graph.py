@@ -138,6 +138,11 @@ def triangle_count(
     bounded by the max degree like every pair generator here (skewed
     hub nodes → salt or cap upstream). Returns one row
     ``(n_nodes, n_edges, n_triangles)``."""
+    # lazy checkpoint: the oriented edge set is referenced FIVE times
+    # (three join sides + both census aggregates); without truncation
+    # each reference re-executes the whole upstream pair generator
+    # (minhash pipeline in the near-dup query — measured 7 s for a
+    # 2 s graph)
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -145,6 +150,7 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
