@@ -2,8 +2,9 @@
 reference, which has no relational surface at all — SURVEY.md §2.4).
 
 Connected components (the dedup workhorse) lives in
-``dedup.near_duplicate_clusters``; this module holds the ranking side:
-damped random-walk centrality (PageRank) over an edge relation.
+``dedup.near_duplicate_clusters``; this module holds the ranking and
+census side: damped random-walk centrality (PageRank) and triangle
+counting over an edge relation.
 
 Scale shape: every iteration is one contribution projection + one
 destination-keyed aggregate + one join back to the node set — all
