@@ -120,6 +120,8 @@ ALL_OPS = (
     # round-7 additions: the three heaviest round-6 queries get their
     # own growth curves (verdict task #6)
     "containment", "entity", "bm25",
+    # round-7: the new fixed-iteration graph operator
+    "pagerank",
 )
 
 
@@ -246,6 +248,30 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         release_shuffles(spark)
         out["entity_sec"], out["entity_rows"] = t_ent, n_ent
 
+    if "pagerank" in ops:
+        # deterministic sparse expander over the doc ids (each node
+        # links to id+1 and id*2 mod n): ~2 edges/node at every scale,
+        # so growth measures the ITERATION (8 fixed rounds of
+        # edge-sized joins/aggregates), not a densifying graph
+        n_nodes = docs.selectExpr("max(doc_id) + 1 as m").first()["m"]
+        ids = docs.select("doc_id")
+        pr_edges = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % n_nodes).alias("dst"),
+        ).unionByName(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 2 + 1) % n_nodes).alias("dst"),
+            )
+        )
+        from ai_etl_pipeline_spark.operators import graph
+
+        t_pr, n_pr = timed(
+            lambda: graph.pagerank(pr_edges, iterations=8).count()
+        )
+        release_shuffles(spark)
+        out["pagerank_sec"], out["pagerank_nodes"] = t_pr, n_pr
+
     if "bm25" in ops:
         # fixed 3-term query from the base vocabulary (every doc has
         # hits, so the in-row tf expressions and the one corpus-stats
@@ -324,7 +350,7 @@ def main() -> None:
         for op_key in (
             "minhash_sec", "clusters_sec", "incremental_sec",
             "bucketed_probe_sec", "containment_sec", "entity_sec",
-            "bm25_sec",
+            "bm25_sec", "pagerank_sec",
         ):
             if op_key in sa and op_key in sb:
                 r[op_key.replace("_sec", "_time_growth")] = round(
