@@ -2217,6 +2217,111 @@ WHERE running_tokens <= 800
 """
 
 
+def _curation_scale(docs: DataFrame) -> DataFrame:
+    """The 100 TB-profile curation composite: GK-sketch quantile gate →
+    GK-sketch winsorize → HLL-sketch distinct rollup, per source. Every
+    percentile/cardinality in this plan is a MERGEABLE sketch — no
+    exact one-reducer aggregate anywhere (asserted by
+    tests/test_plans.py::test_curation_scale_plan_has_no_exact_percentile).
+    Returns ``(source, kept_a, nclip_a, sum_chars_a, n_fine_groups,
+    approx_distinct)``."""
+    gated = textstats.quantile_threshold_filter(
+        docs, "n_chars", 0.25, strata_col="source", keep="above", approx=True
+    )
+    wins = clean.winsorize(gated, ["n_chars"], lo=0.05, hi=0.95, approx=True)
+    prof = wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_a"),
+        F.sum(F.col("n_chars__was_clipped").cast("long")).alias("nclip_a"),
+        F.sum("n_chars").alias("sum_chars_a"),
+    )
+    card = distinct.hll_sketch_rollup(
+        gated, ["source", "lang"], ["source"], "doc_id"
+    ).select("source", "n_fine_groups", "approx_distinct")
+    return prof.join(card, "source")
+
+
+def q_pipeline_curation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-profile curation pipeline (approx tiers composed
+    end-to-end): the :func:`_curation_scale` plan is PURE sketch —
+    GK quantile gate, GK winsorize, HLL distinct rollup — proving the
+    100 TB profile composes with no exact percentile / exact distinct
+    one-reducer aggregate anywhere. Sketch outputs are engine-specific,
+    so per the q_agg_approx precedent the oracle-able rendering is
+    tolerance flags against exact twins computed OUTSIDE the pipeline:
+    per source, kept count within 5%, HLL distinct within 5% of the
+    exact kept count, plus global winsorized clip-count (10%) and
+    winsorized-sum (1%) flags. ``n_docs`` and ``n_langs`` anchor each
+    row exactly. The rollup's fine-group count is NOT emitted as an
+    exact column: the gate is approx, so which (source, lang) fine
+    groups survive can legitimately differ from the exact gate by a
+    boundary lang (observed at sf0.01: src10 keeps 4 langs approx vs
+    5 exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = _curation_scale(docs)
+    gated_e = textstats.quantile_threshold_filter(
+        docs, "n_chars", 0.25, strata_col="source", keep="above"
+    )
+    wins_e = clean.winsorize(gated_e, ["n_chars"], lo=0.05, hi=0.95)
+    exact = wins_e.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_e"),
+        F.sum(F.col("n_chars__was_clipped").cast("long")).alias("nclip_e"),
+        F.sum("n_chars").alias("sum_chars_e"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    glob = (
+        prof.agg(
+            F.sum("nclip_a").alias("ga"), F.sum("sum_chars_a").alias("sa")
+        )
+        .crossJoin(
+            exact.agg(
+                F.sum("nclip_e").alias("ge"), F.sum("sum_chars_e").alias("se")
+            )
+        )
+        .select(
+            (F.abs(F.col("ga") - F.col("ge")) / F.col("ge") <= 0.10).alias(
+                "clip_within_10pct"
+            ),
+            (F.abs(F.col("sa") - F.col("se")) / F.col("se") <= 0.01).alias(
+                "winsum_within_1pct"
+            ),
+        )
+    )
+    return (
+        totals.join(prof, "source")
+        .join(exact, "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            (
+                F.abs(F.col("kept_a") - F.col("kept_e")) / F.col("kept_e") <= 0.05
+            ).alias("kept_within_5pct"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("kept_e")) / F.col("kept_e")
+                <= 0.05
+            ).alias("distinct_within_5pct"),
+            "clip_within_10pct",
+            "winsum_within_1pct",
+        )
+    )
+
+
+_PIPELINE_CURATION_SCALE_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       TRUE AS kept_within_5pct,
+       TRUE AS distinct_within_5pct,
+       TRUE AS clip_within_10pct,
+       TRUE AS winsum_within_1pct
+FROM documents GROUP BY source
+"""
+
+
 def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill: every user's irregular event stream
     resampled onto an hourly grid with last-observation-carried-forward
@@ -2343,17 +2448,23 @@ newt AS (
 oh AS (
   SELECT o_orderkey,
          md5(concat_ws(chr(31),
-             coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
-             coalesce(o_orderstatus, '<NULL>'),
-             coalesce(o_orderpriority, '<NULL>'))) AS h
+             CASE WHEN o_custkey IS NULL THEN '0' ELSE '1' END,
+             coalesce(CAST(o_custkey AS VARCHAR), ''),
+             CASE WHEN o_orderstatus IS NULL THEN '0' ELSE '1' END,
+             coalesce(o_orderstatus, ''),
+             CASE WHEN o_orderpriority IS NULL THEN '0' ELSE '1' END,
+             coalesce(o_orderpriority, ''))) AS h
   FROM base
 ),
 nh AS (
   SELECT o_orderkey,
          md5(concat_ws(chr(31),
-             coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
-             coalesce(o_orderstatus, '<NULL>'),
-             coalesce(o_orderpriority, '<NULL>'))) AS h
+             CASE WHEN o_custkey IS NULL THEN '0' ELSE '1' END,
+             coalesce(CAST(o_custkey AS VARCHAR), ''),
+             CASE WHEN o_orderstatus IS NULL THEN '0' ELSE '1' END,
+             coalesce(o_orderstatus, ''),
+             CASE WHEN o_orderpriority IS NULL THEN '0' ELSE '1' END,
+             coalesce(o_orderpriority, ''))) AS h
   FROM newt
 ),
 d AS (
@@ -2417,21 +2528,33 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the cheap first rung of URL-level dedup):
     deterministic messy URLs — uppercase scheme/host, default :443
     port, utm/ref tracking params interleaved with real ones, a
-    fragment — canonicalized in-row. The oracle CONSTRUCTS the
-    expected canonical form directly (ground truth, not a regex
-    replay)."""
+    fragment — canonicalized in-row; every third row is SCHEME-LESS
+    (a relative path with a fragment) and must pass through unchanged
+    minus the fragment. The oracle CONSTRUCTS the expected canonical
+    form directly (ground truth, not a regex replay)."""
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("HTTPS://W"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".Host"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".Example.COM:443/Path/"),
-        F.col("doc_id").cast("string"),
-        F.lit("?utm_source=x&id="),
-        (F.col("doc_id") % 50).cast("string"),
-        F.lit("&utm_campaign=y&ref=abc&q=term#frag"),
-        F.col("doc_id").cast("string"),
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("Relative/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://W"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Host"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_campaign=y&ref=abc&q=term#frag"),
+            F.col("doc_id").cast("string"),
+        )
     )
     with_url = docs.select("doc_id", url.alias("url"))
     return textstats.canonicalize_url(with_url, "url").select("doc_id", "canon_url")
@@ -2439,10 +2562,15 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_CANONICALIZE_SQL = """
 SELECT doc_id,
-       'https://w' || CAST(doc_id % 7 AS VARCHAR)
-         || '.host' || CAST(doc_id % 20 AS VARCHAR)
-         || '.example.com/Path/' || CAST(doc_id AS VARCHAR)
-         || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&q=term' AS canon_url
+       CASE WHEN doc_id % 3 = 0 THEN
+         'Relative/Path/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+       ELSE
+         'https://w' || CAST(doc_id % 7 AS VARCHAR)
+           || '.host' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/Path/' || CAST(doc_id AS VARCHAR)
+           || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&q=term'
+       END AS canon_url
 FROM documents
 """
 
@@ -2552,6 +2680,37 @@ SELECT left_rows, left_keys, left_max_key_rows,
                  > 0.2 * greatest(left_rows, right_rows) THEN 'salt_or_aqe_skew'
             ELSE 'shuffle_hash_or_sort_merge' END AS recommendation
 FROM l CROSS JOIN r
+"""
+
+
+def q_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-APPLYING join (``auto_join``): the join_strategy_report
+    decision executed, not just printed — broadcast hint / salted path /
+    plain shuffle per its recommendation (the orders side fits the
+    broadcast budget at test SFs, so this exercises the
+    broadcast_right branch; tests/test_plans.py asserts the physical
+    plan of all three branches). Result ≡ the plain join on every
+    branch, so the oracle is the plain SQL join; prices summed in
+    exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    j = relational.auto_join(li, orders, "k")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_JOIN_AUTO_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """
 
 
@@ -3471,6 +3630,81 @@ def q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
     )
+
+
+def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end — the lossy-format sibling
+    of q_media_bmp/png/gif_decode, made hash-gateable by construction:
+    the fixtures are BLOCK-CONSTANT grayscale images (every 8x8 block
+    one value, (id*7 + bx*13 + by*31) % 256 over a (id%3+1)x(id%2+1)
+    block grid) encoded with an all-ones quantization table, where the
+    DCT collapses to a lone integer DC coefficient and the decode —
+    full Huffman + dequant + float IDCT pipeline, restart interval 2 —
+    is BIT-EXACT. The oracle recomputes the channel means from the
+    closed form in SQL."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                wb, hb = 1 + (i % 3), 1 + (i % 2)
+                px = [
+                    [
+                        (i * 7 + (x // 8) * 13 + (y // 8) * 31) % 256
+                        for x in range(8 * wb)
+                    ]
+                    for y in range(8 * hb)
+                ]
+                rows.append(
+                    (
+                        i,
+                        multimodal.encode_jpeg_gray8(
+                            8 * wb, 8 * hb, px, restart_interval=2
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_MEDIA_JPEG_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+  FROM documents WHERE doc_id < 40
+),
+cells AS (
+  SELECT media_id, wb, hb,
+         (media_id * 7 + gx.range * 13 + gy.range * 31) % 256 AS v
+  FROM ids, range(0, 3) gx, range(0, 2) gy
+  WHERE gx.range < wb AND gy.range < hb
+)
+SELECT media_id,
+       CAST(wb * 8 AS BIGINT) AS width,
+       CAST(hb * 8 AS BIGINT) AS height,
+       CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+       round(avg(v), 3) AS mean_r,
+       round(avg(v), 3) AS mean_g,
+       round(avg(v), 3) AS mean_b
+FROM cells GROUP BY media_id, wb, hb
+"""
 
 
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5317,6 +5551,78 @@ LIMIT 20
 """
 
 
+def q_graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINELY DIRECTED PageRank (``symmetric=False``) over the
+    customer→supplier purchase graph: suppliers never buy, so every
+    supplier node is a PURE SINK — the mode that exercises dangling-
+    node handling (node set from BOTH endpoints; rank mass sitting on
+    sinks redistributed uniformly each iteration as
+    ``Σ_sink rank div n_nodes``, all in integer micro-units). The
+    oracle unrolls the same iterations with the same scalar dangling
+    aggregate per step — bit-exact, full hash gate. Top-20, ties
+    broken by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        symmetric=False,
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_directed_sql() -> str:
+    teleport = (100 - _PR_DAMP) * _PR_BASE
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        # MATERIALIZED: each level references r{i-1} TWICE (incoming +
+        # the sink scalar) — inlined CTEs would re-expand the whole
+        # chain 2^iterations times
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(({teleport} + {_PR_DAMP} * (coalesce(s.incoming, 0) + sk.share))
+              // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS incoming
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+  CROSS JOIN (
+    SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) // (SELECT n FROM nn) AS share
+    FROM r{i - 1} r
+    WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node)
+  ) sk
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT r.node, r.rank, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
+FROM r{_PR_ITERS} r LEFT JOIN deg ON deg.src = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
 def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join with an aggregate threshold —
     suppliers who moved more than 50 units of at least one small part.
@@ -6706,6 +7012,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
+    # --- round-8 NEW: directed mode with dangling-sink redistribution ---
+    "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
+    # --- round-8 NEW: strategy-applying join; pure-sketch curation
+    #     pipeline (no exact one-reducer aggregate in its plan) ---
+    "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),
+    "q_pipeline_curation_scale": (
+        q_pipeline_curation_scale,
+        _PIPELINE_CURATION_SCALE_SQL,
+    ),
+    # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
+    #     block-constant fixtures; closed-form oracle) ---
+    "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
     # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
     #     duplication matrix, Matryoshka truncation ---
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),

@@ -160,6 +160,7 @@ def table_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Reconciliation diff of two keyed snapshots — the migration /
     backfill / replication validator: every key classified as
@@ -170,9 +171,19 @@ def table_diff(
     ONE full-outer join on the keys; the hash is computed map-side on
     each input, so the shuffle carries (keys + 32-char hash), not the
     row payload — the shape that survives comparing two 100 TB
-    snapshots. NULLs hash as an explicit sentinel (concat_ws would
-    silently SKIP them, making ('a', NULL) collide with ('a',)); the
-    unit separator keeps ('ab','c') distinct from ('a','bc').
+    snapshots. NULL cells are encoded with an explicit per-column
+    is-null flag byte AHEAD of the value (plain sentinel strings
+    collide with a cell whose actual value is the sentinel; a bare
+    concat_ws would silently SKIP NULLs, making ('a', NULL) collide
+    with ('a',)); the unit separator keeps ('ab','c') distinct from
+    ('a','bc').
+
+    CONTRACT: keys must be unique within each snapshot — duplicate
+    keys fan out the full-outer join (pre-aggregate, e.g. with
+    :func:`merge_upsert`, if they are not). ``check_unique=True``
+    embeds a lazy loud-failure guard (key-partitioned window count →
+    ``raise_error``) on both sides; it costs one extra shuffle per
+    side, so it is opt-in.
 
     Returns ``(key_cols..., diff_status)``."""
     if not key_cols:
@@ -185,13 +196,28 @@ def table_diff(
         raise ValueError("table_diff: no shared non-key columns to compare")
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-            for c in compare_cols
-        ]
-        return df.select(
-            *key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias(alias)
-        )
+        parts: list = []
+        for c in compare_cols:
+            parts.append(F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        h = F.md5(F.concat_ws("\x1f", *parts))
+        if check_unique:
+            # the guard lives INSIDE the hash expression so column
+            # pruning cannot eliminate it
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+            h = F.when(
+                cnt > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("table_diff: duplicate key ("),
+                        F.concat_ws(
+                            ",", *[F.col(c).cast("string") for c in key_cols]
+                        ),
+                        F.lit(") — snapshots must be unique per key"),
+                    )
+                ),
+            ).otherwise(h)
+        return df.select(*key_cols, h.alias(alias))
 
     o = hashed(old, "__old_h")
     n = hashed(new, "__new_h")

@@ -76,6 +76,33 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
+def _doc_gram_sizes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-doc DISTINCT gram count computed IN-ROW — ``(id, sz)`` with
+    ``sz = |grams(doc)|`` exactly as :func:`doc_tokens` /
+    :func:`doc_shingles` would produce after their explode+distinct,
+    but as ``size(array_distinct(...))`` over the per-row gram array:
+    a map-side scan with doc-sized output instead of a corpus-sized
+    exploded shuffle. The set-similarity denominators' 100 TB shape."""
+    toks = tokens_col(F.col(text_col))
+    if k == 1:
+        arr = F.array_distinct(toks)
+    else:
+        t = F.col("__toks")
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+        shingles = F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(t, " ")))
+        arr = F.filter(F.array_distinct(shingles), lambda s: s != "")
+        return df.select(F.col(id_col), toks.alias("__toks")).select(
+            F.col(id_col), F.size(arr).cast("long").alias("sz")
+        )
+    return df.select(F.col(id_col), F.size(arr).cast("long").alias("sz"))
+
+
 def minhash_signatures(
     pairs: DataFrame, id_col: str, item_col: str, num_hashes: int = 16
 ) -> DataFrame:
@@ -842,13 +869,20 @@ def containment_pairs(
             .select("token")
         )
         cand_items = items.join(F.broadcast(hot), "token", "left_anti")
-    a = cand_items.withColumnRenamed(id_col, "id_a")
-    b = cand_items.withColumnRenamed(id_col, "id_b")
+    # SELF-join through aliases of the SAME plan (not two renamed
+    # copies): Catalyst's exchange reuse then shuffles the gram
+    # relation ONCE and feeds both join sides from it — the r8
+    # containment-profile run showed the posting join recomputing the
+    # whole tokenize+explode per side
+    ca, cb = cand_items.alias("__ca"), cand_items.alias("__cb")
     # one row per (pair, shared cold token) -> count = cold intersection
     inter_cold = (
-        a.join(b, on=["token"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        ca.join(cb, F.col("__ca.token") == F.col("__cb.token"))
+        .where(F.col(f"__ca.{id_col}") < F.col(f"__cb.{id_col}"))
+        .groupBy(
+            F.col(f"__ca.{id_col}").alias("id_a"),
+            F.col(f"__cb.{id_col}").alias("id_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
     if hot is not None:
@@ -877,10 +911,13 @@ def containment_pairs(
         )
     else:
         inter = inter_cold
-    # denominators: one partial-aggregated pass over the gram relation
-    # (one row per doc after map-side combine); the inner joins below
-    # restrict it to candidate docs without a collected id list
-    sizes = items.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # denominators IN-ROW: the per-doc distinct gram count is the size
+    # of the per-row gram array — one map-side scan of the docs with
+    # doc-sized output, replacing the old corpus-sized
+    # explode+groupBy(id) shuffle (the r8 profile's second-biggest
+    # term); the inner joins below restrict it to candidate docs
+    # without a collected id list
+    sizes = _doc_gram_sizes(df, id_col, text_col, ngram)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     scored = inter.join(sa, "id_a").join(sb, "id_b")

@@ -42,15 +42,25 @@ def pagerank(
     checkpoint_every: int | None = 6,
 ) -> DataFrame:
     """Damped random-walk centrality over an edge relation: fixed
-    ``iterations`` of ``rank'(u) = ((100 - d)·base + d·Σ_{v→u}
-    (rank(v) div out_deg(v))) div 100`` with integer micro-unit
-    arithmetic (see module docstring). ``symmetric=True`` unions the
-    reversed edges first — the undirected-graph rendering, which also
-    guarantees no dangling nodes (every node that appears has at least
-    one out-edge, so no rank mass needs a redistribution pass).
+    ``iterations`` of ``rank'(u) = ((100 - d)·base + d·(Σ_{v→u}
+    (rank(v) div out_deg(v)) + dangling_share)) div 100`` with integer
+    micro-unit arithmetic (see module docstring). ``symmetric=True``
+    unions the reversed edges first — the undirected-graph rendering,
+    which guarantees no dangling nodes (every node that appears has at
+    least one out-edge), so the dangling term is identically zero and
+    is compiled out of the plan.
+
+    ``symmetric=False`` is the genuinely directed mode: the node set is
+    the union of BOTH endpoints (pure sinks — nodes with only in-edges
+    — get output rows), and the rank mass sitting on sinks each
+    iteration is redistributed uniformly (``dangling_share =
+    Σ_sink rank div n_nodes``, one scalar aggregate per iteration —
+    the standard dangling-node treatment, kept in integer units so the
+    iteration stays bit-exact and oracle-matchable).
 
     Node set = all edge endpoints; ranks start at ``base`` each.
-    Returns ``(node, rank, degree)`` — rank in micro-units.
+    Returns ``(node, rank, degree)`` — rank in micro-units, degree =
+    out-degree (0 for pure sinks in directed mode).
 
     ``checkpoint_every`` lazily ``localCheckpoint``s the rank frame
     every N iterations: the plan stays O(N) deep for Catalyst while
@@ -86,9 +96,32 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg")).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("__src").alias("__node")).distinct().localCheckpoint(eager=False)
-    )
+    if symmetric:
+        # after symmetrization every endpoint appears as a source —
+        # src-only is the complete node set and reads e once
+        nodes = e.select(F.col("__src").alias("__node")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("__src").alias("__node"))
+            .unionByName(e.select(F.col("__dst").alias("__node")))
+            .distinct()
+        )
+    nodes = nodes.localCheckpoint(eager=False)
+    if not symmetric:
+        # scalar node count for the per-iteration dangling share —
+        # one row, computed once, broadcast into every iteration
+        n_nodes = (
+            nodes.agg(F.count("*").cast("bigint").alias("__n"))
+            .localCheckpoint(eager=False)
+        )
+        # the sink SET is fixed across iterations (no out-edge ever
+        # appears) — materialize it once so each iteration pays a
+        # semi-join against a checkpointed node-sized frame, not a
+        # fresh anti-join replan
+        sinks = (
+            nodes.join(deg, nodes["__node"] == deg["__src"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
     ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     for it in range(iterations):
@@ -103,25 +136,46 @@ def pagerank(
             .groupBy("__dst")
             .agg(F.sum("__contrib").alias("__incoming"))
         )
-        ranks = (
-            nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
-            .select(
+        new_ranks = nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
+        if symmetric:
+            ranks = new_ranks.select(
                 F.col("__node"),
                 F.expr(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "coalesce(__incoming, cast(0 as bigint))) div 100"
                 ).alias("__rank"),
             )
-        )
+        else:
+            # dangling mass: ranks sitting on nodes with no out-edge,
+            # redistributed uniformly — scalar payload only (the one-row
+            # broadcast crossJoin rule: scalars yes, arrays never)
+            sink_share = (
+                ranks.join(sinks, "__node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("__rank"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__sink_sum")
+                )
+                .crossJoin(F.broadcast(n_nodes))
+                .select(F.expr("__sink_sum div __n").alias("__sink_share"))
+            )
+            ranks = new_ranks.crossJoin(F.broadcast(sink_share)).select(
+                F.col("__node"),
+                F.expr(
+                    f"(cast({teleport} as bigint) + {damping_pct} * "
+                    "(coalesce(__incoming, cast(0 as bigint)) + __sink_share)) "
+                    "div 100"
+                ).alias("__rank"),
+            )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out_deg = deg.select(F.col("__src").alias("__node"), F.col("__deg"))
     return (
-        ranks.join(out_deg, "__node")
+        ranks.join(out_deg, "__node", "left")
         .select(
             F.col("__node").alias("node"),
             F.col("__rank").alias("rank"),
-            F.col("__deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("__deg"), F.lit(0)).cast("bigint").alias("degree"),
         )
     )
 
@@ -132,18 +186,24 @@ def triangle_count(
     """Global triangle count over an undirected edge relation — the
     cluster-cohesion measure of a near-dup graph (cliques from true
     duplicate families close their triangles; chains from borderline
-    matches don't). Classic oriented-edge rendering: normalize every
-    edge to (a < b), then count paths (a,b),(b,c) closed by (a,c) —
-    each triangle counted exactly once because its vertices appear in
-    sorted order. Two candidate-sized equi-joins; the quadratic is
-    bounded by the max degree like every pair generator here (skewed
-    hub nodes → salt or cap upstream). Returns one row
+    matches don't). DEGREE-ORDERED orientation (the standard
+    hub-skew-proof rendering): orient every edge from its
+    lower-(degree, id) endpoint to the higher, generate wedges only
+    from each node's OUT-neighbors, and close them with a semi-join
+    against the oriented set. A triangle's three vertices have a
+    unique (degree, id) total order u < v < w, so it is generated
+    exactly once (as the wedge (v, w) at u) — the count is exact —
+    while every node's out-degree is bounded by ~sqrt(2m), bounding
+    total wedges to O(m^1.5) REGARDLESS of hub skew (a star graph
+    produces zero wedges instead of O(deg²)). Three candidate-sized
+    equi-joins + one node-sized degree aggregate. Returns one row
     ``(n_nodes, n_edges, n_triangles)``."""
-    # lazy checkpoint: the oriented edge set is referenced FIVE times
-    # (three join sides + both census aggregates); without truncation
-    # each reference re-executes the whole upstream pair generator
-    # (minhash pipeline in the near-dup query — measured 7 s for a
-    # 2 s graph)
+    # lazy checkpoint: the edge set feeds the degree aggregate, the
+    # orientation join and the census; the oriented set is referenced
+    # three times (two wedge sides + the closure semi-join) — without
+    # truncation each reference re-executes the whole upstream pair
+    # generator (minhash pipeline in the near-dup query — measured 7 s
+    # for a 2 s graph)
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -153,19 +213,40 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ab = e.select(F.col("a"), F.col("b"))
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    wedges = ab.join(bc, "b")
-    tri = wedges.join(
-        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "left_semi"
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
-    nodes = e.select(F.col("a").alias("n")).unionByName(
-        e.select(F.col("b").alias("n"))
-    ).distinct()
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("__da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("__db")), "b")
+    # a < b lexically (normalized above), so on a degree tie a wins the
+    # (degree, id) order — a_first collapses to __da <= __db
+    a_first = F.col("__da") <= F.col("__db")
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__ddst"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("__ddst").alias("__dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("__ddst").alias("__dw"))
+    # pair out-neighbors in (degree, id) order so each unordered pair
+    # appears once, oriented the same way the closing edge v→w is
+    wedges = o1.join(o2, "src").where(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
     return (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )

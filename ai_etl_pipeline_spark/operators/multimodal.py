@@ -17,12 +17,17 @@ real and tested. Decoding:
 - **GIF (87a/89a, first frame, non-interlaced) is REAL**: stdlib-only
   header/extension walk + variable-width LZW decode + palette channel
   stats — :func:`decode_gif`.
-- JPEG (and video codecs) remain stubbed (no codec libraries in this
-  container) behind ``decode_stub``: deterministic fake features
-  derived from the bytes, or ``NotImplementedError`` in strict mode.
-  Swapping in a real decoder means replacing ONE pandas function; the
-  distributed plan is unchanged (the WAV/BMP/PNG/GIF paths demonstrate
-  exactly that swap).
+- **baseline JPEG (sequential DCT, 8-bit, unsubsampled) is REAL**:
+  stdlib-only segment walk + canonical Huffman decode + dequant +
+  float IDCT + BT.601 color convert, with restart-interval support —
+  :func:`decode_jpeg`. Progressive/arithmetic/subsampled variants
+  raise ``ValueError`` (honest scope).
+- Video codecs remain stubbed (no codec libraries in this container)
+  behind ``decode_stub``: deterministic fake features derived from the
+  bytes, or ``NotImplementedError`` in strict mode. Swapping in a real
+  decoder means replacing ONE pandas function; the distributed plan is
+  unchanged (the WAV/BMP/PNG/GIF/JPEG paths demonstrate exactly that
+  swap).
 """
 
 from __future__ import annotations
@@ -578,6 +583,450 @@ def encode_gif_rgb24(
     return header + bytes(ct) + img + bytes((mcs,)) + bytes(sub) + b"\x3b"
 
 
+# --- baseline JPEG (ITU-T T.81 Annex F sequential DCT, stdlib-only) ---
+
+# standard zigzag scan: position k in the entropy stream -> raster index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K typical luminance Huffman tables (public spec constants)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_idct_table() -> list[list[float]]:
+    """8x8 IDCT basis: table[u][x] = C(u)/2 * cos((2x+1) u pi / 16)."""
+    import math
+
+    return [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (code_length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, code_length)."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_decode_map(bits, vals).items()
+    }
+
+
+def is_jpeg(content: bytes | None) -> bool:
+    """SOI magic check (FF D8 FF) — the cheap per-row dispatch."""
+    return (
+        content is not None
+        and len(content) >= 3
+        and bytes(content[:3]) == b"\xff\xd8\xff"
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and RSTn handling (byte-aligned reset)."""
+
+    def __init__(self, raw: bytes, pos: int) -> None:
+        self.raw, self.pos, self.acc, self.nbits = raw, pos, 0, 0
+
+    def _next_byte(self) -> int:
+        raw = self.raw
+        while True:
+            if self.pos >= len(raw):
+                raise ValueError("truncated JPEG entropy stream")
+            b = raw[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            marker = raw[self.pos] if self.pos < len(raw) else 0xD9
+            if marker == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a real marker (EOI / RSTn / next segment): signal up
+            self.pos -= 1
+            raise _JpegMarker(marker)
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc, self.nbits = self._next_byte(), 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_past_rst(self) -> None:
+        """Consume a byte-aligned RSTn marker and reset bit state."""
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.raw)
+            and self.raw[self.pos] == 0xFF
+            and 0xD0 <= self.raw[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RST marker in JPEG entropy stream")
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude code to its signed value."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """REAL stdlib-only baseline JPEG decode (ITU-T T.81 sequential
+    DCT, 8-bit, Huffman): segment walk (DQT/DHT/SOF0/DRI/SOS), MCU
+    Huffman decode with DC prediction + restart intervals, dequantize,
+    float 2D IDCT, level shift, and for 3-component images the
+    BT.601 YCbCr->RGB convert. Supported: grayscale or 3-component
+    with NO chroma subsampling (all sampling factors 1x1) —
+    progressive (SOF2), arithmetic coding and subsampled scans raise
+    ``ValueError`` (honest scope; callers dispatch with
+    :func:`is_jpeg`). Returns header fields plus exact channel means
+    over the declared (cropped) width x height."""
+    import struct
+
+    if not is_jpeg(content):
+        raise ValueError("not a JPEG payload")
+    raw = bytes(content)
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    restart_interval = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_table, ac_table)
+    sos_pos = -1
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack_from(">H", raw, pos + 2)[0]
+        seg = raw[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {precision}")
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if any(h != 1 or v != 1 for _, h, v, _ in comps):
+                raise ValueError("chroma-subsampled JPEG unsupported (1x1 only)")
+            if len(comps) not in (1, 3):
+                raise ValueError(f"unsupported component count {len(comps)}")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(i for i, t in enumerate(comps) if t[0] == cs)
+                scan.append((idx, tables >> 4, tables & 15))
+            sos_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sos_pos < 0 or not comps or width <= 0 or height <= 0:
+        raise ValueError("malformed JPEG: missing SOF/SOS")
+
+    idct = _jpeg_idct_table()
+    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+    planes = [
+        [[0] * (mcus_x * 8) for _ in range(mcus_y * 8)] for _ in range(len(comps))
+    ]
+    reader = _JpegBitReader(raw, sos_pos)
+
+    def decode_huff(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    def decode_block(dc_t: int, ac_t: int, q: list[int]) -> list[float]:
+        coefs = [0] * 64
+        s = decode_huff(huff[(0, dc_t)])
+        diff = _jpeg_extend(reader.read_bits(s), s)
+        coefs[0] = diff  # caller adds predictor
+        k = 1
+        while k < 64:
+            rs = decode_huff(huff[(1, ac_t)])
+            r, s = rs >> 4, rs & 15
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            coefs[k] = _jpeg_extend(reader.read_bits(s), s)
+            k += 1
+        return coefs
+
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_past_rst()
+                preds = [0] * len(comps)
+            for ci, dc_t, ac_t in scan:
+                q = qt[comps[ci][3]]
+                try:
+                    z = decode_block(dc_t, ac_t, q)
+                except _JpegMarker as m:
+                    raise ValueError(f"unexpected marker {m.marker:#x} in scan")
+                preds[ci] += z[0]
+                block = [0.0] * 64
+                block[0] = preds[ci] * q[0]
+                for k in range(1, 64):
+                    if z[k]:
+                        block[_JPEG_ZIGZAG[k]] = z[k] * q[k]
+                # separable 2D IDCT: rows then columns
+                tmp = [0.0] * 64
+                for y in range(8):
+                    row = block[8 * y : 8 * y + 8]
+                    for x in range(8):
+                        tmp[8 * y + x] = sum(row[u] * idct[u][x] for u in range(8))
+                plane = planes[ci]
+                for x in range(8):
+                    col = [tmp[8 * v + x] for v in range(8)]
+                    for y in range(8):
+                        val = sum(col[v] * idct[v][y] for v in range(8))
+                        p = int(round(val + 128.0))
+                        plane[my * 8 + y][mx * 8 + x] = (
+                            0 if p < 0 else 255 if p > 255 else p
+                        )
+            mcu_count += 1
+
+    n = width * height
+    if len(comps) == 1:
+        g = planes[0]
+        total = sum(sum(g[y][x] for x in range(width)) for y in range(height))
+        mean = round(total / n, 3)
+        return {
+            "width": width,
+            "height": height,
+            "bpp": 8,
+            "n_pixels": n,
+            "mean_r": mean,
+            "mean_g": mean,
+            "mean_b": mean,
+        }
+    ypl, cb, cr = planes
+    sum_r = sum_g = sum_b = 0
+    for y in range(height):
+        for x in range(width):
+            yy, pb, pr = ypl[y][x], cb[y][x] - 128, cr[y][x] - 128
+            r = int(round(yy + 1.402 * pr))
+            g = int(round(yy - 0.344136 * pb - 0.714136 * pr))
+            b = int(round(yy + 1.772 * pb))
+            sum_r += 0 if r < 0 else 255 if r > 255 else r
+            sum_g += 0 if g < 0 else 255 if g > 255 else g
+            sum_b += 0 if b < 0 else 255 if b > 255 else b
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 24,
+        "n_pixels": n,
+        "mean_r": round(sum_r / n, 3),
+        "mean_g": round(sum_g / n, 3),
+        "mean_b": round(sum_b / n, 3),
+    }
+
+
+def encode_jpeg_gray8(
+    width: int,
+    height: int,
+    rows: list[list[int]],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Stdlib baseline-JPEG writer (tests + synthetic corpora):
+    grayscale 8-bit sequential, Annex K luminance Huffman tables,
+    float FDCT, optional restart interval. With the default all-ones
+    quantization table an image whose every 8x8 block is CONSTANT
+    round-trips BIT-EXACTLY through :func:`decode_jpeg` (a constant
+    block's DCT is a lone integer DC coefficient), which is what makes
+    a closed-form oracle possible for a lossy format. Width/height must
+    be multiples of 8. Inverse of :func:`decode_jpeg` on that domain."""
+    import math
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_gray8: dimensions must be multiples of 8")
+    q = quant if quant is not None else [1] * 64
+    dc_enc = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    cosx = [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+    cu = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zq = bytes(q[_JPEG_ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zq  # DQT (zigzag order)
+    out += b"\xff\xc0" + struct.pack(  # SOF0: 8-bit, 1 component, 1x1
+        ">HBHHBBBB", 11, 8, height, width, 1, 1, 0x11, 0
+    )
+    for tc, bits, vals in ((0, _JPEG_DC_BITS, _JPEG_DC_VALS), (1, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 63, 0)  # SOS
+
+    body = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc = nbits = 0
+
+    def flush(pad: bool) -> None:
+        nonlocal acc, nbits
+        if pad and nbits:
+            acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+            body.append(acc)
+            if acc == 0xFF:
+                body.append(0x00)
+            acc = nbits = 0
+
+    pred = 0
+    mcu_count = 0
+    rst = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                flush(pad=True)
+                body += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = 0
+            block = [
+                [rows[by * 8 + y][bx * 8 + x] - 128 for x in range(8)]
+                for y in range(8)
+            ]
+            coefs = [0] * 64
+            for v in range(8):
+                for u in range(8):
+                    s = sum(
+                        block[y][x] * cosx[u][x] * cosx[v][y]
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                    val = 0.25 * cu[u] * cu[v] * s
+                    coefs[8 * v + u] = int(round(val / q[8 * v + u]))
+            dc_diff = coefs[0] - pred
+            pred = coefs[0]
+            s = dc_diff.bit_length() if dc_diff >= 0 else (-dc_diff).bit_length()
+            code, length = dc_enc[s]
+            put(code, length)
+            if s:
+                bits_val = dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1
+                put(bits_val, s)
+            zz = [coefs[_JPEG_ZIGZAG[k]] for k in range(64)]
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_enc[0xF0]
+                    put(code, length)
+                    run -= 16
+                v = zz[k]
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                code, length = ac_enc[(run << 4) | s]
+                put(code, length)
+                bits_val = v if v >= 0 else v + (1 << s) - 1
+                put(bits_val, s)
+                run = 0
+            if run:
+                code, length = ac_enc[0x00]  # EOB
+                put(code, length)
+            mcu_count += 1
+    flush(pad=True)
+    return bytes(out) + bytes(body) + b"\xff\xd9"
+
+
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -608,6 +1057,8 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
                     decode = decode_png
                 elif is_gif(content):
                     decode = decode_gif
+                elif is_jpeg(content):
+                    decode = decode_jpeg
                 else:
                     continue
                 try:
@@ -702,8 +1153,8 @@ def decode_media(content: bytes, kind: str, dim: int = 8, strict: bool = False) 
         ]
         feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
         return [round(x, 6) for x in feats]
-    if is_bmp(content):
-        d = decode_bmp(content)
+    if is_bmp(content) or is_jpeg(content):
+        d = decode_bmp(content) if is_bmp(content) else decode_jpeg(content)
         feats = [
             float(d["width"]),
             float(d["height"]),

@@ -627,3 +627,56 @@ def join_strategy_report(
         F.round(bigger_max / bigger_rows, 6).alias("max_key_share"),
         rec.alias("recommendation"),
     )
+
+
+def auto_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    broadcast_rows: int = 1_000_000,
+    skew_frac: float = 0.2,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Strategy-applying join: runs :func:`join_strategy_report` (two
+    single-pass aggregates, ONE one-row driver collect — the bounded
+    scalar kind) and executes its recommendation instead of just
+    printing it:
+
+    - ``broadcast_right`` / ``broadcast_left`` → broadcast-hinted
+      equi-join (the hint side is the one under ``broadcast_rows``);
+    - ``salt_or_aqe_skew`` → :func:`salted_join` with the BIGGER side
+      as the salted probe (the smaller side is replicated
+      ``salt_buckets``×); inner joins only on this branch — skewed
+      outer joins should go through AQE's skew handling instead;
+    - ``shuffle_hash_or_sort_merge`` → plain equi-join (Catalyst/AQE
+      pick the physical strategy).
+
+    Result is EXACTLY the plain ``left.join(right, key, how)`` on
+    every branch — only the physical plan differs. The two stats
+    passes read each side once; at 100 TB that cost is the point (a
+    mis-planned shuffle join costs far more than two map-side
+    aggregates), and callers with known shapes call the specific
+    operator directly."""
+    rep = join_strategy_report(
+        left, right, key, broadcast_rows=broadcast_rows, skew_frac=skew_frac
+    ).collect()[0]
+    rec = rep["recommendation"]
+    if rec == "broadcast_right":
+        return left.join(F.broadcast(right), key, how)
+    if rec == "broadcast_left":
+        return F.broadcast(left).join(right, key, how)
+    if rec == "salt_or_aqe_skew":
+        if how != "inner":
+            raise ValueError(
+                f"auto_join: salted branch supports inner joins only, got {how!r}"
+            )
+        if rep["right_rows"] > rep["left_rows"]:
+            # salt the bigger (right) side; restore the caller's
+            # column order after the swap
+            cols = [c for c in left.columns] + [
+                c for c in right.columns if c != key
+            ]
+            return salted_join(right, left, key, "inner", salt_buckets).select(*cols)
+        return salted_join(left, right, key, "inner", salt_buckets)
+    return left.join(right, key, how)

@@ -1214,7 +1214,10 @@ def canonicalize_url(
     remaining parameter order. Path case, trailing slashes and
     parameter VALUES are deliberately untouched — those can change the
     resource. Pure regexp/array chain, scan speed, dialect-portable
-    (no lookaround), non-URL rows pass through with scheme/host empty."""
+    (no lookaround). Scheme-less rows (relative paths, plain text —
+    anything without ``scheme://``) pass through UNCHANGED except the
+    fragment strip: host-lowering and param-stripping only make sense
+    once the string is known to be an absolute URL."""
     u = F.regexp_replace(F.col(url_col), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(
@@ -1240,4 +1243,4 @@ def canonicalize_url(
         path,
         F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
     )
-    return df.withColumn(out_col, canon)
+    return df.withColumn(out_col, F.when(scheme != "", canon).otherwise(u))

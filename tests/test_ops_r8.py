@@ -1,0 +1,245 @@
+"""Round-8 operators: directed PageRank (dangling sinks), degree-ordered
+triangle orientation, strategy-applying auto_join, table_diff NULL
+encoding + duplicate-key guard, scheme-less URL passthrough."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ai_etl_pipeline_spark.operators import cdc, graph, relational, textstats
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_directed_emits_pure_sink_nodes(spark):
+    # c has only in-edges: it must appear in the output, with degree 0
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    rows = {
+        r["node"]: r
+        for r in graph.pagerank(e, symmetric=False, iterations=4).collect()
+    }
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["c"]["degree"] == 0
+    # the sink accumulates the most rank (everything flows into c)
+    assert rows["c"]["rank"] > rows["a"]["rank"]
+    assert rows["c"]["rank"] > rows["b"]["rank"]
+
+
+def test_pagerank_directed_redistributes_dangling_mass(spark):
+    # two-node chain a->b: without redistribution b's inflow mass would
+    # leak every iteration and total rank would collapse toward the
+    # teleport floor; with uniform redistribution the total stays near
+    # n*base (integer truncation drift only)
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    out = graph.pagerank(e, symmetric=False, iterations=8, base=1_000_000)
+    total = out.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 2_000_000) < 2_000_000 * 0.01
+
+
+def test_pagerank_directed_equals_symmetric_on_symmetric_edges(spark):
+    # feeding an explicitly symmetrized edge set through the directed
+    # mode must reproduce the symmetric mode exactly (no sinks exist,
+    # the dangling term is zero)
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    both = base + [(d, s) for s, d in base]
+    e_sym = spark.createDataFrame(base, ["src", "dst"])
+    e_dir = spark.createDataFrame(both, ["src", "dst"])
+    sym = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e_sym, symmetric=True, iterations=5).collect()
+    }
+    direct = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e_dir, symmetric=False, iterations=5).collect()
+    }
+    assert sym == direct
+
+
+# ---------------------------------------------------------------- triangles
+
+def test_triangle_count_star_graph_zero(spark):
+    # a pure hub: O(deg^2) wedges under id-ordering, ZERO under degree
+    # ordering — and zero triangles either way
+    e = spark.createDataFrame([("h", f"s{i}") for i in range(20)], ["src", "dst"])
+    row = graph.triangle_count(e).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (21, 20, 0)
+
+
+def test_triangle_count_hub_with_closures(spark):
+    # hub + 3 spokes + 2 spoke-spoke edges -> exactly 2 triangles
+    e = spark.createDataFrame(
+        [("h", "s0"), ("h", "s1"), ("h", "s2"), ("s0", "s1"), ("s1", "s2")],
+        ["src", "dst"],
+    )
+    row = graph.triangle_count(e).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 5, 2)
+
+
+def test_triangle_count_k4_and_duplicate_edges(spark):
+    # K4 has 4 triangles; duplicate + reversed edges must not change it
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    noisy = edges + [(y, x) for x, y in edges] + edges
+    e = spark.createDataFrame(noisy, ["src", "dst"])
+    row = graph.triangle_count(e).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+# ---------------------------------------------------------------- auto_join
+
+def _plain(left, right, key):
+    return sorted(
+        tuple(r) for r in left.join(right, key).collect()
+    )
+
+
+def test_auto_join_broadcast_branch_matches_plain_join(spark):
+    left = spark.createDataFrame([(i, i % 7) for i in range(200)], ["k", "x"])
+    right = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+    out = relational.auto_join(left, right, "k")  # right under the budget
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in out.collect()) == _plain(left, right, "k")
+
+
+def test_auto_join_salted_branch_matches_plain_join(spark):
+    # both sides over the (tiny) budget; one key owns >20% of the left
+    left = spark.createDataFrame(
+        [(1, i) for i in range(60)] + [(i, i) for i in range(2, 42)], ["k", "x"]
+    )
+    right = spark.createDataFrame([(i, f"v{i}") for i in range(1, 42)], ["k", "v"])
+    out = relational.auto_join(left, right, "k", broadcast_rows=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the salted composite key reached the join
+    assert sorted(tuple(r) for r in out.collect()) == _plain(left, right, "k")
+    with pytest.raises(ValueError):
+        relational.auto_join(left, right, "k", how="left", broadcast_rows=10)
+
+
+def test_auto_join_salts_the_bigger_side_and_restores_columns(spark):
+    # skew on the RIGHT side: auto_join swaps, salts, and restores the
+    # caller's column order
+    left = spark.createDataFrame([(i, f"v{i}") for i in range(1, 42)], ["k", "v"])
+    right = spark.createDataFrame(
+        [(1, i) for i in range(60)] + [(i, i) for i in range(2, 42)], ["k", "x"]
+    )
+    out = relational.auto_join(left, right, "k", broadcast_rows=10)
+    assert out.columns == ["k", "v", "x"]
+    assert sorted(tuple(r) for r in out.collect()) == _plain(left, right, "k")
+
+
+def test_auto_join_shuffle_branch_no_broadcast(spark):
+    left = spark.createDataFrame([(i % 40, i) for i in range(120)], ["k", "x"])
+    right = spark.createDataFrame([(i, f"v{i}") for i in range(40)], ["k", "v"])
+    out = relational.auto_join(left, right, "k", broadcast_rows=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(tuple(r) for r in out.collect()) == _plain(left, right, "k")
+
+
+# ---------------------------------------------------------------- table_diff
+
+def test_table_diff_null_vs_sentinel_string_is_changed(spark):
+    # the round-7 encoding hashed NULL as '<NULL>': a cell changing
+    # between SQL NULL and the literal string '<NULL>' was classified
+    # unchanged. The flag-byte encoding distinguishes them.
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "<NULL>"), (2, "x")], "k int, v string")
+    status = {
+        r["k"]: r["diff_status"]
+        for r in cdc.table_diff(old, new, ["k"]).collect()
+    }
+    assert status == {1: "changed", 2: "unchanged"}
+
+
+def test_table_diff_null_shift_between_columns_is_changed(spark):
+    # ('a', NULL) vs (NULL, 'a') must hash differently
+    old = spark.createDataFrame([(1, "a", None)], "k int, u string, v string")
+    new = spark.createDataFrame([(1, None, "a")], "k int, u string, v string")
+    out = cdc.table_diff(old, new, ["k"]).collect()
+    assert out[0]["diff_status"] == "changed"
+
+
+def test_table_diff_check_unique_raises_on_duplicate_keys(spark):
+    old = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    new = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate key"):
+        cdc.table_diff(old, new, ["k"], check_unique=True).collect()
+    # unique snapshots pass through the guard untouched
+    ok = cdc.table_diff(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        spark.createDataFrame([(1, "a"), (2, "c")], "k int, v string"),
+        ["k"],
+        check_unique=True,
+    ).collect()
+    assert {r["k"]: r["diff_status"] for r in ok} == {1: "unchanged", 2: "changed"}
+
+
+# ------------------------------------------------------------ canonicalize_url
+
+def test_canonicalize_url_schemeless_passthrough(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "relative/Path?utm_source=x&id=3#frag"),
+            (2, "just some text"),
+            (3, "HTTP://Host.Example.COM:80/P?utm_medium=m&a=1#x"),
+        ],
+        ["k", "url"],
+    )
+    out = {
+        r["k"]: r["canon_url"]
+        for r in textstats.canonicalize_url(df, "url").collect()
+    }
+    # scheme-less rows pass through minus the fragment — NOT '://...'
+    assert out[1] == "relative/Path?utm_source=x&id=3"
+    assert out[2] == "just some text"
+    assert out[3] == "http://host.example.com/P?a=1"
+
+
+# ---------------------------------------------------------------- JPEG
+
+def test_jpeg_roundtrip_block_constant_exact():
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    w, h = 16, 16
+    rows = [[(37 * (x // 8) + 91 * (y // 8) + 5) % 256 for x in range(w)] for y in range(h)]
+    enc = mm.encode_jpeg_gray8(w, h, rows)
+    assert mm.is_jpeg(enc) and not mm.is_png(enc) and not mm.is_gif(enc)
+    d = mm.decode_jpeg(enc)
+    exp = round(sum(map(sum, rows)) / (w * h), 3)
+    assert (d["width"], d["height"], d["bpp"], d["n_pixels"]) == (w, h, 8, 256)
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"] == exp
+
+
+def test_jpeg_lossy_content_close_and_restart_identical():
+    import random
+
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    random.seed(7)
+    rows = [[random.randrange(256) for _ in range(24)] for _ in range(16)]
+    q = [16] * 64
+    plain = mm.decode_jpeg(mm.encode_jpeg_gray8(24, 16, rows, quant=q))
+    true_mean = sum(map(sum, rows)) / (24 * 16)
+    assert abs(plain["mean_r"] - true_mean) < 8  # quantization error bound
+    # restart markers reset DC prediction but must not change pixels
+    rst = mm.decode_jpeg(
+        mm.encode_jpeg_gray8(24, 16, rows, quant=q, restart_interval=2)
+    )
+    assert rst == plain
+
+
+def test_jpeg_decoder_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    enc = bytearray(mm.encode_jpeg_gray8(8, 8, [[1] * 8 for _ in range(8)]))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg(bytes(enc))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        mm.decode_jpeg(b"\x00\x01\x02")

@@ -454,3 +454,19 @@ def test_checkpointed_curation_matches_lazy_composition(spark, documents, tmp_pa
         for r in run_curation_pipeline_checkpointed(documents, root).collect()
     }
     assert got1 == expected and got2 == expected and len(expected) > 0
+
+
+def test_curation_scale_plan_has_no_exact_percentile(spark, sf_dir):
+    """The 100 TB-profile pipeline (q_pipeline_curation_scale's
+    _curation_scale composite) must be PURE sketch: no exact Percentile
+    aggregate (one reducer sees every value) and no exact distinct over
+    the corpus — GK percentile_approx and HLL sketches only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = entrymod._curation_scale(docs)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # exact percentile renders as `percentile(...)`; the sketch as
+    # `percentile_approx(...)` — strip approx mentions, then assert
+    cleaned = plan.replace("percentile_approx", "<gk>")
+    assert "percentile(" not in cleaned.lower()
+    assert "<gk>" in cleaned  # the sketch path is actually in the plan
+    assert "hllsketchagg" in plan.lower() or "hll_sketch_agg" in plan.lower()

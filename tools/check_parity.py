@@ -18,6 +18,13 @@ stringified list cells, which hid exactly the two driver failures):
   unification.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --artifact PATH [sf_dir] [query ...]
+
+``--artifact PATH`` additionally writes every result line to PATH via a
+dedicated file handle. Round-7 lesson: capturing stdout loses lines —
+Spark progress bars interleave carriage returns into the same stream,
+so a shell redirect of this script's output ate 8 of 192 PASS lines.
+The artifact handle never shares a stream with Spark.
 """
 
 from __future__ import annotations
@@ -55,8 +62,21 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    artifact = None
+    if "--artifact" in argv:
+        i = argv.index("--artifact")
+        artifact = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    art_fh = open(artifact, "w") if artifact else None
+
+    def emit(line: str) -> None:
+        print(line)
+        if art_fh is not None:
+            art_fh.write(line.rstrip("\n") + "\n")
+            art_fh.flush()
 
     spark = get_session("parity-check")
     con = duckdb.connect()
@@ -66,16 +86,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_checked = 0
+    unknown = sorted(only - set(qs))
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            emit(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
             # Rows-only queries still go through the driver's pandas
@@ -87,10 +110,10 @@ def main() -> int:
                 frame_signature(spark_pdf)
             except (TypeError, ValueError) as e:
                 failures.append(name)
-                print(f"FAIL {name}: rows-only result not canonicalizable "
+                emit(f"FAIL {name}: rows-only result not canonicalizable "
                       f"(driver would crash): {type(e).__name__}: {e}")
                 continue
-            print(
+            emit(
                 f"okay {name}: rows-only ({len(spark_pdf)} rows, "
                 f"{time.time()-t0:.1f}s)"
             )
@@ -99,41 +122,47 @@ def main() -> int:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            emit(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         try:
             sc, sv = frame_signature(spark_pdf)
         except (TypeError, ValueError) as e:
             failures.append(name)
-            print(f"FAIL {name}: spark result not canonicalizable "
+            emit(f"FAIL {name}: spark result not canonicalizable "
                   f"(driver would crash): {e}")
             continue
         try:
             dc, dv = frame_signature(duck_pdf)
         except (TypeError, ValueError) as e:
             failures.append(name)
-            print(f"FAIL {name}: oracle result not canonicalizable "
+            emit(f"FAIL {name}: oracle result not canonicalizable "
                   f"(driver would crash): {e}")
             continue
         if sc != dc:
             failures.append(name)
-            print(f"FAIL {name}: columns differ\n  spark={sc}\n  duck ={dc}")
+            emit(f"FAIL {name}: columns differ\n  spark={sc}\n  duck ={dc}")
             continue
         if len(sv) != len(dv):
             failures.append(name)
-            print(f"FAIL {name}: row count spark={len(sv)} duck={len(dv)}")
+            emit(f"FAIL {name}: row count spark={len(sv)} duck={len(dv)}")
             continue
         if sv != dv:
             failures.append(name)
             bad = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs:")
+            emit(f"FAIL {name}: values differ; first diffs:")
             for a, b in bad:
                 print(f"  spark={a}\n  duck ={b}")
             continue
-        print(f"PASS {name} ({len(sv)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(failures)} failures / {len(only) if only else len(qs)} checked")
+        emit(f"PASS {name} ({len(sv)} rows, {time.time()-t0:.1f}s)")
+    for name in unknown:
+        failures.append(name)
+        emit(f"FAIL {name}: not in the registry")
+    print()
+    emit(f"{len(failures)} failures / {n_checked} checked")
     if failures:
-        print("failed:", " ".join(failures))
+        emit("failed: " + " ".join(failures))
+    if art_fh is not None:
+        art_fh.close()
     return 1 if failures else 0
 
 

@@ -122,6 +122,8 @@ ALL_OPS = (
     "containment", "entity", "bm25",
     # round-7: the new fixed-iteration graph operator
     "pagerank",
+    # round-8: degree-ordered triangle census growth curve
+    "triangles",
 )
 
 
@@ -272,6 +274,30 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         release_shuffles(spark)
         out["pagerank_sec"], out["pagerank_nodes"] = t_pr, n_pr
 
+    if "triangles" in ops:
+        # deterministic circulant graph over the doc ids (i—i+1, i—i+2
+        # mod n): every node closes triangle (i, i+1, i+2), so triangle
+        # count is EXACTLY n, edges 2n, max degree 4 — growth measures
+        # the wedge join + closure semi-join, not a densifying graph
+        n_nodes = docs.selectExpr("max(doc_id) + 1 as m").first()["m"]
+        ids = docs.select("doc_id")
+        tri_edges = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % n_nodes).alias("dst"),
+        ).unionByName(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") + 2) % n_nodes).alias("dst"),
+            )
+        )
+        from ai_etl_pipeline_spark.operators import graph
+
+        t_tri, n_tri = timed(
+            lambda: graph.triangle_count(tri_edges).first()["n_triangles"]
+        )
+        release_shuffles(spark)
+        out["triangles_sec"], out["triangles_found"] = t_tri, n_tri
+
     if "bm25" in ops:
         # fixed 3-term query from the base vocabulary (every doc has
         # hits, so the in-row tf expressions and the one corpus-stats
@@ -350,7 +376,7 @@ def main() -> None:
         for op_key in (
             "minhash_sec", "clusters_sec", "incremental_sec",
             "bucketed_probe_sec", "containment_sec", "entity_sec",
-            "bm25_sec", "pagerank_sec",
+            "bm25_sec", "pagerank_sec", "triangles_sec",
         ):
             if op_key in sa and op_key in sb:
                 r[op_key.replace("_sec", "_time_growth")] = round(

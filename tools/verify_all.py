@@ -46,6 +46,29 @@ FULL_STEP = (
     r"^0 failures / \d+ checked",
 )
 
+ARTIFACT = "PARITY_sf001.txt"
+
+
+def check_artifact(path: str) -> tuple[bool, str]:
+    """The artifact must be COMPLETE: one result line per checked query
+    plus the summary, and the counts must agree (round-7 lesson: a
+    stdout redirect silently lost 8 of 192 PASS lines)."""
+    with open(path) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    summary = next(
+        (ln for ln in lines if re.match(r"^\d+ failures / \d+ checked", ln)), None
+    )
+    if summary is None:
+        return False, f"{path}: no summary line"
+    n_checked = int(re.match(r"^\d+ failures / (\d+) checked", summary).group(1))
+    results = [ln for ln in lines if re.match(r"^(PASS|FAIL|okay)", ln)]
+    if len(results) != n_checked:
+        return False, (
+            f"{path}: {len(results)} result lines != {n_checked} checked — "
+            "artifact truncated"
+        )
+    return True, f"{path}: complete ({len(results)} result lines = checked count)"
+
 
 def run_step(name: str, cmd: list[str], ok_pattern: str) -> tuple[bool, str, str]:
     proc = subprocess.run(cmd, capture_output=True, text=True)
@@ -70,18 +93,18 @@ def main() -> int:
     steps = list(STEPS) + ([FULL_STEP] if full else [])
     failures = 0
     for name, cmd, pat in steps:
+        if write_artifact and name == "parity sf0.01":
+            # the parity script writes the artifact ITSELF through a
+            # dedicated file handle — never recovered from captured
+            # stdout, where Spark progress-bar \r characters eat lines
+            cmd = cmd[:2] + ["--artifact", ARTIFACT] + cmd[2:]
         ok, detail, out = run_step(name, cmd, pat)
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}")
         failures += 0 if ok else 1
         if ok and write_artifact and name == "parity sf0.01":
-            lines = [
-                ln
-                for ln in out.splitlines()
-                if re.match(r"^(PASS|FAIL|okay|\d+ failures|failed)", ln)
-            ]
-            with open("PARITY_sf001.txt", "w") as fh:
-                fh.write("\n".join(lines) + "\n")
-            print("      artifact: PARITY_sf001.txt refreshed")
+            art_ok, art_detail = check_artifact(ARTIFACT)
+            print(f"{'PASS' if art_ok else 'FAIL'}  artifact: {art_detail}")
+            failures += 0 if art_ok else 1
     print("OVERALL:", "PASS" if failures == 0 else f"FAIL ({failures} steps)")
     return 1 if failures else 0
 
