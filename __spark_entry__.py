@@ -2638,6 +2638,125 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
 """
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup match graph by fixed-depth iterative
+    peeling (k_core, 4 rounds): chains and stars of borderline matches
+    peel away, genuine duplicate cliques survive — the density filter
+    that complements the triangle census. Each round is one edge-sized
+    semi-join + one node-sized degree aggregate, all lazy; the oracle
+    unrolls the same 4 peel rounds as MATERIALIZED CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    return graph.k_core(pairs, 2, "id_a", "id_b", iterations=4)
+
+
+def _kcore_sql(k: int = 2, iterations: int = 4) -> str:
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""k{i} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT a AS n FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+    ) GROUP BY n
+  ) WHERE d >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i - 1}
+  WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH p AS ({_minhash_sql()}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM p WHERE id_a <> id_b
+),
+{chain}
+SELECT node, degree FROM (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e{iterations}
+    UNION ALL SELECT b FROM e{iterations}
+  ) GROUP BY node
+) WHERE degree >= {k}
+"""
+
+
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the token stream: per-SOURCE
+    sketches (the ingest-time fine tier) merged cell-wise into one
+    global sketch, point-queried for the exact global top-20 tokens.
+    Because the bucket hash is the portable md5 60-bit int, the sketch
+    AND its estimates are bit-reproducible in DuckDB — a frequency
+    sketch under the FULL hash gate (vs the tolerance flags HLL/GK
+    need). ``overestimates`` asserts the CMS one-sided guarantee."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    sketch = distinct.countmin_rollup(
+        toks, ["source"], [], "token", depth=4, width=2048
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = distinct.countmin_estimate(
+        sketch, exact.select("token"), "token", depth=4, width=2048
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("overestimates"),
+        )
+    )
+
+
+_AGG_HEAVY_HITTERS_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+exact AS MATERIALIZED (
+  SELECT token, count(*) AS exact_count
+  FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token
+  LIMIT 20
+),
+cells AS MATERIALIZED (
+  SELECT j.range AS j,
+         CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_' || token), 1, 15)
+              AS BIGINT) % 2048 AS bucket,
+         count(*) AS cnt
+  FROM toks, range(0, 4) j
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT e.token, e.exact_count, j.range AS j,
+         CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_' || e.token), 1, 15)
+              AS BIGINT) % 2048 AS bucket
+  FROM exact e, range(0, 4) j
+),
+est AS (
+  SELECT token, exact_count,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN cells c USING (j, bucket)
+  GROUP BY token, exact_count
+)
+SELECT token, exact_count, est_count,
+       est_count >= exact_count AS overestimates
+FROM est
+"""
+
+
 def q_join_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join diagnosis for lineitem ⋈ orders: per-side row /
     distinct-key / heaviest-key stats from two single-pass aggregates
@@ -7024,6 +7143,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
     #     block-constant fixtures; closed-form oracle) ---
     "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
+    # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
+    "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
+    "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
+    # --- round-8 AFFECTED by the JPEG dispatch added to
+    #     extract_image_features / decode_media — stay in-window ---
+    "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
+    "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
+    "q_media_gif_decode": (q_media_gif_decode, _MEDIA_BMP_SQL),
+    "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
     #     duplication matrix, Matryoshka truncation ---
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
@@ -7066,13 +7194,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     # --- driver-unverified in r1: sampling + curation ---
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
-    # --- round-7: media decoders affected by the GIF dispatch change;
-    #     q_media_gif_decode is NEW (stdlib LZW decode, closed-form oracle) ---
-    "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
-    "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
-    # --- round-7 NEW: real stdlib GIF decode (LZW; same closed-form
-    #     oracle) ---
-    "q_media_gif_decode": (q_media_gif_decode, _MEDIA_BMP_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
@@ -7080,8 +7201,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
     "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
     "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
-    # --- driver-unverified in r1: multimodal ---
-    "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     # --- round-6 NEW: real stdlib PNG decode (same oracle closed form,

@@ -295,3 +295,94 @@ def histogram(
         )
         .select("bin", "bin_lo", "bin_hi", "n_rows")
     )
+
+
+def countmin_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Mergeable count-min sketch rollup — the frequency twin of
+    :func:`hll_sketch_rollup`: one CMS per FINE group, coarse groups
+    produced by SUMMING the fine sketches cell-wise, never re-scanning
+    the raw items. The sketch is stored RELATIONALLY as
+    ``(keys..., j, bucket, cnt)`` with at most ``depth*width`` rows per
+    group: merging is a plain groupBy-sum (associative, commutative,
+    partition-order-free), estimates are ``min_j cnt[j][h_j(item)]``
+    via :func:`countmin_estimate` — the standard one-sided (>= true
+    count) guarantee with overestimate bound n/width per row.
+
+    Hashes are the PORTABLE md5-based 60-bit int (``h_j(x) =
+    md5_i64(j || '_' || x) % width``), so unlike most sketches this one
+    is bit-reproducible across engines — the DuckDB oracle replays the
+    sketch AND the estimates exactly, no tolerance flag needed.
+
+    The 100 TB shape: per-source daily sketches are computed once at
+    ingest (bounded size regardless of corpus), and any coarser
+    frequency view — weekly, per-source, global — is a sum of sketch
+    cells; candidate items for heavy-hitter reports come from exact
+    per-group top-k over bounded groups or an external watchlist,
+    point-queried against the merged sketch."""
+    from ai_etl_pipeline_spark.functions.portable import md5_i64
+
+    missing = [k for k in coarse_keys if k not in fine_keys]
+    if missing:
+        raise ValueError(f"countmin_rollup: coarse keys {missing} not in fine keys")
+    if depth < 1 or width < 2:
+        raise ValueError(f"countmin_rollup: need depth>=1, width>=2")
+    rows = df.select(
+        *fine_keys,
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("j"),
+        F.col(item_col).alias("__item"),
+    )
+    bucket = (
+        md5_i64(
+            F.concat(F.col("j").cast("string"), F.lit("_"), F.col("__item").cast("string"))
+        )
+        % F.lit(width)
+    ).alias("bucket")
+    fine = rows.select(*fine_keys, "j", bucket).groupBy(
+        *fine_keys, "j", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grouped = (
+        fine.groupBy(*coarse_keys, "j", "bucket")
+        if coarse_keys
+        else fine.groupBy("j", "bucket")
+    )
+    return grouped.agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query a :func:`countmin_rollup` sketch (must be rolled up
+    to a single group, i.e. empty ``coarse_keys``) for every row of
+    ``items``: estimate = ``min_j cnt[j][h_j(item)]`` with absent cells
+    counting as 0. Candidate-sized join against the bounded sketch —
+    the probe side explodes ``depth`` rows per item, the sketch side is
+    at most ``depth*width`` rows (broadcastable)."""
+    from ai_etl_pipeline_spark.functions.portable import md5_i64
+
+    probes = items.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        md5_i64(
+            F.concat(F.col("j").cast("string"), F.lit("_"), F.col(item_col).cast("string"))
+        )
+        % F.lit(width),
+    )
+    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count")
+    )

@@ -180,6 +180,68 @@ def pagerank(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected
+    edge relation: repeatedly drop nodes whose degree (within the
+    surviving subgraph) is below ``k``. The density filter of a
+    near-dup match graph — chains and stars peel away, genuine
+    duplicate cliques survive — and the classic cheap preconditioner
+    before clique-ish analyses (every triangle lives in the 2-core).
+
+    ``iterations`` is a FIXED peel count, not a convergence probe: the
+    whole computation stays one lazy plan (no driver actions), each
+    round is one edge-sized semi-join pass + one node-sized degree
+    aggregate, and the DuckDB oracle can unroll the same rounds. Each
+    round removes every node currently under-degree, so ``iterations``
+    bounds the peel DEPTH (longest chain of cascading removals), which
+    is tiny for real graphs; if the fixpoint needs more rounds the
+    result is a (documented) superset — callers verify with one extra
+    round if they need a proof of convergence.
+
+    Returns ``(node, degree)`` for surviving nodes — degree within the
+    surviving subgraph."""
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(f"k_core: iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive_e = e
+    for _ in range(iterations):
+        deg = (
+            alive_e.select(F.col("a").alias("n"))
+            .unionByName(alive_e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n").localCheckpoint(eager=False)
+        alive_e = (
+            alive_e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final_deg = (
+        alive_e.select(F.col("a").alias("node"))
+        .unionByName(alive_e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg.where(F.col("degree") >= k)
+
+
 def triangle_count(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -152,6 +152,13 @@ HEADLINE = [
     "q_events_transitions",
     "q_graph_triangles",
     "q_join_strategy_report",
+    # round-8 additions
+    "q_graph_pagerank_directed",
+    "q_join_auto",
+    "q_pipeline_curation_scale",
+    "q_media_jpeg_decode",
+    "q_graph_kcore",
+    "q_agg_heavy_hitters",
 ]
 
 

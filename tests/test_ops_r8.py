@@ -243,3 +243,59 @@ def test_jpeg_decoder_rejects_unsupported_variants():
         mm.decode_jpeg(bytes(enc))
     with _pytest.raises(ValueError, match="not a JPEG"):
         mm.decode_jpeg(b"\x00\x01\x02")
+
+
+# ---------------------------------------------------------------- k-core
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    # triangle (a,b,c) + a pendant chain c-d-e: the 2-core is exactly
+    # the triangle; the chain peels away over two rounds
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    from ai_etl_pipeline_spark.operators import graph
+
+    rows = {r["node"]: r["degree"] for r in graph.k_core(e, 2, iterations=4).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+    # 3-core of the same graph is empty
+    assert graph.k_core(e, 3, iterations=4).count() == 0
+
+
+def test_k_core_star_is_empty_at_k2(spark):
+    from ai_etl_pipeline_spark.operators import graph
+
+    e = spark.createDataFrame([("h", f"s{i}") for i in range(10)], ["src", "dst"])
+    assert graph.k_core(e, 2, iterations=3).count() == 0
+
+
+# ---------------------------------------------------------------- count-min
+
+def test_countmin_rollup_merge_equals_direct_and_overestimates(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dst
+
+    rows = [("s1", f"t{i % 7}") for i in range(70)] + [
+        ("s2", f"t{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["source", "item"])
+    # merging per-source sketches must equal sketching globally
+    merged = dst.countmin_rollup(df, ["source"], [], "item", depth=3, width=64)
+    direct = dst.countmin_rollup(df, [], [], "item", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # estimates are exact here (few distinct items, wide sketch) and
+    # never underestimate by construction
+    items = df.select("item").distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in dst.countmin_estimate(merged, items, "item", depth=3, width=64).collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= v for k, v in exact.items())
+    assert est == exact  # no collisions at 10 items / 64 buckets... deterministic hash
+    # absent item probes 0
+    ghost = spark.createDataFrame([("zzz",)], ["item"])
+    g = dst.countmin_estimate(merged, ghost, "item", depth=3, width=64).collect()
+    assert g[0]["est_count"] == 0
