@@ -3860,6 +3860,160 @@ _PROFILE_LINEITEM_SQL = (
 )
 
 
+def q_validate_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: pre-1998 lineitem
+    prices (reference) vs later shipments (current), binned on the
+    reference's exact deciles — the distribution-drift report every
+    ingest pipeline runs between snapshots. Two bounded aggregates +
+    one 10-row join; the oracle replays binning, eps-floored shares
+    and the integer-scaled PSI total."""
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.where(F.col("l_shipdate") < "1998-01-01").select("l_extendedprice")
+    cur = li.where(F.col("l_shipdate") >= "1998-01-01").select("l_extendedprice")
+    return validate.population_stability(ref, cur, "l_extendedprice", n_bins=10)
+
+
+_VALIDATE_PSI_SQL = """
+WITH ref AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+cur AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+cuts AS (
+  SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+  FROM ref WHERE v IS NOT NULL
+),
+rb AS (
+  SELECT CAST(len(list_filter(c, x -> CAST(v AS DOUBLE) > x)) AS INTEGER) AS bin,
+         count(*) AS n_ref
+  FROM ref CROSS JOIN cuts WHERE v IS NOT NULL GROUP BY 1
+),
+cb AS (
+  SELECT CAST(len(list_filter(c, x -> CAST(v AS DOUBLE) > x)) AS INTEGER) AS bin,
+         count(*) AS n_cur
+  FROM cur CROSS JOIN cuts WHERE v IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb USING (bin)
+),
+t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         round(n_ref / tr, 6) AS ref_share,
+         round(n_cur / tc, 6) AS cur_share,
+         round((greatest(n_ref / tr, 1e-6) - greatest(n_cur / tc, 1e-6))
+               * ln(greatest(n_ref / tr, 1e-6) / greatest(n_cur / tc, 1e-6)), 4)
+           AS psi_term
+  FROM j CROSS JOIN t
+)
+SELECT bin, n_ref, n_cur, ref_share, cur_share, psi_term,
+       (SELECT CAST(sum(CAST(round(psi_term * 10000) AS BIGINT)) AS BIGINT)
+        FROM terms) / 10000.0 AS psi_total
+FROM terms
+"""
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-priced join: the exact row count of the many-to-many
+    customer⋈supplier join on nationkey, next to the count-min INNER
+    PRODUCT estimate computed from two bounded sketches that never
+    touch each other's corpus — how a planner prices a fact-fact join
+    at 100 TB before committing to its shuffle. Portable bucket hash →
+    the sketch arithmetic is replayed exactly by the oracle;
+    ``overestimates`` asserts the CMS one-sided bound."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("k")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("string").alias("k")
+    )
+    sa = distinct.countmin_rollup(cust, [], [], "k", depth=4, width=512)
+    sb = distinct.countmin_rollup(supp, [], [], "k", depth=4, width=512)
+    est = distinct.countmin_inner_product(sa, sb)
+    exact = cust.join(supp, "k").agg(
+        F.count(F.lit(1)).alias("exact_join_rows")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("overestimates"),
+    )
+
+
+_JOIN_SIZE_ESTIMATE_SQL = """
+WITH ck AS (SELECT CAST(c_nationkey AS VARCHAR) AS k FROM customer),
+sk AS (SELECT CAST(s_nationkey AS VARCHAR) AS k FROM supplier),
+ca AS (
+  SELECT j.range AS j,
+         CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_' || k), 1, 15)
+              AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM ck, range(0, 4) j GROUP BY 1, 2
+),
+cb AS (
+  SELECT j.range AS j,
+         CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_' || k), 1, 15)
+              AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM sk, range(0, 4) j GROUP BY 1, 2
+),
+dots AS (
+  SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+  GROUP BY ca.j
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_rows FROM dots),
+ex AS (SELECT count(*) AS exact_join_rows FROM ck JOIN sk USING (k))
+SELECT est_join_rows, exact_join_rows,
+       est_join_rows >= exact_join_rows AS overestimates
+FROM est CROSS JOIN ex
+"""
+
+
+def q_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the trade graph: suppliers linked by
+    shared HIGH-VOLUME customers (co-purchase weight = number of
+    customers who bought >= 48 units from both) — the
+    related-entities view a recommender builds from any
+    user-item relation. Sparse edge set (quantity filter) -> one
+    customer-keyed self-join -> bounded pair aggregate, top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.where(F.col("l_quantity") >= 48)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    e1 = edges.alias("__e1")
+    e2 = edges.alias("__e2")
+    pairs = (
+        e1.join(e2, F.col("__e1.cust") == F.col("__e2.cust"))
+        .where(F.col("__e1.supp") < F.col("__e2.supp"))
+        .groupBy(
+            F.col("__e1.supp").alias("supp_a"),
+            F.col("__e2.supp").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+    )
+    return pairs.orderBy(
+        F.col("shared_customers").desc(), F.col("supp_a"), F.col("supp_b")
+    ).limit(20)
+
+
+_GRAPH_COPURCHASE_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_quantity >= 48
+)
+SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS shared_customers
+FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+GROUP BY 1, 2
+ORDER BY shared_customers DESC, supp_a, supp_b
+LIMIT 20
+"""
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders: five rules
     (not-null, unique, range, accepted set, regex) compiled into ONE
@@ -7146,6 +7300,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
     "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
+    # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
+    #     co-purchase projection ---
+    "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
+    "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
+    "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),

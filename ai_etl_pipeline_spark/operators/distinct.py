@@ -386,3 +386,26 @@ def countmin_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count")
     )
+
+
+def countmin_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join SIZE estimate from two :func:`countmin_rollup`
+    sketches (each rolled to a single group): the classic CMS inner
+    product ``min_j Σ_b cntA[j][b] * cntB[j][b]`` — an upper bound on
+    ``Σ_key fA(key) * fB(key)``, which IS the exact row count of the
+    inner equi-join on that key. This is the join-planning use of the
+    sketch: both sides' sketches are bounded (depth*width cells), built
+    map-side at ingest and mergeable across batches, so a planner (see
+    ``relational.join_strategy_report``) can price a fact-fact join
+    WITHOUT touching either corpus at plan time. One bounded join +
+    one scalar aggregate; returns one row ``(est_join_rows)``."""
+    a = sketch_a.select("j", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("j", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    return per_row.agg(F.min("__dot").cast("bigint").alias("est_join_rows"))

@@ -133,3 +133,78 @@ def enforce(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         detail = ", ".join(f"{r['rule']}={r['n_violations']}" for r in failed)
         raise ValueError(f"data-quality expectations failed: {detail}")
     return df
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of one numeric column — the standard distribution-drift
+    monitor (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift).
+    Bin edges are the REFERENCE's exact ``n_bins``-quantiles, applied
+    to both sides in-row (``size(filter(cuts, c -> x > c))`` — the
+    quantile_bins idiom), so the report is two bounded aggregates + one
+    bin-keyed outer join: each corpus is scanned once, the join carries
+    ``n_bins`` rows. Zero shares are floored at ``eps`` (the standard
+    PSI convention — ln(p/q) must stay finite when a bin empties out).
+
+    Returns one row per bin: ``(bin, n_ref, n_cur, ref_share,
+    cur_share, psi_term, psi_total)`` with shares at 6dp and PSI terms
+    at 4dp (ln is the one libm call here; rounding absorbs engine
+    low-bit differences)."""
+    if n_bins < 2:
+        raise ValueError(f"population_stability: n_bins must be >= 2, got {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.where(F.col(col).isNotNull()).agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        with_cuts = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(cuts))
+        idx = F.size(
+            F.filter("__cuts", lambda c: F.col(col).cast("double") > c)
+        ).alias("bin")
+        return with_cuts.select(idx).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    joined = r.join(c, "bin", "full_outer").select(
+        F.col("bin"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    with_t = joined.crossJoin(F.broadcast(totals))
+    p = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps))
+    term = F.round((p - q) * F.log(p / q), 4)
+    from pyspark.sql import Window as _W
+
+    out = with_t.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("n_ref") / F.col("__tr"), 6).alias("ref_share"),
+        F.round(F.col("n_cur") / F.col("__tc"), 6).alias("cur_share"),
+        term.alias("psi_term"),
+    )
+    # total from INTEGER-scaled terms: summing rounded doubles is
+    # accumulation-order-dependent in the low bits; summing bigints is
+    # exact and engine-order-free
+    return out.withColumn(
+        "psi_total",
+        (
+            F.sum(F.round(F.col("psi_term") * 10000).cast("bigint")).over(
+                _W.partitionBy(F.lit(1))
+            )
+            / 10000.0
+        ),
+    )

@@ -159,6 +159,9 @@ HEADLINE = [
     "q_media_jpeg_decode",
     "q_graph_kcore",
     "q_agg_heavy_hitters",
+    "q_validate_psi",
+    "q_join_size_estimate",
+    "q_graph_copurchase",
 ]
 
 

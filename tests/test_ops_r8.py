@@ -299,3 +299,39 @@ def test_countmin_rollup_merge_equals_direct_and_overestimates(spark):
     ghost = spark.createDataFrame([("zzz",)], ["item"])
     g = dst.countmin_estimate(merged, ghost, "item", depth=3, width=64).collect()
     assert g[0]["est_count"] == 0
+
+
+# ------------------------------------------------------------ PSI / CMS dot
+
+def test_population_stability_identical_distributions_zero(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    out = validate.population_stability(df, df, "v", n_bins=5).collect()
+    assert len(out) == 5
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert out[0]["psi_total"] == 0.0
+    # each decile bin holds ~1/5 of the rows
+    assert all(abs(r["ref_share"] - 0.2) < 0.05 for r in out)
+
+
+def test_population_stability_detects_shift(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    cur = spark.createDataFrame([(float(i) + 60,) for i in range(1, 101)], ["v"])
+    out = validate.population_stability(ref, cur, "v", n_bins=5).collect()
+    assert out[0]["psi_total"] > 0.25  # major drift
+
+
+def test_countmin_inner_product_bounds_join_size(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dst
+
+    a = spark.createDataFrame([(str(i % 5),) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(str(i % 3),) for i in range(30)], ["k"])
+    sa = dst.countmin_rollup(a, [], [], "k", depth=4, width=256)
+    sb = dst.countmin_rollup(b, [], [], "k", depth=4, width=256)
+    est = dst.countmin_inner_product(sa, sb).collect()[0]["est_join_rows"]
+    exact = a.join(b, "k").count()
+    assert est >= exact
+    assert est <= exact * 2  # wide sketch, tiny key space: near-exact
