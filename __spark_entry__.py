@@ -3860,6 +3860,49 @@ _PROFILE_LINEITEM_SQL = (
 )
 
 
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap of the mean line price: 16
+    replicates in ONE pass (explode × deterministic hash-Poisson(1)
+    weights, integer-cents aggregation), the scalable rendering of
+    resample-with-replacement — no RNG state, engines agree bit-for-
+    bit, so every replicate mean is under the full hash gate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("rid"),
+        "l_extendedprice",
+    )
+    return sampling.poisson_bootstrap(li, "rid", "l_extendedprice", n_boot=16)
+
+
+_SAMPLE_BOOTSTRAP_SQL = """
+WITH rep AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rid,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         j.range AS boot_id
+  FROM lineitem, range(0, 16) j
+),
+wts AS (
+  SELECT boot_id, cents,
+         CASE WHEN b < 367879 THEN 0 WHEN b < 735758 THEN 1 WHEN b < 919698 THEN 2
+              WHEN b < 981011 THEN 3 WHEN b < 996340 THEN 4 WHEN b < 999406 THEN 5
+              ELSE 6 END AS w
+  FROM (
+    SELECT boot_id, cents,
+           CAST('0x' || substr(md5('boot|' || rid || '|' || CAST(boot_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 1000000 AS b
+    FROM rep
+  )
+)
+SELECT CAST(boot_id AS INTEGER) AS boot_id,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round((CAST(sum(w * cents) AS BIGINT) / CAST(sum(w) AS BIGINT)) / 100.0, 4)
+         AS mean_value
+FROM wts WHERE w > 0
+GROUP BY boot_id
+"""
+
+
 def q_validate_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor: pre-1998 lineitem
     prices (reference) vs later shipments (current), binned on the
@@ -7278,7 +7321,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
     # --- round-7 NEW wave 2: ORC interchange, quality-aware dedup winner,
     #     k-fold assignment, source interleave, quantile binning ---
-    "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
     "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
     "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
     "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
@@ -7305,6 +7347,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
+    "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -7353,6 +7396,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     # --- driver-unverified in r1: sampling + curation ---
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
+    # rotated out of the window in r8 (r7-green, code unchanged)
+    "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),

@@ -383,3 +383,64 @@ def hash_ring_negatives(
         .groupBy("anchor", "negative", *([strata_col] if strata_col else []))
         .agg(F.min("ring_offset").alias("ring_offset"))
     )
+
+
+# cumulative Poisson(1) CDF thresholds scaled to the 1e6 bucket space:
+# weight w is the smallest k with bucket < cdf[k]*1e6 (capped at 6 —
+# P(X > 6) ~ 1e-4, and capping keeps replicate sizes bounded)
+_POISSON1_CDF_1E6 = (367879, 735758, 919698, 981011, 996340, 999406)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Distributed bootstrap via deterministic Poisson(1) resampling —
+    THE scalable bootstrap: a true resample-with-replacement needs
+    global coordination, but for large n the multinomial replicate
+    counts converge to independent Poisson(1) weights, which are a pure
+    per-(row, replicate) expression. Each row contributes weight
+    ``w ~ Poisson(1)`` (inverse-CDF over the salted md5 hash uniform,
+    capped at 6) to each of ``n_boot`` replicates; one explode + one
+    bounded aggregate gives every replicate's mean in a single pass —
+    no RNG state, same replicates on every engine/partitioning (the
+    DuckDB oracle replays them exactly).
+
+    Values are aggregated in integer CENTS (``round(value*100)``) so
+    each replicate mean is a ratio of exact integers — double
+    accumulation order never reaches the result. Returns one row per
+    replicate: ``(boot_id, n_eff, mean_value)`` with ``n_eff`` the
+    total weight and ``mean_value`` rounded to 4dp. Bootstrap CI =
+    quantiles of ``mean_value`` over replicates."""
+    if n_boot < 1:
+        raise ValueError(f"poisson_bootstrap: n_boot must be >= 1, got {n_boot}")
+    rep = df.select(
+        F.col(id_col).alias("__id"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("__cents"),
+        F.explode(F.array(*[F.lit(j) for j in range(n_boot)])).alias("boot_id"),
+    )
+    bucket = md5_i64(
+        F.concat(
+            F.lit(f"{salt}|"),
+            F.col("__id").cast("string"),
+            F.lit("|"),
+            F.col("boot_id").cast("string"),
+        )
+    ) % F.lit(_M)
+    w = F.lit(len(_POISSON1_CDF_1E6))
+    for k in range(len(_POISSON1_CDF_1E6) - 1, -1, -1):
+        w = F.when(bucket < _POISSON1_CDF_1E6[k], F.lit(k)).otherwise(w)
+    weighted = rep.withColumn("__w", w.cast("bigint")).where(F.col("__w") > 0)
+    return (
+        weighted.groupBy("boot_id")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            F.round(
+                (F.sum(F.col("__w") * F.col("__cents")) / F.sum("__w")) / 100.0, 4
+            ).alias("mean_value"),
+        )
+        .select("boot_id", "n_eff", "mean_value")
+    )

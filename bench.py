@@ -162,6 +162,7 @@ HEADLINE = [
     "q_validate_psi",
     "q_join_size_estimate",
     "q_graph_copurchase",
+    "q_sample_bootstrap",
 ]
 
 

@@ -335,3 +335,26 @@ def test_countmin_inner_product_bounds_join_size(spark):
     exact = a.join(b, "k").count()
     assert est >= exact
     assert est <= exact * 2  # wide sketch, tiny key space: near-exact
+
+
+# ---------------------------------------------------------------- bootstrap
+
+def test_poisson_bootstrap_deterministic_and_near_truth(spark):
+    from ai_etl_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 50)) for i in range(2000)], ["rid", "v"]
+    )
+    a = sorted(map(tuple, sampling.poisson_bootstrap(df, "rid", "v", 8).collect()))
+    b = sorted(map(tuple, sampling.poisson_bootstrap(df, "rid", "v", 8).collect()))
+    assert a == b and len(a) == 8  # deterministic, one row per replicate
+    true_mean = 100.0 + sum(i % 50 for i in range(2000)) / 2000
+    means = [r[2] for r in a]
+    # every replicate mean lands near the truth (Poisson(1) weights,
+    # n=2000 -> se ~ sd/sqrt(n) ~ 0.3; allow 5 se)
+    assert all(abs(m - true_mean) < 2.0 for m in means)
+    # replicate sizes concentrate around n
+    sizes = [r[1] for r in a]
+    assert all(abs(s - 2000) < 300 for s in sizes)
+    # replicates genuinely differ (it's a resample, not a copy)
+    assert len(set(means)) > 1
