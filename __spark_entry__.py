@@ -4571,6 +4571,57 @@ WHERE h.doc_id IS NULL
 """
 
 
+def q_decontaminate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED contamination score (the calibrated sibling of the binary
+    q_decontaminate gate): per corpus doc, the fraction of its distinct
+    8-gram set shared with the 5% hash-sampled benchmark — 1.0 for the
+    benchmark members themselves, 0 for clean docs, in between for
+    partial quotes. Benchmark grams broadcast; denominators are the
+    in-row gram-array sizes (corpus never shuffled)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = sampling.hash_sample(docs, "doc_id", 0.05, salt="bench")
+    return dedup.contamination_score(docs, bench, "doc_id", "text", n=8)
+
+
+_DECONTAMINATE_SCORE_SQL = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        FROM tokarr WHERE len(ts) >= 8)
+  UNION
+  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+  FROM tokarr WHERE len(ts) < 8 AND array_to_string(ts, ' ') <> ''
+),
+bench_grams AS (
+  SELECT DISTINCT shingle FROM grams
+  WHERE CAST('0x' || substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1000000 < 50000
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_shared
+  FROM grams g JOIN bench_grams b USING (shingle) GROUP BY g.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_grams, 6)
+            ELSE 0.0 END AS contaminated_frac,
+       (CASE WHEN coalesce(s.n_grams, 0) > 0
+             THEN round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_grams, 6)
+             ELSE 0.0 END) <= 0.1 AS keep
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile — the statistics a mixing decision
     reads: doc count, total tokens, exact vocabulary, mean and median
@@ -5934,6 +5985,87 @@ r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
 FROM r{_PR_ITERS} r LEFT JOIN deg ON deg.src = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
+def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (seed-restricted teleport): which entities
+    sit closest to nation-0's suppliers in the trade graph — the
+    related-entity retrieval mode (seeds get the entire teleport mass,
+    ``(100-d)·base·n div n_seeds`` each, integer micro-units, so the
+    fixed iterations stay bit-exact). Oracle unrolls the same
+    iterations with the seed CASE term. Top-20, ties by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = sup.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        seeds=seeds,
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_personalized_sql() -> str:
+    tp = (100 - _PR_DAMP) * _PR_BASE
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(((CASE WHEN sd.node IS NOT NULL THEN tele.t ELSE 0 END)
+               + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  CROSS JOIN tele
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS incoming
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH base_edges AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM base_edges
+  UNION
+  SELECT dst, src FROM base_edges
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_nationkey = 0
+  INTERSECT
+  SELECT node FROM nodes
+),
+tele AS (
+  SELECT CAST({tp} AS BIGINT) * (SELECT count(*) FROM nodes)
+         // (SELECT count(*) FROM seeds) AS t
+),
+r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
+FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7321,8 +7453,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
     # --- round-7 NEW wave 2: ORC interchange, quality-aware dedup winner,
     #     k-fold assignment, source interleave, quantile binning ---
-    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
-    "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
     "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
@@ -7348,6 +7478,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
+    "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
+    "q_graph_pagerank_personalized": (
+        q_graph_pagerank_personalized,
+        _pagerank_personalized_sql(),
+    ),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -7398,6 +7533,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # rotated out of the window in r8 (r7-green, code unchanged)
     "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
+    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
+    "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),

@@ -581,6 +581,41 @@ def benchmark_ngram_hits(
     )
 
 
+def contamination_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_fraction: float = 0.1,
+) -> DataFrame:
+    """GRADED benchmark contamination — the score between
+    :func:`benchmark_ngram_hits` (count only) and :func:`decontaminate`
+    (binary drop): per doc, the FRACTION of its distinct token
+    ``n``-grams that appear in the benchmark set, for every corpus doc
+    (0.0 when clean). A single shared boilerplate phrase should not
+    cost a long document (the binary gate drops it); a short doc that
+    IS a benchmark answer scores ~1. Same scale shape as the binary
+    gate — benchmark grams broadcast, hits candidate-sized — plus the
+    in-row denominator scan (:func:`_doc_gram_sizes`; the corpus is
+    never shuffled). Returns ``(id, n_grams, n_shared,
+    contaminated_frac, keep)`` with ``keep = frac <= max_fraction``."""
+    hits = benchmark_ngram_hits(corpus, benchmark, id_col, text_col, n)
+    sizes = _doc_gram_sizes(corpus, id_col, text_col, n)
+    joined = sizes.join(hits, id_col, "left")
+    shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).cast("bigint")
+    frac = F.when(
+        F.col("sz") > 0, F.round(shared / F.col("sz"), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        F.col("sz").alias("n_grams"),
+        shared.alias("n_shared"),
+        frac.alias("contaminated_frac"),
+        (frac <= F.lit(max_fraction)).alias("keep"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

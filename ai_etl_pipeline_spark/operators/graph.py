@@ -40,6 +40,7 @@ def pagerank(
     base: int = 1_000_000,
     symmetric: bool = True,
     checkpoint_every: int | None = 6,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Damped random-walk centrality over an edge relation: fixed
     ``iterations`` of ``rank'(u) = ((100 - d)·base + d·(Σ_{v→u}
@@ -58,6 +59,15 @@ def pagerank(
     the standard dangling-node treatment, kept in integer units so the
     iteration stays bit-exact and oracle-matchable).
 
+    ``seeds`` (a one-column frame of node ids) switches to PERSONALIZED
+    PageRank: the teleport mass — ``(100-d)·base·n_nodes`` per
+    iteration, the same total the uniform mode spreads — lands entirely
+    on the seed set (``div n_seeds`` each), so ranks measure proximity
+    TO THE SEEDS along the graph (related-entity retrieval). Seeds not
+    present in the edge set are ignored; symmetric mode only (directed
+    PPR would also need seed-directed dangling handling — compose
+    explicitly if needed).
+
     Node set = all edge endpoints; ranks start at ``base`` each.
     Returns ``(node, rank, degree)`` — rank in micro-units, degree =
     out-degree (0 for pure sinks in directed mode).
@@ -72,6 +82,8 @@ def pagerank(
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"pagerank: damping_pct must be in [1, 99], got {damping_pct}")
+    if seeds is not None and not symmetric:
+        raise ValueError("pagerank: seeds (personalized mode) requires symmetric=True")
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
     if symmetric:
         e = e.unionByName(
@@ -122,6 +134,31 @@ def pagerank(
             nodes.join(deg, nodes["__node"] == deg["__src"], "left_anti")
             .localCheckpoint(eager=False)
         )
+    if seeds is not None:
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("__node"))
+            .distinct()
+            .join(nodes, "__node", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        # per-seed teleport = (100-d)·base·n_nodes div n_seeds — the
+        # SAME total mass the uniform mode spreads, concentrated on the
+        # seeds; one scalar frame, broadcast into every iteration.
+        # (Empty/disjoint seed sets fail loudly on the div-by-zero.)
+        seed_tele = (
+            nodes.agg(F.count("*").cast("bigint").alias("__n"))
+            .crossJoin(
+                F.broadcast(
+                    seed_nodes.agg(F.count("*").cast("bigint").alias("__s"))
+                )
+            )
+            .select(
+                F.expr(
+                    f"cast({(100 - damping_pct) * base} as bigint) * __n div __s"
+                ).alias("__tele")
+            )
+            .localCheckpoint(eager=False)
+        )
     ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     for it in range(iterations):
@@ -137,7 +174,22 @@ def pagerank(
             .agg(F.sum("__contrib").alias("__incoming"))
         )
         new_ranks = nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
-        if symmetric:
+        if symmetric and seeds is not None:
+            ranks = (
+                new_ranks.join(
+                    seed_nodes.withColumn("__is_seed", F.lit(1)), "__node", "left"
+                )
+                .crossJoin(F.broadcast(seed_tele))
+                .select(
+                    F.col("__node"),
+                    F.expr(
+                        "(coalesce(__is_seed, 0) * __tele + "
+                        f"{damping_pct} * "
+                        "coalesce(__incoming, cast(0 as bigint))) div 100"
+                    ).alias("__rank"),
+                )
+            )
+        elif symmetric:
             ranks = new_ranks.select(
                 F.col("__node"),
                 F.expr(

@@ -358,3 +358,51 @@ def test_poisson_bootstrap_deterministic_and_near_truth(spark):
     assert all(abs(s - 2000) < 300 for s in sizes)
     # replicates genuinely differ (it's a resample, not a copy)
     assert len(set(means)) > 1
+
+
+# ------------------------------------------------------- PPR / contamination
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from ai_etl_pipeline_spark.operators import graph
+
+    # path graph a-b-c-d-e, seed at a: mass concentrates at the seed
+    # END of the path and decays beyond the seed's neighborhood (b may
+    # legitimately outrank the degree-1 seed a itself — it receives
+    # ALL of a's walk mass — so the monotone claim starts at b)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    rows = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e, iterations=8, seeds=seeds).collect()
+    }
+    assert rows["b"] > rows["c"] > rows["d"] > rows["e"]
+    assert min(rows["a"], rows["b"]) > max(rows["d"], rows["e"])
+    # total mass conserved near n*base (integer truncation only)
+    assert abs(sum(rows.values()) - 5_000_000) < 5_000_000 * 0.01
+    with pytest.raises(ValueError, match="symmetric"):
+        graph.pagerank(e, symmetric=False, seeds=seeds)
+
+
+def test_contamination_score_grades_partial_overlap(spark):
+    from ai_etl_pipeline_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),      # contains the benchmark 8-gram
+            (2, "z y x w v u t s r q p o"),      # clean
+            (3, "a b c d e f g h"),              # IS the benchmark doc
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(99, "a b c d e f g h")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_score(corpus, bench, n=8, max_fraction=0.5).collect()
+    }
+    assert out[3]["contaminated_frac"] == 1.0 and not out[3]["keep"]
+    assert out[2]["contaminated_frac"] == 0.0 and out[2]["keep"]
+    # doc 1 has 5 8-grams, exactly 1 shared
+    assert out[1]["n_grams"] == 5 and out[1]["n_shared"] == 1
+    assert out[1]["contaminated_frac"] == 0.2 and out[1]["keep"]
