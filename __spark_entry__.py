@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_etl_pipeline_spark.functions.portable import md5_i64_sql, tokens_col
+from ai_etl_pipeline_spark.functions.portable import md5_i64, md5_i64_sql, tokens_col
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
 from ai_etl_pipeline_spark.operators import graph, validate
@@ -1921,6 +1921,72 @@ FROM (
 """
 
 
+def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall receipt (r8 verdict task #5): recall@5 of the three
+    approximate tiers (sign-LSH, trained IVF, PQ/ADC) against
+    brute-force ground truth on a HASH-SAMPLED query set (~1/20 of the
+    corpus by md5 — the receipt a 100 TB user runs before trusting an
+    approximate index; the brute-force side is |sample| × corpus).
+    Exact integer ratios (``recall_micro = hits·1e6 div n_truth``), so
+    an approximate-index quality report sits under the FULL hash gate.
+    The oracle replays all four tiers (each already SQL-replayable) on
+    the same sampled query set and re-derives the same integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(
+        md5_i64(F.concat(F.lit("rq|"), F.col("vec_id").cast("string"))) % 20 == 0
+    )
+    exact = similarity.brute_force_knn(emb, qs, k=5)
+    tiers = {
+        "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
+        "ivf": similarity.ivf_knn(
+            emb, qs, k=5, num_centroids=8, nprobe=2, train_iterations=2
+        ),
+        "pq": similarity.pq_knn(emb, qs, k=5, m=4, codebook_k=16, iterations=2),
+    }
+    return similarity.recall_report(exact, tiers)
+
+
+def _knn_recall_report_sql() -> str:
+    """Splice the four existing KNN oracles (exact/LSH/IVF/PQ) as CTEs
+    with the query predicate swapped from the fixed ``vec_id < 5`` set
+    to the report's hash sample, then compute the integer recall rows
+    the way :func:`similarity.recall_report` does."""
+    pred = (
+        "CAST('0x' || substr(md5('rq|' || CAST(q.vec_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 20 = 0"
+    )
+
+    def sub(sql: str) -> str:
+        assert sql.count("q.vec_id < 5") == 1, "query-set predicate moved"
+        return sql.replace("q.vec_id < 5", pred).strip()
+
+    ctes = ",\n".join(
+        f"res_{name} AS (\n{sub(sql)}\n)"
+        for name, sql in [
+            ("exact", _KNN_BF_SQL),
+            ("ivf", _knn_ivf_sql()),
+            ("lsh", _KNN_LSH_SQL),
+            ("pq", _knn_pq_sql()),
+        ]
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS tier,
+       (SELECT count(*) FROM res_exact) AS n_truth,
+       (SELECT count(*) FROM res_{name}) AS n_candidates,
+       (SELECT count(*) FROM res_{name} t
+        WHERE EXISTS (SELECT 1 FROM res_exact e
+                      WHERE e.query_id = t.query_id
+                        AND e.neighbor_id = t.neighbor_id)) AS hits"""
+        for name in ["ivf", "lsh", "pq"]
+    )
+    return f"""
+WITH {ctes}
+SELECT tier, n_truth, n_candidates, hits,
+       hits * 1000000 // n_truth AS recall_micro
+FROM ({rows})
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (operators/textstats.py)
 # ---------------------------------------------------------------------------
@@ -1985,6 +2051,110 @@ SELECT doc_id,
        CAST(l[3] AS INTEGER) AS second_hits,
        CAST(l[4] - l[3] AS INTEGER) AS lang_margin
 FROM s
+"""
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BPE tokenizer training (r8 verdict task #8): learn 8
+    merges over the documents corpus — the corpus compresses to its
+    distinct-word frequency table, then each round is ONE
+    vocabulary-sized pair-count aggregate + a deterministic top-1 pick
+    (count desc, lexical tiebreak) + an in-row greedy rewrite (the
+    unit-separator ``replace`` encoding, left-to-right non-overlapping
+    on both engines). The oracle unrolls the 8 rounds as chained
+    MATERIALIZED CTEs — an iterative TRAINING algorithm under the full
+    hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bpe_train(docs, "text", rounds=8)
+
+
+def _bpe_chain_sql(rounds: int = 8) -> str:
+    """The shared BPE-training CTE chain: w0 (encoded distinct-word
+    frequencies) then per round p{i} (the chosen merge) and w{i} (the
+    rewritten vocabulary)."""
+    s = "\x1f"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""p{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT syms[u.i] AS l, syms[u.i + 1] AS r, cnt
+    FROM (SELECT string_split(trim(enc, '{s}'), '{s}{s}') AS syms, cnt
+          FROM w{i - 1}) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1)) AS i) u
+  ) GROUP BY l, r
+  ORDER BY pair_count DESC, l, r
+  LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT replace(enc, '{s}' || p.l || '{s}{s}' || p.r || '{s}',
+                 '{s}' || p.l || p.r || '{s}') AS enc, cnt
+  FROM w{i - 1} CROSS JOIN p{i} p
+)""")
+    chain = ",\n".join(steps)
+    return f"""w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '{s}\\1{s}', 'g') AS enc, cnt FROM (
+    SELECT token AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ) GROUP BY token
+  )
+),
+{chain}"""
+
+
+def _text_bpe_sql(rounds: int = 8) -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_round, l AS pair_left,"
+        f" r AS pair_right, l || r AS merged, pair_count FROM p{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_bpe_chain_sql(rounds)}
+{finals}
+"""
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-TOKENIZE with the relational BPE pair: the 8 merges
+    learned by ``bpe_train`` applied back to every document (chained
+    greedy ``replace`` passes in ONE projection — no joins, the merge
+    table is the only driver-side payload, 8 rows), reporting per-doc
+    ``n_words / n_chars / n_bpe_tokens`` — the compression receipt a
+    tokenizer buys on its own training corpus. The oracle replays the
+    full train chain AND the 8 chained replaces with scalar
+    subqueries."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textstats.bpe_train(docs, "text", rounds=8)
+    return textstats.bpe_apply(docs, merges, "text", "doc_id")
+
+
+def _text_bpe_tokenize_sql(rounds: int = 8) -> str:
+    s = "\x1f"
+    enc = f"regexp_replace(w, '(.)', '{s}\\1{s}', 'g')"
+    for i in range(1, rounds + 1):
+        enc = (
+            f"replace({enc}, '{s}' || (SELECT l FROM p{i}) || '{s}{s}' || "
+            f"(SELECT r FROM p{i}) || '{s}', '{s}' || (SELECT l FROM p{i}) || "
+            f"(SELECT r FROM p{i}) || '{s}')"
+        )
+    return f"""
+WITH {_bpe_chain_sql(rounds)},
+docw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+),
+encd AS (
+  SELECT doc_id, length(w) AS chars,
+         len(string_split(trim({enc}, '{s}'), '{s}{s}')) AS syms
+  FROM docw
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CAST(sum(syms) AS BIGINT) AS n_bpe_tokens
+FROM encd GROUP BY doc_id
 """
 
 
@@ -2644,7 +2814,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel away, genuine duplicate cliques survive — the density filter
     that complements the triangle census. Each round is one edge-sized
     semi-join + one node-sized degree aggregate, all lazy; the oracle
-    unrolls the same 4 peel rounds as MATERIALIZED CTEs."""
+    unrolls the same 4 peel rounds as MATERIALIZED CTEs, plus the r9
+    convergence-certificate round (``is_converged`` = the extra peel
+    removed nothing)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
@@ -2653,8 +2825,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_sql(k: int = 2, iterations: int = 4) -> str:
+    # the extra round e{iterations+1} is the convergence certificate:
+    # the peel is a monotone contraction, so equal edge counts prove
+    # the fixpoint (same construction the Spark operator broadcasts)
     steps = []
-    for i in range(1, iterations + 1):
+    for i in range(1, iterations + 2):
         steps.append(f"""k{i} AS MATERIALIZED (
   SELECT n FROM (
     SELECT n, count(*) AS d FROM (
@@ -2674,7 +2849,10 @@ e0 AS MATERIALIZED (
   FROM p WHERE id_a <> id_b
 ),
 {chain}
-SELECT node, degree FROM (
+SELECT node, degree,
+       (SELECT count(*) FROM e{iterations}) =
+       (SELECT count(*) FROM e{iterations + 1}) AS is_converged
+FROM (
   SELECT node, count(*) AS degree FROM (
     SELECT a AS node FROM e{iterations}
     UNION ALL SELECT b FROM e{iterations}
@@ -3826,6 +4004,105 @@ FROM cells GROUP BY media_id, wb, hb
 """
 
 
+def q_media_jpeg_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode end-to-end (r8 verdict task
+    #4) — the layout nearly every camera/web photo uses: 16x16 MCUs of
+    4 Y blocks + 1 Cb + 1 Cr at half resolution, replication
+    upsampling, per-component DC predictors, restart interval 3. Made
+    hash-gateable by construction: fixtures are MCU-CONSTANT in YCbCr
+    with an all-ones quantization table (every block a lone integer DC
+    coefficient), so the decode is BIT-EXACT and the oracle recomputes
+    the BT.601 channel means from the closed form in SQL."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                wb, hb = 1 + (i % 2), 1 + (i % 3)
+
+                def yv(mx, my, i=i):
+                    return (i * 7 + mx * 13 + my * 31) % 256
+
+                def cbv(mx, my, i=i):
+                    return (i * 5 + mx * 11 + my * 17) % 256
+
+                def crv(mx, my, i=i):
+                    return (i * 3 + mx * 19 + my * 23) % 256
+
+                w, h = 16 * wb, 16 * hb
+                y_rows = [
+                    [yv(x // 16, y // 16) for x in range(w)] for y in range(h)
+                ]
+                cb_rows = [
+                    [cbv(x // 8, y // 8) for x in range(w // 2)]
+                    for y in range(h // 2)
+                ]
+                cr_rows = [
+                    [crv(x // 8, y // 8) for x in range(w // 2)]
+                    for y in range(h // 2)
+                ]
+                rows.append(
+                    (
+                        i,
+                        multimodal.encode_jpeg_ycbcr420(
+                            w, h, y_rows, cb_rows, cr_rows, restart_interval=3
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_MEDIA_JPEG_420_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+  FROM documents WHERE doc_id < 40
+),
+cells AS (
+  SELECT media_id, wb, hb,
+         (media_id * 7 + gx.range * 13 + gy.range * 31) % 256 AS yv,
+         (media_id * 5 + gx.range * 11 + gy.range * 17) % 256 - 128 AS pb,
+         (media_id * 3 + gx.range * 19 + gy.range * 23) % 256 - 128 AS pr
+  FROM ids, range(0, 2) gx, range(0, 3) gy
+  WHERE gx.range < wb AND gy.range < hb
+),
+rgb AS (
+  SELECT media_id, wb, hb,
+         LEAST(255, GREATEST(0, CAST(round(yv + 1.402 * pr) AS INTEGER))) AS r,
+         LEAST(255, GREATEST(0,
+           CAST(round(yv - 0.344136 * pb - 0.714136 * pr) AS INTEGER))) AS g,
+         LEAST(255, GREATEST(0, CAST(round(yv + 1.772 * pb) AS INTEGER))) AS b
+  FROM cells
+)
+SELECT media_id,
+       CAST(wb * 16 AS BIGINT) AS width,
+       CAST(hb * 16 AS BIGINT) AS height,
+       CAST(wb * hb * 256 AS BIGINT) AS n_pixels,
+       round(avg(r), 3) AS mean_r,
+       round(avg(g), 3) AS mean_g,
+       round(avg(b), 3) AS mean_b
+FROM rgb GROUP BY media_id, wb, hb
+"""
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass numeric profiling of three lineitem measures — the
     statistics half of the data-quality pair: ONE aggregate over the
@@ -3875,31 +4152,45 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.poisson_bootstrap(li, "rid", "l_extendedprice", n_boot=16)
 
 
-_SAMPLE_BOOTSTRAP_SQL = """
-WITH rep AS (
-  SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rid,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-         j.range AS boot_id
-  FROM lineitem, range(0, 16) j
+def _bootstrap_coef_values(salt: str, n: int) -> str:
+    from ai_etl_pipeline_spark.functions.portable import cw_coefficients
+
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(cw_coefficients(salt, n))
+    )
+
+
+# one md5 per row + Carter-Wegman affine replicate uniforms — the
+# oracle replays the r9 plan's math (the SQL still explodes 16x for
+# clarity; values are identical because the weights are pure
+# expressions of (h, boot_id))
+_SAMPLE_BOOTSTRAP_SQL = f"""
+WITH base AS (
+  SELECT CAST('0x' || substr(md5('boot|' || CAST(l_orderkey AS VARCHAR) || '_'
+                              || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2147483647 AS h,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
 ),
+coef(boot_id, a, b) AS (VALUES {_bootstrap_coef_values('boot', 16)}),
 wts AS (
   SELECT boot_id, cents,
          CASE WHEN b < 367879 THEN 0 WHEN b < 735758 THEN 1 WHEN b < 919698 THEN 2
               WHEN b < 981011 THEN 3 WHEN b < 996340 THEN 4 WHEN b < 999406 THEN 5
               ELSE 6 END AS w
   FROM (
-    SELECT boot_id, cents,
-           CAST('0x' || substr(md5('boot|' || rid || '|' || CAST(boot_id AS VARCHAR)),
-                               1, 15) AS BIGINT) % 1000000 AS b
-    FROM rep
+    SELECT coef.boot_id, base.cents,
+           (coef.a * base.h + coef.b) % 2147483647 % 1000000 AS b
+    FROM base CROSS JOIN coef
   )
 )
 SELECT CAST(boot_id AS INTEGER) AS boot_id,
        CAST(sum(w) AS BIGINT) AS n_eff,
        round((CAST(sum(w * cents) AS BIGINT) / CAST(sum(w) AS BIGINT)) / 100.0, 4)
          AS mean_value
-FROM wts WHERE w > 0
+FROM wts
 GROUP BY boot_id
+HAVING sum(w) > 0
 """
 
 
@@ -5992,11 +6283,15 @@ LIMIT 20
 
 def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSONALIZED PageRank (seed-restricted teleport): which entities
-    sit closest to nation-0's suppliers in the trade graph — the
-    related-entity retrieval mode (seeds get the entire teleport mass,
-    ``(100-d)·base·n div n_seeds`` each, integer micro-units, so the
-    fixed iterations stay bit-exact). Oracle unrolls the same
-    iterations with the seed CASE term. Top-20, ties by node id."""
+    sit closest to a fixed supplier cohort (every 5th suppkey — a
+    modulo seed set that is NONEMPTY at every SF, unlike a nation
+    filter, which round 9's regenerated sf0.001 proved can come up
+    empty and trip the operator's documented loud empty-seed failure)
+    in the trade graph — the related-entity retrieval mode (seeds get
+    the entire teleport mass, ``(100-d)·base·n div n_seeds`` each,
+    integer micro-units, so the fixed iterations stay bit-exact).
+    Oracle unrolls the same iterations with the seed CASE term.
+    Top-20, ties by node id."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     sup = _t(spark, sf_dir, "supplier")
@@ -6008,7 +6303,7 @@ def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
-    seeds = sup.where(F.col("s_nationkey") == 0).select(
+    seeds = sup.where(F.col("s_suppkey") % 5 == 0).select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
     )
     pr = graph.pagerank(
@@ -6054,7 +6349,7 @@ deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
 seeds AS MATERIALIZED (
   SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
-  FROM supplier WHERE s_nationkey = 0
+  FROM supplier WHERE s_suppkey % 5 = 0
   INTERSECT
   SELECT node FROM nodes
 ),
@@ -6066,6 +6361,99 @@ r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
 FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
+def q_graph_pagerank_directed_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIRECTED personalized PageRank — the link-graph related-page
+    retrieval mode (r8 verdict task #7): customer→supplier purchase
+    edges (every supplier a genuine sink), teleport restricted to a
+    fixed CUSTOMER cohort (every 5th custkey — modulo seeds stay
+    nonempty under any testdata regeneration, unlike a nation filter),
+    and the per-iteration dangling mass re-entering on the SEED set
+    (``d·Σ_sink rank div n_seeds``, teleport-consistent — a surfer at
+    a dead end restarts at a seed), all in integer micro-units. The
+    oracle unrolls the same iterations with both the seed CASE term
+    and the per-step seed-divided sink scalar — bit-exact, full hash
+    gate. Top-20, ties by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        symmetric=False,
+        seeds=seeds,
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_directed_personalized_sql() -> str:
+    tp = (100 - _PR_DAMP) * _PR_BASE
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        # MATERIALIZED: each level references r{i-1} twice (incoming +
+        # the sink scalar); the sink mass divides by the SEED count
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(((CASE WHEN sd.node IS NOT NULL
+                     THEN tele.t + {_PR_DAMP} * sk.share ELSE 0 END)
+               + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  CROSS JOIN tele
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS incoming
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+  CROSS JOIN (
+    SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) // (SELECT s FROM ns) AS share
+    FROM r{i - 1} r
+    WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node)
+  ) sk
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+  FROM customer WHERE c_custkey % 5 = 0
+  INTERSECT
+  SELECT node FROM nodes
+),
+ns AS (SELECT count(*) AS s FROM seeds),
+tele AS (
+  SELECT CAST({tp} AS BIGINT) * (SELECT count(*) FROM nodes)
+         // (SELECT s FROM ns) AS t
+),
+r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT r.node, r.rank, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
+FROM r{_PR_ITERS} r LEFT JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7433,28 +7821,14 @@ FROM (
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-6 wave 6 NEW: source-level quality gate, OOV rate,
-    #     PQ retrieve-then-rerank ---
-    # --- round-6 wave 4 NEW: BM25 keyword retrieval + hybrid RRF fusion,
-    #     substring-level duplicate-span dedup (Lee et al. 2022) ---
-    "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
-    # --- round-7 NEW: sketch-percentile renderings (removes the last
-    #     one-reducer exact-percentile aggregate from the 100 TB story) ---
-    "q_clean_winsorize_approx": (q_clean_winsorize_approx, _CLEAN_WINSORIZE_APPROX_SQL),
-    "q_quality_quantile_approx": (q_quality_quantile_approx, _QUALITY_QUANTILE_APPROX_SQL),
-    # --- round-7 AFFECTED by the quantile_threshold_filter approx knob ---
-    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
-    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
-    # --- round-7 NEW: remaining TPC-H shapes (Q6/Q7/Q8/Q17/Q19) ---
-    "q_forecast_revenue": (q_forecast_revenue, _FORECAST_REVENUE_SQL),
-    "q_volume_shipping": (q_volume_shipping, _VOLUME_SHIPPING_SQL),
-    "q_market_share": (q_market_share, _MARKET_SHARE_SQL),
-    "q_small_qty_revenue": (q_small_qty_revenue, _SMALL_QTY_REVENUE_SQL),
-    "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
-    # --- round-7 NEW wave 2: ORC interchange, quality-aware dedup winner,
-    #     k-fold assignment, source interleave, quantile binning ---
-    "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
-    "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
+    # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
+    #     refactor (same literals, AST changed) — rotated INTO the window ---
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
+    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
+    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
+    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     # --- round-8 NEW: directed mode with dangling-sink redistribution ---
@@ -7467,8 +7841,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _PIPELINE_CURATION_SCALE_SQL,
     ),
     # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
-    #     block-constant fixtures; closed-form oracle) ---
+    #     block-constant fixtures; closed-form oracle); r9 adds the
+    #     4:2:0 chroma-subsampled path (the real-photo layout) ---
     "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
+    "q_media_jpeg_decode_subsampled": (
+        q_media_jpeg_decode_subsampled,
+        _MEDIA_JPEG_420_SQL,
+    ),
     # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
     "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
@@ -7483,6 +7862,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_graph_pagerank_personalized,
         _pagerank_personalized_sql(),
     ),
+    # --- round-9 NEW: directed PPR (seed-directed dangling handling);
+    #     integer ANN recall receipt over the LSH/IVF/PQ tiers ---
+    "q_graph_pagerank_directed_personalized": (
+        q_graph_pagerank_directed_personalized,
+        _pagerank_directed_personalized_sql(),
+    ),
+    "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
+    # --- round-9 NEW: relational BPE tokenizer training + tokenization ---
+    "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
+    "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -7519,21 +7908,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # SemDeDup block bound) — must stay in-window ---
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
-    # --- round-3 CHANGED operator code (gopher/repetition refactored
-    # into shared metric helpers; clusters convergence check rewritten;
-    # minhash feeds clusters — all stay in-window) ---
-    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
-    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
-    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
-    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
+    # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
+    "q_clean_winsorize_approx": (q_clean_winsorize_approx, _CLEAN_WINSORIZE_APPROX_SQL),
+    "q_quality_quantile_approx": (q_quality_quantile_approx, _QUALITY_QUANTILE_APPROX_SQL),
+    "q_quality_quantile": (q_quality_quantile, _QUALITY_QUANTILE_SQL),
+    "q_pipeline_training_prep": (q_pipeline_training_prep, _TRAINING_PREP_SQL),
+    "q_forecast_revenue": (q_forecast_revenue, _FORECAST_REVENUE_SQL),
+    "q_volume_shipping": (q_volume_shipping, _VOLUME_SHIPPING_SQL),
+    "q_market_share": (q_market_share, _MARKET_SHARE_SQL),
+    "q_small_qty_revenue": (q_small_qty_revenue, _SMALL_QTY_REVENUE_SQL),
+    "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
+    "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
+    "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
     # --- round-6 NEW: PQ compressed ANN tier ---
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
-    # --- driver-unverified in r1: sampling + curation ---
-    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # rotated out of the window in r8 (r7-green, code unchanged)
     "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
-    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
     "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
     # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),

@@ -48,17 +48,24 @@ def tokens_col(text: Column, lowercase: bool = True, pattern: str = r"\s+") -> C
     return F.filter(arr, lambda x: x != "")
 
 
-def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+def cw_coefficients(prefix: str, n: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) Carter-Wegman constants, a_i ∈ [1, p-1],
-    b_i ∈ [0, p-1]. Derived from md5 of the index so the same literals
-    can be embedded in Spark plans and oracle SQL alike."""
+    b_i ∈ [0, p-1]. Derived from md5 of ``{prefix}-a/b-{i}`` so the same
+    literals can be embedded in Spark plans and oracle SQL alike; each
+    family (minhash, bootstrap, …) picks its own prefix."""
     p = MINHASH_PRIME
     coeffs = []
-    for i in range(num_hashes):
-        a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:15], 16) % (p - 1) + 1
-        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:15], 16) % p
+    for i in range(n):
+        a = int(hashlib.md5(f"{prefix}-a-{i}".encode()).hexdigest()[:15], 16) % (p - 1) + 1
+        b = int(hashlib.md5(f"{prefix}-b-{i}".encode()).hexdigest()[:15], 16) % p
         coeffs.append((a, b))
     return coeffs
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """The MinHash family's constants (prefix ``mh`` — unchanged since
+    round 3; every committed signature depends on these literals)."""
+    return cw_coefficients("mh", num_hashes)
 
 
 def minhash_signature_cols(token_col_name: str, num_hashes: int) -> list[Column]:

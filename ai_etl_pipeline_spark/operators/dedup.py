@@ -951,8 +951,33 @@ def containment_pairs(
     # doc-sized output, replacing the old corpus-sized
     # explode+groupBy(id) shuffle (the r8 profile's second-biggest
     # term); the inner joins below restrict it to candidate docs
-    # without a collected id list
-    sizes = _doc_gram_sizes(df, id_col, text_col, ngram)
+    # without a collected id list.
+    # ONE-ROW-PER-ID CONTRACT (r8 ADVICE): the in-row denominators are
+    # per ROW, so a corpus with duplicate doc ids would fan out the
+    # id_a/id_b joins and silently mis-scale the fractions. Enforce it
+    # loudly IN-PLAN (no driver action): a doc-sized groupBy on the
+    # (id, sz) frame — same key the joins below shuffle on anyway —
+    # with a raise_error branch on any id seen twice.
+    sizes = (
+        _doc_gram_sizes(df, id_col, text_col, ngram)
+        .groupBy(id_col)
+        .agg(F.max("sz").alias("__sz"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("containment_pairs: duplicate doc id '"),
+                        F.col(id_col).cast("string"),
+                        F.lit("' violates the one-row-per-id contract"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("__sz"))
+            .alias("sz"),
+        )
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     scored = inter.join(sa, "id_a").join(sb, "id_b")

@@ -357,6 +357,30 @@ def countmin_rollup(
     return grouped.agg(F.sum("cnt").alias("cnt"))
 
 
+def _validate_cms_params(sketch: DataFrame, depth: int, width: int, fn: str) -> None:
+    """Guard (r8 ADVICE): probing a :func:`countmin_rollup` sketch with
+    a depth larger than the rollup's would silently yield est_count=0
+    through the left-join coalesce, violating the one-sided (>= true
+    count) guarantee; a width smaller than the rollup's hashes probes
+    into buckets the sketch never wrote. The sketch is bounded
+    (<= depth*width rows), so one tiny aggregate action is cheap.
+    Raises on mismatch; an EMPTY sketch passes (nothing to contradict)."""
+    row = sketch.agg(
+        F.max("j").alias("mj"), F.max("bucket").alias("mb")
+    ).collect()[0]
+    if row["mj"] is None:
+        return
+    if row["mj"] != depth - 1:
+        raise ValueError(
+            f"{fn}: probe depth={depth} does not match sketch depth={row['mj'] + 1}"
+        )
+    if row["mb"] >= width:
+        raise ValueError(
+            f"{fn}: probe width={width} <= sketch max bucket {row['mb']} — "
+            "sketch was built with a larger width"
+        )
+
+
 def countmin_estimate(
     sketch: DataFrame,
     items: DataFrame,
@@ -369,9 +393,13 @@ def countmin_estimate(
     ``items``: estimate = ``min_j cnt[j][h_j(item)]`` with absent cells
     counting as 0. Candidate-sized join against the bounded sketch —
     the probe side explodes ``depth`` rows per item, the sketch side is
-    at most ``depth*width`` rows (broadcastable)."""
+    at most ``depth*width`` rows (broadcastable). Probe ``depth``/
+    ``width`` are validated against the sketch (see
+    :func:`_validate_cms_params`) — a mismatch raises instead of
+    silently returning zeros."""
     from ai_etl_pipeline_spark.functions.portable import md5_i64
 
+    _validate_cms_params(sketch, depth, width, "countmin_estimate")
     probes = items.select(
         F.col(item_col),
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
@@ -400,7 +428,15 @@ def countmin_inner_product(
     map-side at ingest and mergeable across batches, so a planner (see
     ``relational.join_strategy_report``) can price a fact-fact join
     WITHOUT touching either corpus at plan time. One bounded join +
-    one scalar aggregate; returns one row ``(est_join_rows)``."""
+    one scalar aggregate; returns one row ``(est_join_rows)``.
+    Sketches of different depth raise (r8 ADVICE) — a partial j join
+    would silently bias the min."""
+    da = sketch_a.agg(F.max("j")).collect()[0][0]
+    db = sketch_b.agg(F.max("j")).collect()[0][0]
+    if da is not None and db is not None and da != db:
+        raise ValueError(
+            f"countmin_inner_product: sketch depths differ ({da + 1} vs {db + 1})"
+        )
     a = sketch_a.select("j", "bucket", F.col("cnt").alias("__ca"))
     b = sketch_b.select("j", "bucket", F.col("cnt").alias("__cb"))
     per_row = (

@@ -64,9 +64,12 @@ def pagerank(
     iteration, the same total the uniform mode spreads — lands entirely
     on the seed set (``div n_seeds`` each), so ranks measure proximity
     TO THE SEEDS along the graph (related-entity retrieval). Seeds not
-    present in the edge set are ignored; symmetric mode only (directed
-    PPR would also need seed-directed dangling handling — compose
-    explicitly if needed).
+    present in the edge set are ignored. With ``symmetric=False``
+    (directed PPR — the link-graph related-page retrieval mode) the
+    dangling mass is TELEPORT-CONSISTENT: rank sitting on pure sinks
+    re-enters on the seed set (``d·Σ_sink rank div n_seeds`` per seed,
+    damped like any other hop), not uniformly — a random surfer who
+    hits a dead end restarts at a seed.
 
     Node set = all edge endpoints; ranks start at ``base`` each.
     Returns ``(node, rank, degree)`` — rank in micro-units, degree =
@@ -82,8 +85,6 @@ def pagerank(
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"pagerank: damping_pct must be in [1, 99], got {damping_pct}")
-    if seeds is not None and not symmetric:
-        raise ValueError("pagerank: seeds (personalized mode) requires symmetric=True")
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
     if symmetric:
         e = e.unionByName(
@@ -159,6 +160,13 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        if not symmetric:
+            # directed PPR: the per-iteration sink mass is divided by
+            # the SEED count (teleport-consistent dangling), one scalar
+            n_seeds = (
+                seed_nodes.agg(F.count("*").cast("bigint").alias("__s"))
+                .localCheckpoint(eager=False)
+            )
     ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     for it in range(iterations):
@@ -196,6 +204,36 @@ def pagerank(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "coalesce(__incoming, cast(0 as bigint))) div 100"
                 ).alias("__rank"),
+            )
+        elif seeds is not None:
+            # directed PERSONALIZED: teleport AND dangling mass both
+            # land on the seed set — a surfer at a dead end restarts at
+            # a seed (damped like any hop); scalar payloads only
+            sink_share = (
+                ranks.join(sinks, "__node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("__rank"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__sink_sum")
+                )
+                .crossJoin(F.broadcast(n_seeds))
+                .select(F.expr("__sink_sum div __s").alias("__sink_share"))
+            )
+            ranks = (
+                new_ranks.join(
+                    seed_nodes.withColumn("__is_seed", F.lit(1)), "__node", "left"
+                )
+                .crossJoin(F.broadcast(seed_tele))
+                .crossJoin(F.broadcast(sink_share))
+                .select(
+                    F.col("__node"),
+                    F.expr(
+                        "(coalesce(__is_seed, 0) * "
+                        f"(__tele + {damping_pct} * __sink_share) + "
+                        f"{damping_pct} * "
+                        "coalesce(__incoming, cast(0 as bigint))) div 100"
+                    ).alias("__rank"),
+                )
             )
         else:
             # dangling mass: ranks sitting on nodes with no out-edge,
@@ -253,11 +291,15 @@ def k_core(
     round removes every node currently under-degree, so ``iterations``
     bounds the peel DEPTH (longest chain of cascading removals), which
     is tiny for real graphs; if the fixpoint needs more rounds the
-    result is a (documented) superset — callers verify with one extra
-    round if they need a proof of convergence.
+    result is a superset — and SAYS SO: one extra peel round (still
+    lazy, same plan) proves or refutes the fixpoint, emitted as the
+    ``is_converged`` column (true iff the extra round removed nothing).
+    A long dependency chain can no longer silently over-report its
+    core.
 
-    Returns ``(node, degree)`` for surviving nodes — degree within the
-    surviving subgraph."""
+    Returns ``(node, degree, is_converged)`` for surviving nodes —
+    degree within the surviving subgraph; ``is_converged`` is the same
+    scalar on every row (broadcast flag, no driver action)."""
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
     if iterations < 1:
@@ -285,13 +327,31 @@ def k_core(
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
+    # convergence certificate: one extra peel round — the peel is a
+    # monotone contraction (next_e ⊆ alive_e), so equal EDGE COUNTS
+    # prove the fixpoint; one scalar-only broadcast crossJoin
+    deg_x = (
+        alive_e.select(F.col("a").alias("n"))
+        .unionByName(alive_e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep_x = deg_x.where(F.col("d") >= k).select("n").localCheckpoint(eager=False)
+    next_e = alive_e.join(keep_x.withColumnRenamed("n", "a"), "a", "left_semi").join(
+        keep_x.withColumnRenamed("n", "b"), "b", "left_semi"
+    )
+    converged = (
+        alive_e.agg(F.count(F.lit(1)).alias("__before"))
+        .crossJoin(F.broadcast(next_e.agg(F.count(F.lit(1)).alias("__after"))))
+        .select((F.col("__before") == F.col("__after")).alias("is_converged"))
+    )
     final_deg = (
         alive_e.select(F.col("a").alias("node"))
         .unionByName(alive_e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    return final_deg.where(F.col("degree") >= k)
+    return final_deg.where(F.col("degree") >= k).crossJoin(F.broadcast(converged))
 
 
 def triangle_count(

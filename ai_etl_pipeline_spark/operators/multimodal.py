@@ -727,11 +727,12 @@ def decode_jpeg(content: bytes) -> dict:
     Huffman decode with DC prediction + restart intervals, dequantize,
     float 2D IDCT, level shift, and for 3-component images the
     BT.601 YCbCr->RGB convert. Supported: grayscale or 3-component
-    with NO chroma subsampling (all sampling factors 1x1) —
-    progressive (SOF2), arithmetic coding and subsampled scans raise
-    ``ValueError`` (honest scope; callers dispatch with
-    :func:`is_jpeg`). Returns header fields plus exact channel means
-    over the declared (cropped) width x height."""
+    with sampling factors up to 2x2 (r9: includes 4:2:0 — the layout
+    nearly every camera/web JPEG uses — and 4:2:2/4:4:0; chroma is
+    upsampled by sample replication). Progressive (SOF2), arithmetic
+    coding and factors beyond 2x2 raise ``ValueError`` (honest scope;
+    callers dispatch with :func:`is_jpeg`). Returns header fields plus
+    exact channel means over the declared (cropped) width x height."""
     import struct
 
     if not is_jpeg(content):
@@ -774,11 +775,15 @@ def decode_jpeg(content: bytes) -> dict:
             precision, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {precision}")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            if any(h != 1 or v != 1 for _, h, v, _ in comps):
-                raise ValueError("chroma-subsampled JPEG unsupported (1x1 only)")
+            if any(
+                h not in (1, 2) or v not in (1, 2) for _, h, v, _ in comps
+            ):
+                raise ValueError("JPEG sampling factors beyond 2x2 unsupported")
             if len(comps) not in (1, 3):
                 raise ValueError(f"unsupported component count {len(comps)}")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -798,9 +803,18 @@ def decode_jpeg(content: bytes) -> dict:
         raise ValueError("malformed JPEG: missing SOF/SOS")
 
     idct = _jpeg_idct_table()
-    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+    # MCU geometry from the MAX sampling factors; each component ci
+    # carries h_i x v_i blocks per MCU into its own (possibly
+    # lower-resolution) plane — the T.81 interleaved-scan layout
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if any(hmax % h or vmax % v for _, h, v, _ in comps):
+        raise ValueError("non-dividing JPEG sampling factors unsupported")
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        [[0] * (mcus_x * 8) for _ in range(mcus_y * 8)] for _ in range(len(comps))
+        [[0] * (mcus_x * 8 * h) for _ in range(mcus_y * 8 * v)]
+        for _, h, v, _ in comps
     ]
     reader = _JpegBitReader(raw, sos_pos)
 
@@ -841,32 +855,41 @@ def decode_jpeg(content: bytes) -> dict:
                 reader.align_past_rst()
                 preds = [0] * len(comps)
             for ci, dc_t, ac_t in scan:
-                q = qt[comps[ci][3]]
-                try:
-                    z = decode_block(dc_t, ac_t, q)
-                except _JpegMarker as m:
-                    raise ValueError(f"unexpected marker {m.marker:#x} in scan")
-                preds[ci] += z[0]
-                block = [0.0] * 64
-                block[0] = preds[ci] * q[0]
-                for k in range(1, 64):
-                    if z[k]:
-                        block[_JPEG_ZIGZAG[k]] = z[k] * q[k]
-                # separable 2D IDCT: rows then columns
-                tmp = [0.0] * 64
-                for y in range(8):
-                    row = block[8 * y : 8 * y + 8]
-                    for x in range(8):
-                        tmp[8 * y + x] = sum(row[u] * idct[u][x] for u in range(8))
-                plane = planes[ci]
-                for x in range(8):
-                    col = [tmp[8 * v + x] for v in range(8)]
-                    for y in range(8):
-                        val = sum(col[v] * idct[v][y] for v in range(8))
-                        p = int(round(val + 128.0))
-                        plane[my * 8 + y][mx * 8 + x] = (
-                            0 if p < 0 else 255 if p > 255 else p
-                        )
+                _, ch, cv, tq = comps[ci]
+                q = qt[tq]
+                for iby in range(cv):
+                    for ibx in range(ch):
+                        try:
+                            z = decode_block(dc_t, ac_t, q)
+                        except _JpegMarker as m:
+                            raise ValueError(
+                                f"unexpected marker {m.marker:#x} in scan"
+                            )
+                        preds[ci] += z[0]
+                        block = [0.0] * 64
+                        block[0] = preds[ci] * q[0]
+                        for k in range(1, 64):
+                            if z[k]:
+                                block[_JPEG_ZIGZAG[k]] = z[k] * q[k]
+                        # separable 2D IDCT: rows then columns
+                        tmp = [0.0] * 64
+                        for y in range(8):
+                            row = block[8 * y : 8 * y + 8]
+                            for x in range(8):
+                                tmp[8 * y + x] = sum(
+                                    row[u] * idct[u][x] for u in range(8)
+                                )
+                        plane = planes[ci]
+                        oy = (my * cv + iby) * 8
+                        ox = (mx * ch + ibx) * 8
+                        for x in range(8):
+                            col = [tmp[8 * v + x] for v in range(8)]
+                            for y in range(8):
+                                val = sum(col[v] * idct[v][y] for v in range(8))
+                                p = int(round(val + 128.0))
+                                plane[oy + y][ox + x] = (
+                                    0 if p < 0 else 255 if p > 255 else p
+                                )
             mcu_count += 1
 
     n = width * height
@@ -884,10 +907,17 @@ def decode_jpeg(content: bytes) -> dict:
             "mean_b": mean,
         }
     ypl, cb, cr = planes
+    # chroma upsampling by sample replication: full-res pixel (x, y)
+    # reads component ci at (x·h_i div hmax, y·v_i div vmax)
+    _, yh, yv, _ = comps[0]
+    _, bh, bv, _ = comps[1]
+    _, rh, rv, _ = comps[2]
     sum_r = sum_g = sum_b = 0
     for y in range(height):
         for x in range(width):
-            yy, pb, pr = ypl[y][x], cb[y][x] - 128, cr[y][x] - 128
+            yy = ypl[y * yv // vmax][x * yh // hmax]
+            pb = cb[y * bv // vmax][x * bh // hmax] - 128
+            pr = cr[y * rv // vmax][x * rh // hmax] - 128
             r = int(round(yy + 1.402 * pr))
             g = int(round(yy - 0.344136 * pb - 0.714136 * pr))
             b = int(round(yy + 1.772 * pb))
@@ -1027,6 +1057,149 @@ def encode_jpeg_gray8(
     return bytes(out) + bytes(body) + b"\xff\xd9"
 
 
+def encode_jpeg_ycbcr420(
+    width: int,
+    height: int,
+    y_rows: list[list[int]],
+    cb_rows: list[list[int]],
+    cr_rows: list[list[int]],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Stdlib 4:2:0 baseline-JPEG writer (tests + synthetic corpora):
+    Y at full resolution with sampling 2x2, Cb/Cr at half resolution
+    (``(height/2) x (width/2)`` rows) with 1x1 — the interleaved MCU
+    layout nearly every real photo uses (4 Y blocks + 1 Cb + 1 Cr per
+    16x16 MCU, per-component DC predictors). One shared all-ones-able
+    quant table and the Annex K luminance Huffman pair for all
+    components keep the stream minimal and the round-trip analyzable:
+    with the default all-ones quantization an image whose every 16x16
+    MCU is CONSTANT in YCbCr round-trips BIT-EXACTLY through
+    :func:`decode_jpeg` (each block's DCT is a lone integer DC
+    coefficient; replication upsampling reproduces the constant),
+    which is what makes a closed-form oracle possible for the
+    subsampled path. Width/height must be multiples of 16."""
+    import math
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError(
+            "encode_jpeg_ycbcr420: dimensions must be multiples of 16"
+        )
+    q = quant if quant is not None else [1] * 64
+    dc_enc = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    cosx = [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+    cu = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zq = bytes(q[_JPEG_ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zq  # DQT (zigzag order)
+    out += b"\xff\xc0" + struct.pack(  # SOF0: 8-bit, Y 2x2 + Cb/Cr 1x1
+        ">HBHHBBBBBBBBBB",
+        17, 8, height, width, 3,
+        1, 0x22, 0,
+        2, 0x11, 0,
+        3, 0x11, 0,
+    )
+    for tc, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(  # SOS: all components on table pair 0
+        ">HBBBBBBBBBB", 12, 3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0
+    )
+
+    body = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc = nbits = 0
+
+    def flush(pad: bool) -> None:
+        nonlocal acc, nbits
+        if pad and nbits:
+            acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+            body.append(acc)
+            if acc == 0xFF:
+                body.append(0x00)
+            acc = nbits = 0
+
+    def encode_block(rows: list[list[int]], oy: int, ox: int, pred: int) -> int:
+        block = [[rows[oy + y][ox + x] - 128 for x in range(8)] for y in range(8)]
+        coefs = [0] * 64
+        for v in range(8):
+            for u in range(8):
+                s = sum(
+                    block[y][x] * cosx[u][x] * cosx[v][y]
+                    for y in range(8)
+                    for x in range(8)
+                )
+                coefs[8 * v + u] = int(round(0.25 * cu[u] * cu[v] * s / q[8 * v + u]))
+        dc_diff = coefs[0] - pred
+        s = dc_diff.bit_length() if dc_diff >= 0 else (-dc_diff).bit_length()
+        code, length = dc_enc[s]
+        put(code, length)
+        if s:
+            put(dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1, s)
+        zz = [coefs[_JPEG_ZIGZAG[k]] for k in range(64)]
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_enc[0xF0]
+                put(code, length)
+                run -= 16
+            v = zz[k]
+            s = v.bit_length() if v >= 0 else (-v).bit_length()
+            code, length = ac_enc[(run << 4) | s]
+            put(code, length)
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]  # EOB
+            put(code, length)
+        return coefs[0]
+
+    preds = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                flush(pad=True)
+                body += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for iby in range(2):
+                for ibx in range(2):
+                    preds[0] = encode_block(
+                        y_rows, my * 16 + iby * 8, mx * 16 + ibx * 8, preds[0]
+                    )
+            preds[1] = encode_block(cb_rows, my * 8, mx * 8, preds[1])
+            preds[2] = encode_block(cr_rows, my * 8, mx * 8, preds[2])
+            mcu_count += 1
+    flush(pad=True)
+    return bytes(out) + bytes(body) + b"\xff\xd9"
+
+
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1138,8 +1311,11 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
 def decode_media(content: bytes, kind: str, dim: int = 8, strict: bool = False) -> list[float]:
     """Decoder dispatch — the ONE function a real deployment extends per
     format. WAV payloads get the REAL stdlib decode (works even in
-    strict mode); everything else falls through to the stub (which
-    raises in strict mode)."""
+    strict mode); BMP/JPEG payloads get the stdlib pixel decode, and a
+    payload the codec can't handle (malformed body, or — pre-r9 — a
+    progressive/16-bit JPEG) falls back to the stub instead of failing
+    the whole ``mapInPandas`` job; everything else goes straight to the
+    stub (which raises in strict mode)."""
     if is_wav(content):
         d = decode_wav(content)
         feats = [
@@ -1154,7 +1330,10 @@ def decode_media(content: bytes, kind: str, dim: int = 8, strict: bool = False) 
         feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
         return [round(x, 6) for x in feats]
     if is_bmp(content) or is_jpeg(content):
-        d = decode_bmp(content) if is_bmp(content) else decode_jpeg(content)
+        try:
+            d = decode_bmp(content) if is_bmp(content) else decode_jpeg(content)
+        except ValueError:
+            return decode_stub(content, kind, dim, strict)
         feats = [
             float(d["width"]),
             float(d["height"]),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import md5_i64
+from ..functions.portable import MINHASH_PRIME, cw_coefficients, md5_i64
 
 _M = 1_000_000  # threshold resolution: fractions are exact to 1e-6
 
@@ -402,12 +402,21 @@ def poisson_bootstrap(
     THE scalable bootstrap: a true resample-with-replacement needs
     global coordination, but for large n the multinomial replicate
     counts converge to independent Poisson(1) weights, which are a pure
-    per-(row, replicate) expression. Each row contributes weight
-    ``w ~ Poisson(1)`` (inverse-CDF over the salted md5 hash uniform,
-    capped at 6) to each of ``n_boot`` replicates; one explode + one
-    bounded aggregate gives every replicate's mean in a single pass —
-    no RNG state, same replicates on every engine/partitioning (the
-    DuckDB oracle replays them exactly).
+    per-(row, replicate) expression. Each row pays ONE md5 kernel
+    (``h = md5(salt|id) mod p``); replicate ``j``'s uniform is the
+    Carter-Wegman affine map ``(a_j*h + b_j) mod p mod 1e6`` — the
+    MinHash idiom (:func:`~...functions.portable.cw_coefficients`,
+    prefix = ``salt``), pairwise independent per replicate — and the
+    weight is the Poisson(1) inverse-CDF over that uniform (capped at
+    6). No RNG state, same replicates on every engine/partitioning
+    (the DuckDB oracle replays them exactly).
+
+    All ``n_boot`` replicates aggregate IN-ROW as ``2*n_boot`` sum
+    expressions in one map-side-combined pass — the corpus is never
+    exploded and never shuffled; the exchange carries one 2*n_boot-long
+    partial per partition, then one bounded posexplode emits the
+    replicate rows. (The r8 version exploded 16× and paid 16 md5
+    kernels per row — 21.6 s at sf0.1; this shape is the r9 fix.)
 
     Values are aggregated in integer CENTS (``round(value*100)``) so
     each replicate mean is a ratio of exact integers — double
@@ -417,30 +426,34 @@ def poisson_bootstrap(
     quantiles of ``mean_value`` over replicates."""
     if n_boot < 1:
         raise ValueError(f"poisson_bootstrap: n_boot must be >= 1, got {n_boot}")
-    rep = df.select(
-        F.col(id_col).alias("__id"),
+    p = MINHASH_PRIME
+    base = df.select(
+        (
+            md5_i64(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+            % F.lit(p)
+        ).alias("__h"),
         F.round(F.col(value_col) * 100).cast("bigint").alias("__cents"),
-        F.explode(F.array(*[F.lit(j) for j in range(n_boot)])).alias("boot_id"),
     )
-    bucket = md5_i64(
-        F.concat(
-            F.lit(f"{salt}|"),
-            F.col("__id").cast("string"),
-            F.lit("|"),
-            F.col("boot_id").cast("string"),
-        )
-    ) % F.lit(_M)
-    w = F.lit(len(_POISSON1_CDF_1E6))
-    for k in range(len(_POISSON1_CDF_1E6) - 1, -1, -1):
-        w = F.when(bucket < _POISSON1_CDF_1E6[k], F.lit(k)).otherwise(w)
-    weighted = rep.withColumn("__w", w.cast("bigint")).where(F.col("__w") > 0)
+    aggs = []
+    for j, (a, b) in enumerate(cw_coefficients(salt, n_boot)):
+        bucket = (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(p) % F.lit(_M)
+        w = F.lit(len(_POISSON1_CDF_1E6))
+        for k in range(len(_POISSON1_CDF_1E6) - 1, -1, -1):
+            w = F.when(bucket < _POISSON1_CDF_1E6[k], F.lit(k)).otherwise(w)
+        w = w.cast("bigint")
+        aggs.append(F.sum(w).alias(f"__n{j}"))
+        aggs.append(F.sum(w * F.col("__cents")).alias(f"__s{j}"))
+    one = base.agg(*aggs)
+    zipped = F.arrays_zip(
+        F.array(*[F.col(f"__n{j}") for j in range(n_boot)]).alias("n"),
+        F.array(*[F.col(f"__s{j}") for j in range(n_boot)]).alias("s"),
+    )
     return (
-        weighted.groupBy("boot_id")
-        .agg(
-            F.sum("__w").alias("n_eff"),
-            F.round(
-                (F.sum(F.col("__w") * F.col("__cents")) / F.sum("__w")) / 100.0, 4
-            ).alias("mean_value"),
+        one.select(F.posexplode(zipped).alias("boot_id", "r"))
+        .where(F.coalesce(F.col("r.n"), F.lit(0)) > 0)
+        .select(
+            F.col("boot_id").cast("int").alias("boot_id"),
+            F.col("r.n").alias("n_eff"),
+            F.round((F.col("r.s") / F.col("r.n")) / 100.0, 4).alias("mean_value"),
         )
-        .select("boot_id", "n_eff", "mean_value")
     )

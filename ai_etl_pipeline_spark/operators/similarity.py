@@ -1020,3 +1020,63 @@ def truncate_embeddings(
         F.col("__tn") > 0.0, F.expr("transform(__t, x -> x / __tn)")
     ).otherwise(F.col("__t"))
     return df.withColumn(out_col, unit).drop("__t", "__tn")
+
+
+def recall_report(
+    exact: DataFrame,
+    tiers: dict[str, DataFrame],
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall receipt for approximate ANN tiers (r8 verdict task #5):
+    score each tier's top-k lists against exact ground truth — the
+    tuning evidence a 100 TB user needs before trusting an approximate
+    index over the real corpus (run it on a hash-sampled query set; the
+    brute-force side is |sample| × corpus, not corpus²).
+
+    ``exact`` is the ground-truth frame (:func:`brute_force_knn`
+    output); each entry of ``tiers`` is an approximate tier's output
+    with the same ``(query_id, neighbor_id)`` shape. Per tier, one row:
+    ``n_truth`` / ``n_candidates`` (list sizes), ``hits`` (pairs the
+    tier shares with the truth — a semi-join, candidate-sized), and
+    ``recall_micro = hits·1e6 div n_truth`` — EXACT integer ratios, so
+    the whole report sits under the full hash gate (no float recall).
+
+    Plan: the truth pairs are lazily checkpointed once (each tier
+    semi-joins them; without truncation every tier would re-execute the
+    brute-force upstream), every aggregate is scalar, and the per-tier
+    rows union into one bounded frame — no corpus-sized shuffle beyond
+    what the tier/truth frames themselves did."""
+    if not tiers:
+        raise ValueError("recall_report: need at least one tier")
+    truth = (
+        exact.select(
+            F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    reports = []
+    for name, t in sorted(tiers.items()):
+        cand = t.select(
+            F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+        ).localCheckpoint(eager=False)
+        hits = cand.join(truth, ["__q", "__n"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        reports.append(
+            hits.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(name).alias("tier"),
+                F.col("n_truth"),
+                F.col("n_candidates"),
+                F.col("hits"),
+                F.expr("hits * 1000000 div n_truth").alias("recall_micro"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

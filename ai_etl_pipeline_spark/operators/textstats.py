@@ -1244,3 +1244,172 @@ def canonicalize_url(
         F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
     )
     return df.withColumn(out_col, F.when(scheme != "", canon).otherwise(u))
+
+
+# --------------------------------------------------------------------------
+# relational BPE tokenizer training (r8 verdict task #8)
+# --------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # unit separator: symbol-boundary marker, never in text
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning as a FIXED-ROUND relational
+    program — the one training-data-pipeline primitive the engine was
+    missing: the tokenizer itself is trained BY the engine, on the
+    corpus, with the same scale story as every other operator.
+
+    The corpus compresses to its distinct-word frequency table first
+    (the classic BPE trick: one corpus-sized shuffle, then every round
+    is vocabulary-sized). Each word is encoded as a symbol string with
+    every symbol wrapped in unit separators (``\\x1f a \\x1f \\x1f b
+    \\x1f`` …), so applying a merge IS ``replace(enc, SEP·L·SEP·SEP·R·
+    SEP → SEP·LR·SEP)`` — and because ``replace`` scans left-to-right
+    over non-overlapping occurrences in BOTH Spark and DuckDB, the
+    string rewrite implements exactly BPE's greedy merge order
+    (``aaaa`` + merge ``(a,a)`` → ``aa aa``, not ``aa a a``).
+
+    Per round: adjacent-pair counts (one vocabulary-sized aggregate,
+    weighted by word frequency) → the max pair, deterministically
+    (count desc, then lexical ``(left, right)`` — binary collation on
+    both engines) via a top-1 heap → in-row rewrite of every word. N
+    rounds = N aggregates; the DuckDB oracle unrolls them as chained
+    MATERIALIZED CTEs (the PageRank precedent). The per-round frames
+    are lazily checkpointed so the plan stays O(rounds) deep with zero
+    driver actions.
+
+    Returns one row per learned merge: ``(merge_round, pair_left,
+    pair_right, merged, pair_count)``. Text containing the separator
+    byte itself is out of contract (strip control chars upstream)."""
+    if rounds < 1:
+        raise ValueError(f"bpe_train: rounds must be >= 1, got {rounds}")
+    s = _BPE_SEP
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            F.expr(f"regexp_replace(__w, '(.)', '{s}$1{s}')").alias("__enc"),
+            "__cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    cur = words
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            cur.select(
+                F.split(
+                    F.expr(f"trim(BOTH '{s}' FROM __enc)"), f"{s}{s}"
+                ).alias("__syms"),
+                "__cnt",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(__syms, 1, size(__syms) - 1),"
+                        " (x, i) -> struct(x AS l, element_at(__syms, i + 2) AS r))"
+                    )
+                ).alias("__p"),
+                "__cnt",
+            )
+            .groupBy(F.col("__p.l").alias("pair_left"), F.col("__p.r").alias("pair_right"))
+            .agg(F.sum("__cnt").cast("bigint").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("pair_left"), F.col("pair_right")
+            )
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("int").alias("merge_round"),
+                "pair_left",
+                "pair_right",
+                F.concat(F.col("pair_left"), F.col("pair_right")).alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges.append(best)
+        # scalar-payload broadcast crossJoin (two short strings), then
+        # the greedy rewrite — one in-row pass over the vocabulary
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair_left", "pair_right")))
+            .select(
+                F.expr(
+                    f"replace(__enc, '{s}' || pair_left || '{s}{s}' || pair_right || '{s}',"
+                    f" '{s}' || pair_left || pair_right || '{s}')"
+                ).alias("__enc"),
+                "__cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_merges: int = 64,
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED BPE merge table (the other half
+    of :func:`bpe_train` — train once, tokenize everything): encode
+    every word with the unit-separator symbol encoding and apply the
+    merges in learned order as chained greedy ``replace`` passes (the
+    same left-to-right non-overlapping semantics training used), then
+    count symbols.
+
+    The merge table is collected to the driver — it is merge-table-
+    sized (one row per learned merge, bounded by ``max_merges``; the
+    Bloom-filter / centroid-manifest precedent), never corpus-sized —
+    and each merge becomes one in-row column rewrite over the corpus:
+    N merges = N expression passes in ONE projection, no joins, no
+    shuffles beyond the final per-doc aggregate.
+
+    Returns per document: ``(id, n_words, n_chars, n_bpe_tokens)`` —
+    exact integers (``n_bpe_tokens <= n_chars``; the gap is the
+    compression the learned vocabulary buys on this corpus)."""
+    rows = merges.orderBy("merge_round").collect()
+    if len(rows) > max_merges:
+        raise ValueError(
+            f"bpe_apply: merge table has {len(rows)} rows > max_merges="
+            f"{max_merges} — raise the bound explicitly for big vocabularies"
+        )
+    s = _BPE_SEP
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__w")
+    )
+    enc = F.expr(f"regexp_replace(__w, '(.)', '{s}$1{s}')")
+    for m in rows:
+        enc = F.replace(
+            enc,
+            F.lit(f"{s}{m['pair_left']}{s}{s}{m['pair_right']}{s}"),
+            F.lit(f"{s}{m['pair_left']}{m['pair_right']}{s}"),
+        )
+    per_word = (
+        toks.withColumn("__enc", enc)
+        .select(
+            F.col(id_col),
+            F.length("__w").alias("__chars"),
+            F.size(
+                F.split(F.expr(f"trim(BOTH '{s}' FROM __enc)"), f"{s}{s}")
+            ).alias("__syms"),
+        )
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__chars").cast("bigint").alias("n_chars"),
+            F.sum("__syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

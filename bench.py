@@ -163,6 +163,12 @@ HEADLINE = [
     "q_join_size_estimate",
     "q_graph_copurchase",
     "q_sample_bootstrap",
+    # round-9 additions
+    "q_graph_pagerank_directed_personalized",
+    "q_knn_recall_report",
+    "q_text_bpe_merges",
+    "q_text_bpe_tokenize",
+    "q_media_jpeg_decode_subsampled",
 ]
 
 

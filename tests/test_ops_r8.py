@@ -381,8 +381,9 @@ def test_personalized_pagerank_concentrates_near_seed(spark):
     assert min(rows["a"], rows["b"]) > max(rows["d"], rows["e"])
     # total mass conserved near n*base (integer truncation only)
     assert abs(sum(rows.values()) - 5_000_000) < 5_000_000 * 0.01
-    with pytest.raises(ValueError, match="symmetric"):
-        graph.pagerank(e, symmetric=False, seeds=seeds)
+    # r9: directed + seeds is now a supported mode (seed-directed
+    # dangling re-entry) — see test_ops_r9 for its semantics
+    assert graph.pagerank(e, symmetric=False, seeds=seeds, iterations=2).count() == 5
 
 
 def test_contamination_score_grades_partial_overlap(spark):

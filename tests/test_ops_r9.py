@@ -1,0 +1,240 @@
+"""Round-9 operators: k-core convergence certificate, directed
+personalized PageRank (seed-directed dangling), CMS probe-parameter
+validation, duplicate-id containment guard, bootstrap one-hash rewrite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import dedup, distinct, graph, sampling
+
+
+# ---------------------------------------------------------------- k-core
+
+def test_k_core_converged_flag_true_on_clique(spark):
+    # K4 is its own 2-core fixpoint after a single round
+    nodes = ["a", "b", "c", "d"]
+    e = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u < v], ["src", "dst"]
+    )
+    rows = graph.k_core(e, 2, iterations=2).collect()
+    assert len(rows) == 4
+    assert all(r["is_converged"] for r in rows)
+
+
+def test_k_core_unconverged_flag_on_deep_chain(spark):
+    # a path of 10 nodes peels one node from each end per round at k=2:
+    # depth 5 > iterations=2, so the fixed-depth result is a SUPERSET
+    # and the certificate must say so
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(9)], ["src", "dst"]
+    )
+    out = graph.k_core(e, 2, iterations=2).collect()
+    assert len(out) > 0  # superset, not yet empty
+    assert all(not r["is_converged"] for r in out)
+    # enough rounds: the chain peels to nothing — certificate via count
+    assert graph.k_core(e, 2, iterations=6).count() == 0
+
+
+# ------------------------------------------------- directed personalized PR
+
+def test_pagerank_directed_personalized_seed_proximity(spark):
+    # a->x, b->y, x/y sinks; seeding {a} must rank a and its neighbor x
+    # above the un-seeded twin branch (b, y)
+    e = spark.createDataFrame([("a", "x"), ("b", "y")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    rows = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            e, symmetric=False, iterations=6, seeds=seeds
+        ).collect()
+    }
+    assert set(rows) == {"a", "b", "x", "y"}
+    assert rows["a"] > rows["b"]
+    assert rows["x"] > rows["y"]
+    # non-seed, non-reachable branch decays toward zero (no uniform
+    # teleport in personalized mode)
+    assert rows["b"] < 100_000
+
+
+def test_pagerank_directed_personalized_mass_conserved(spark):
+    # teleport + seed-directed dangling re-entry keep total rank near
+    # n*base (integer truncation drift only) even with genuine sinks
+    e = spark.createDataFrame([("a", "x"), ("a", "y"), ("b", "x")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+    out = graph.pagerank(e, symmetric=False, iterations=8, seeds=seeds)
+    total = out.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 4_000_000) < 4_000_000 * 0.02
+
+
+# --------------------------------------------------------- CMS validation
+
+def test_countmin_probe_depth_mismatch_raises(spark):
+    items = spark.createDataFrame([("t", 1)], ["token", "v"])
+    sketch = distinct.countmin_rollup(items, [], [], "token", depth=4, width=64)
+    with pytest.raises(ValueError, match="depth"):
+        distinct.countmin_estimate(
+            sketch, items.select("token"), "token", depth=6, width=64
+        ).collect()
+    with pytest.raises(ValueError, match="width"):
+        distinct.countmin_estimate(
+            sketch, items.select("token"), "token", depth=4, width=16
+        ).collect()
+
+
+def test_countmin_inner_product_depth_mismatch_raises(spark):
+    items = spark.createDataFrame([("t", 1)], ["token", "v"])
+    s4 = distinct.countmin_rollup(items, [], [], "token", depth=4, width=64)
+    s2 = distinct.countmin_rollup(items, [], [], "token", depth=2, width=64)
+    with pytest.raises(ValueError, match="depths differ"):
+        distinct.countmin_inner_product(s4, s2)
+
+
+# ------------------------------------------------- containment dup-id guard
+
+def test_containment_pairs_duplicate_id_raises(spark):
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d1", "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="duplicate doc id"):
+        dedup.containment_pairs(df, "doc_id", "text", ngram=2).collect()
+
+
+# ------------------------------------------------------ bootstrap rewrite
+
+def test_poisson_bootstrap_single_aggregate_no_explode_of_corpus(spark):
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(200)], ["id", "v"]
+    )
+    out = sampling.poisson_bootstrap(df, "id", "v", n_boot=8)
+    rows = out.collect()
+    assert len(rows) == 8
+    # Poisson(1) weights: each replicate's effective n is near 200
+    for r in rows:
+        assert 140 <= r["n_eff"] <= 260
+    # the corpus is never exploded: plan has ONE generate node and it
+    # sits above a single-row aggregate (posexplode of the zipped sums)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("generate") == 1
+
+
+# ------------------------------------------------------------- BPE training
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    # corpus: 'aaaa' x3, 'ab' x2 — round 1 must pick (a,a) with count 9
+    # (greedy left-to-right: 'aaaa' contributes 3 adjacent (a,a) pairs
+    # per word); round 2 sees 'aaaa' rewritten as (aa, aa) — i.e. the
+    # merged symbol pairs with ITSELF, proving the rewrite is greedy
+    # non-overlapping, not naive per-position
+    df = spark.createDataFrame(
+        [("aaaa aaaa aaaa ab ab",)], ["text"]
+    )
+    rows = {r["merge_round"]: r for r in textstats.bpe_train(df, rounds=2).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1["pair_left"], r1["pair_right"], r1["merged"]) == ("a", "a", "aa")
+    # 'aaaa' has word frequency 3 and 3 adjacent (a,a) pairs per word
+    assert r1["pair_count"] == 3 * 3
+    assert r2["pair_left"] == "aa" and r2["pair_right"] == "aa"
+    assert r2["merged"] == "aaaa"
+
+
+def test_bpe_train_multibyte_and_round_count(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame([("über über ok",)], ["text"])
+    out = textstats.bpe_train(df, rounds=3).collect()
+    assert len(out) == 3
+    assert [r["merge_round"] for r in out] == [1, 2, 3]
+    # first merge comes from the repeated word, weighted 2
+    assert out[0]["pair_count"] == 2
+
+
+# ------------------------------------------------------- 4:2:0 JPEG codec
+
+def test_jpeg_420_roundtrip_bit_exact():
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    W, H = 32, 32
+    yv = {(my, mx): (40 * my + 90 * mx + 17) % 256 for my in range(2) for mx in range(2)}
+    cb = {(my, mx): (60 * my + 30 * mx + 80) % 256 for my in range(2) for mx in range(2)}
+    cr = {(my, mx): (25 * my + 70 * mx + 150) % 256 for my in range(2) for mx in range(2)}
+    y_rows = [[yv[(y // 16, x // 16)] for x in range(W)] for y in range(H)]
+    cb_rows = [[cb[(y // 8, x // 8)] for x in range(W // 2)] for y in range(H // 2)]
+    cr_rows = [[cr[(y // 8, x // 8)] for x in range(W // 2)] for y in range(H // 2)]
+    d = mm.decode_jpeg(
+        mm.encode_jpeg_ycbcr420(W, H, y_rows, cb_rows, cr_rows, restart_interval=1)
+    )
+    assert (d["width"], d["height"], d["bpp"]) == (W, H, 24)
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    rs = gs = bs = 0
+    for key in yv:
+        p, b, r = yv[key], cb[key] - 128, cr[key] - 128
+        rs += clamp(int(round(p + 1.402 * r))) * 256
+        gs += clamp(int(round(p - 0.344136 * b - 0.714136 * r))) * 256
+        bs += clamp(int(round(p + 1.772 * b))) * 256
+    n = W * H
+    assert d["mean_r"] == round(rs / n, 3)
+    assert d["mean_g"] == round(gs / n, 3)
+    assert d["mean_b"] == round(bs / n, 3)
+
+
+def test_jpeg_420_encoder_rejects_bad_dims_and_decoder_scope():
+    import pytest as _pytest
+
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        mm.encode_jpeg_ycbcr420(8, 8, [[0] * 8] * 8, [[0] * 4] * 4, [[0] * 4] * 4)
+    # progressive SOF2 still raises (scope unchanged beyond sampling)
+    w = 16
+    y_rows = [[128] * w for _ in range(w)]
+    data = bytearray(
+        mm.encode_jpeg_ycbcr420(w, w, y_rows, [[128] * 8] * 8, [[128] * 8] * 8)
+    )
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg(bytes(data))
+    # sampling factors beyond 2x2 rejected (Y hv byte: FF C0 len(2)
+    # precision(1) height(2) width(2) nc(1) comp1-id(1) -> +11)
+    data = bytearray(
+        mm.encode_jpeg_ycbcr420(w, w, y_rows, [[128] * 8] * 8, [[128] * 8] * 8)
+    )
+    data[sof + 11] = 0x44  # Y sampling 4x4
+    with _pytest.raises(ValueError, match="beyond 2x2"):
+        mm.decode_jpeg(bytes(data))
+    # truncated SOF (corrupt component count) raises cleanly, not a
+    # struct.error that would leak past decode_media's ValueError guard
+    data = bytearray(
+        mm.encode_jpeg_ycbcr420(w, w, y_rows, [[128] * 8] * 8, [[128] * 8] * 8)
+    )
+    data[sof + 9] = 68
+    with _pytest.raises(ValueError, match="truncated JPEG SOF"):
+        mm.decode_jpeg(bytes(data))
+
+
+def test_bpe_apply_compression_consistent_with_train(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "hello world world ok")],
+        ["doc_id", "text"],
+    )
+    merges = textstats.bpe_train(df, rounds=4)
+    out = {r["doc_id"]: r for r in textstats.bpe_apply(df, merges).collect()}
+    # every merge strictly reduces symbol count where it applies;
+    # tokens never exceed chars, never drop below word count
+    for d, r in out.items():
+        assert r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["n_bpe_tokens"] >= r["n_words"]
+    assert out[1]["n_words"] == 3 and out[1]["n_chars"] == 15
+    # 4 merges on this tiny corpus collapse repeated words hard
+    assert out[1]["n_bpe_tokens"] < out[1]["n_chars"]
+    # max_merges guard
+    with pytest.raises(ValueError, match="max_merges"):
+        textstats.bpe_apply(df, merges, max_merges=2)

@@ -151,7 +151,7 @@ def main() -> int:
             bad = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
             emit(f"FAIL {name}: values differ; first diffs:")
             for a, b in bad:
-                print(f"  spark={a}\n  duck ={b}")
+                emit(f"  spark={a}\n  duck ={b}")
             continue
         emit(f"PASS {name} ({len(sv)} rows, {time.time()-t0:.1f}s)")
     for name in unknown:
