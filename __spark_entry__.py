@@ -4070,6 +4070,82 @@ def q_media_jpeg_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_media_jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode end-to-end (r9): six-scan SOF2 streams
+    (DC first + spectral-selection AC bands + successive-approximation
+    refinements + DC refinement — the libjpeg-style script) decoded by
+    the multi-scan coefficient-accumulation path. Successive
+    approximation is lossless once all refinements land, so on the
+    block-constant all-ones-quant fixtures the decode is BIT-EXACT and
+    the oracle recomputes the channel means in closed form (the AC
+    machinery is exercised as EOB-run streams here and as full
+    coefficient content in the pytest cross-check against the baseline
+    decoder)."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                wb, hb = 1 + (i % 3), 1 + (i % 2)
+                px = [
+                    [
+                        (i * 11 + (x // 8) * 17 + (y // 8) * 29) % 256
+                        for x in range(8 * wb)
+                    ]
+                    for y in range(8 * hb)
+                ]
+                rows.append(
+                    (
+                        i,
+                        multimodal.encode_jpeg_progressive_gray8(
+                            8 * wb, 8 * hb, px
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_MEDIA_JPEG_PROG_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+  FROM documents WHERE doc_id < 40
+),
+cells AS (
+  SELECT media_id, wb, hb,
+         (media_id * 11 + gx.range * 17 + gy.range * 29) % 256 AS v
+  FROM ids, range(0, 3) gx, range(0, 2) gy
+  WHERE gx.range < wb AND gy.range < hb
+)
+SELECT media_id,
+       CAST(wb * 8 AS BIGINT) AS width,
+       CAST(hb * 8 AS BIGINT) AS height,
+       CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+       round(avg(v), 3) AS mean_r,
+       round(avg(v), 3) AS mean_g,
+       round(avg(v), 3) AS mean_b
+FROM cells GROUP BY media_id, wb, hb
+"""
+
+
 _MEDIA_JPEG_420_SQL = """
 WITH ids AS (
   SELECT doc_id AS media_id,
@@ -4191,6 +4267,93 @@ SELECT CAST(boot_id AS INTEGER) AS boot_id,
 FROM wts
 GROUP BY boot_id
 HAVING sum(w) > 0
+"""
+
+
+def q_agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap estimation from mergeable HLL sketches
+    (r9): how much of each source's token vocabulary is already in
+    each other source — the dedup-planning signal, computed by
+    inclusion-exclusion over per-segment sketches with NO corpus-sized
+    join (the pair side is one bounded sketch row per source).
+    Estimates are engine-specific, so the oracle-able rendering is the
+    accuracy flag vs exact twins computed alongside (q_agg_sketch_rollup
+    precedent): union within 10%, intersection within 25%."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    est = distinct.hll_overlap_report(toks, "source", "token")
+    pairs = toks.select("source", "token").distinct()
+    ex = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), "token")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("seg_a"), F.col("y.source").alias("seg_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    exu = (
+        pairs.alias("x")
+        .crossJoin(
+            pairs.select(F.col("source").alias("sb")).distinct().alias("y")
+        )
+        .where(F.col("x.source") < F.col("sb"))
+        .select(F.col("x.source").alias("seg_a"), F.col("sb").alias("seg_b"), "token")
+        .distinct()
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    )
+    return (
+        est.join(ex, ["seg_a", "seg_b"])
+        .join(exu, ["seg_a", "seg_b"])
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_intersection",
+            "exact_union",
+            (
+                F.abs(F.col("approx_union") - F.col("exact_union"))
+                / F.col("exact_union")
+                <= 0.10
+            ).alias("union_within_10pct"),
+            (
+                F.abs(F.col("approx_intersection") - F.col("exact_intersection"))
+                / F.col("exact_intersection")
+                <= 0.25
+            ).alias("intersection_within_25pct"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+_AGG_HLL_OVERLAP_SQL = r"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+inter AS (
+  SELECT x.source AS seg_a, y.source AS seg_b,
+         CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM pairs x JOIN pairs y ON x.token = y.token AND x.source < y.source
+  GROUP BY x.source, y.source
+),
+uni AS (
+  SELECT seg_a, seg_b, CAST(count(DISTINCT token) AS BIGINT) AS exact_union
+  FROM (
+    SELECT x.source AS seg_a, y.source AS seg_b, x.token
+    FROM pairs x CROSS JOIN (SELECT DISTINCT source FROM pairs) y(source)
+    WHERE x.source < y.source
+  ) GROUP BY seg_a, seg_b
+)
+SELECT i.seg_a, i.seg_b, i.exact_intersection, u.exact_union,
+       TRUE AS union_within_10pct,
+       TRUE AS intersection_within_25pct
+FROM inter i JOIN uni u ON i.seg_a = u.seg_a AND i.seg_b = u.seg_b
+ORDER BY i.seg_a, i.seg_b
 """
 
 
@@ -6209,6 +6372,57 @@ LIMIT 20
 """
 
 
+def q_graph_pagerank_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank WITH the fixpoint-proximity receipt (r9, the k-core
+    certificate's sibling): ``max_delta`` = max absolute rank change
+    between the final two iterations in integer micro-units — the
+    evidence that the FIXED iteration count was enough (or not) without
+    any driver-side convergence probe. One extra node-sized join +
+    scalar aggregate; the oracle unrolls all iterations and re-derives
+    the same scalar from r7 vs r8. Top-20, ties by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        delta_receipt=True,
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_receipt_sql() -> str:
+    base_sql = _pagerank_sql()
+    marker = "SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree"
+    assert marker in base_sql, "_pagerank_receipt_sql: base oracle changed"
+    head = base_sql[: base_sql.index(marker)]
+    # r7/r8 are each referenced twice here (next level + the delta
+    # scalar) — materialize every level so the CTE chain can't be
+    # re-inlined exponentially
+    for i in range(1, _PR_ITERS + 1):
+        head = head.replace(f"r{i} AS (", f"r{i} AS MATERIALIZED (")
+    return f"""{head}
+SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree, dd.max_delta
+FROM r{_PR_ITERS} r
+JOIN deg ON deg.src = r.node
+CROSS JOIN (
+  SELECT CAST(coalesce(max(abs(a.rank - b.rank)), 0) AS BIGINT) AS max_delta
+  FROM r{_PR_ITERS} a JOIN r{_PR_ITERS - 1} b ON a.node = b.node
+) dd
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
 def q_graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINELY DIRECTED PageRank (``symmetric=False``) over the
     customer→supplier purchase graph: suppliers never buy, so every
@@ -7829,8 +8043,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
-    # --- round-7 NEW wave 3: bit-exact iterative PageRank ---
+    # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
+    #     fixpoint-proximity receipt variant ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
+    "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
     # --- round-8 NEW: directed mode with dangling-sink redistribution ---
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     # --- round-8 NEW: strategy-applying join; pure-sketch curation
@@ -7848,12 +8064,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_media_jpeg_decode_subsampled,
         _MEDIA_JPEG_420_SQL,
     ),
+    "q_media_jpeg_decode_progressive": (
+        q_media_jpeg_decode_progressive,
+        _MEDIA_JPEG_PROG_SQL,
+    ),
     # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
     "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
     # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
     #     co-purchase projection ---
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
+    # --- round-9 NEW: HLL cross-source overlap estimate ---
+    "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
@@ -7883,9 +8105,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
-    "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
-    "q_sample_negatives": (q_sample_negatives, _SAMPLE_NEGATIVES_SQL),
-    "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),
     "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
     "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
     "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
@@ -7909,6 +8128,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
+    "q_sample_negatives": (q_sample_negatives, _SAMPLE_NEGATIVES_SQL),
+    "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),
     "q_clean_winsorize": (q_clean_winsorize, _CLEAN_WINSORIZE_SQL),
     "q_clean_winsorize_approx": (q_clean_winsorize_approx, _CLEAN_WINSORIZE_APPROX_SQL),
     "q_quality_quantile_approx": (q_quality_quantile_approx, _QUALITY_QUANTILE_APPROX_SQL),

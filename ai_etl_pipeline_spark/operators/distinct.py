@@ -445,3 +445,48 @@ def countmin_inner_product(
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
     )
     return per_row.agg(F.min("__dot").cast("bigint").alias("est_join_rows"))
+
+
+def hll_overlap_report(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Pairwise cross-segment OVERLAP estimates from mergeable HLL
+    sketches — the dedup-planning question ("how much of source A is
+    already in source B?") answered WITHOUT a corpus-sized join:
+    ``|A∩B| ≈ est(A) + est(B) - est(A∪B)`` (inclusion-exclusion over
+    the union-mergeable sketch), clamped at zero.
+
+    One corpus pass builds a sketch per segment; the pair generation is
+    a self-join of the BOUNDED sketch frame (one row per segment —
+    broadcastable at any corpus size), each pair paying one in-row
+    sketch union. At 100 TB the sketches are the same ones the ingest
+    rollup already maintains, so the whole report is free of raw-data
+    scans. Returns ``(seg_a, seg_b, approx_a, approx_b, approx_union,
+    approx_intersection)`` with ``seg_a < seg_b``; estimates are
+    engine-specific, so queries gate on tolerance flags vs exact twins
+    (the q_agg_sketch_rollup precedent)."""
+    sk = df.groupBy(segment_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("__sk")
+    )
+    a = sk.select(F.col(segment_col).alias("seg_a"), F.col("__sk").alias("__ska"))
+    b = sk.select(F.col(segment_col).alias("seg_b"), F.col("__sk").alias("__skb"))
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    est = pairs.select(
+        "seg_a",
+        "seg_b",
+        F.hll_sketch_estimate("__ska").alias("approx_a"),
+        F.hll_sketch_estimate("__skb").alias("approx_b"),
+        F.hll_sketch_estimate(F.hll_union("__ska", "__skb")).alias("approx_union"),
+    )
+    return est.withColumn(
+        "approx_intersection",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("approx_a") + F.col("approx_b") - F.col("approx_union")).cast(
+                "bigint"
+            ),
+        ),
+    )

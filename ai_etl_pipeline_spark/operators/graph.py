@@ -41,6 +41,7 @@ def pagerank(
     symmetric: bool = True,
     checkpoint_every: int | None = 6,
     seeds: DataFrame | None = None,
+    delta_receipt: bool = False,
 ) -> DataFrame:
     """Damped random-walk centrality over an edge relation: fixed
     ``iterations`` of ``rank'(u) = ((100 - d)·base + d·(Σ_{v→u}
@@ -80,6 +81,13 @@ def pagerank(
     still requiring zero driver actions (materialization happens on
     the caller's first action, like every other operator here). Set
     None to keep one pure plan (fine to ~10 iterations).
+
+    ``delta_receipt`` (r9, the k-core certificate's sibling) appends a
+    ``max_delta`` column: the max absolute rank change between the
+    final two iterations, in micro-units — the fixpoint-proximity
+    receipt that says whether the FIXED iteration count was enough
+    (one extra node-sized join + scalar aggregate, still zero driver
+    actions; same scalar on every row).
     """
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
@@ -169,7 +177,13 @@ def pagerank(
             )
     ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
+    prev_ranks = None
     for it in range(iterations):
+        if delta_receipt and it == iterations - 1:
+            # snapshot the penultimate ranks; checkpointed so the
+            # receipt join doesn't recompute the shared iteration chain
+            prev_ranks = ranks.localCheckpoint(eager=False)
+            ranks = prev_ranks
         # per-NODE contribution first (node-sized join of two node-keyed
         # frames), then a single edge join — the edge relation is the
         # big side and should be touched exactly once per iteration
@@ -260,14 +274,29 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out_deg = deg.select(F.col("__src").alias("__node"), F.col("__deg"))
-    return (
-        ranks.join(out_deg, "__node", "left")
-        .select(
-            F.col("__node").alias("node"),
-            F.col("__rank").alias("rank"),
-            F.coalesce(F.col("__deg"), F.lit(0)).cast("bigint").alias("degree"),
-        )
+    out = ranks.join(out_deg, "__node", "left").select(
+        F.col("__node").alias("node"),
+        F.col("__rank").alias("rank"),
+        F.coalesce(F.col("__deg"), F.lit(0)).cast("bigint").alias("degree"),
     )
+    if delta_receipt:
+        delta = (
+            ranks.join(
+                prev_ranks.select(
+                    F.col("__node"), F.col("__rank").alias("__prev")
+                ),
+                "__node",
+            )
+            .agg(
+                F.coalesce(
+                    F.max(F.abs(F.col("__rank") - F.col("__prev"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("max_delta")
+            )
+        )
+        out = out.crossJoin(F.broadcast(delta))
+    return out
 
 
 def k_core(

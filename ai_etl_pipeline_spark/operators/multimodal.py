@@ -721,6 +721,144 @@ def _jpeg_extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _next_marker_pos(raw: bytes, p: int) -> int:
+    """First position >= p of a real marker (not a stuffed 0xFF00 and
+    not an RSTn, which belong to the entropy stream)."""
+    while p + 1 < len(raw):
+        if raw[p] == 0xFF and raw[p + 1] != 0x00 and not (
+            0xD0 <= raw[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(raw)
+
+
+def _decode_prog_scan(
+    raw: bytes,
+    data_pos: int,
+    scomps: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    huff: dict,
+    coef_store: list,
+    restart_interval: int,
+    nbx: int,
+    nby: int,
+) -> int:
+    """Decode ONE progressive-JPEG scan (T.81 G.2) into the zigzag
+    coefficient store: DC first/refinement (interleaved allowed at
+    1x1), AC first with EOB runs, AC successive-approximation
+    refinement with correction bits. Returns the position of the
+    marker that follows the scan's entropy data."""
+    ss, se, ah, al = band
+    # T.81 scan-header legality: a progressive DC scan is exactly
+    # Ss=Se=0; AC bands live in 1..63. A baseline-shaped SOS (0..63)
+    # inside an SOF2 stream is malformed, not a decodable scan.
+    if (ss == 0) != (se == 0) or se > 63 or se < ss or ah > 13 or al > 13:
+        raise ValueError(
+            f"invalid progressive JPEG scan band Ss={ss} Se={se} Ah={ah} Al={al}"
+        )
+    reader = _JpegBitReader(raw, data_pos)
+
+    def decode_huff(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    preds = {ci: 0 for ci, _, _ in scomps}
+    eobrun = 0
+    units = nbx * nby  # MCU == one block per component (1x1 contract)
+    unit = 0
+    try:
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_past_rst()
+                    preds = {ci: 0 for ci, _, _ in scomps}
+                    eobrun = 0
+                for ci, td, ta in scomps:
+                    z = coef_store[ci][by][bx]
+                    if ss == 0 and ah == 0:  # DC first
+                        s = decode_huff(huff[(0, td)])
+                        preds[ci] += _jpeg_extend(reader.read_bits(s), s)
+                        z[0] = preds[ci] << al
+                    elif ss == 0:  # DC refinement: one bit per block
+                        z[0] |= reader.read_bit() << al
+                    elif ah == 0:  # AC first (single component per scan)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = decode_huff(huff[(1, ta)])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC index overflow")
+                            z[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                            k += 1
+                    else:  # AC refinement (correction bits)
+                        p1, m1 = 1 << al, -1 << al
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = decode_huff(huff[(1, ta)])
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.read_bits(r)
+                                        break
+                                    # ZRL: run of 16 zero-history coefs
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "invalid JPEG AC refinement symbol"
+                                        )
+                                    val = p1 if reader.read_bit() else m1
+                                while k <= se:
+                                    if z[k] != 0:
+                                        if reader.read_bit() and (z[k] & p1) == 0:
+                                            z[k] += p1 if z[k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    z[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            # EOB: correction bits for the remaining
+                            # nonzero-history coefficients of this block
+                            while k <= se:
+                                if z[k] != 0 and reader.read_bit() and (
+                                    z[k] & p1
+                                ) == 0:
+                                    z[k] += p1 if z[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+                unit += 1
+    except _JpegMarker as m:
+        raise ValueError(
+            f"unexpected marker {m.marker:#x} in progressive scan "
+            f"(unit {unit}/{units})"
+        )
+    return _next_marker_pos(raw, reader.pos)
+
+
 def decode_jpeg(content: bytes) -> dict:
     """REAL stdlib-only baseline JPEG decode (ITU-T T.81 sequential
     DCT, 8-bit, Huffman): segment walk (DQT/DHT/SOF0/DRI/SOS), MCU
@@ -729,10 +867,14 @@ def decode_jpeg(content: bytes) -> dict:
     BT.601 YCbCr->RGB convert. Supported: grayscale or 3-component
     with sampling factors up to 2x2 (r9: includes 4:2:0 — the layout
     nearly every camera/web JPEG uses — and 4:2:2/4:4:0; chroma is
-    upsampled by sample replication). Progressive (SOF2), arithmetic
-    coding and factors beyond 2x2 raise ``ValueError`` (honest scope;
-    callers dispatch with :func:`is_jpeg`). Returns header fields plus
-    exact channel means over the declared (cropped) width x height."""
+    upsampled by sample replication). PROGRESSIVE (SOF2) streams decode
+    too (r9): spectral selection AND successive approximation — DC
+    first/refinement, AC first with EOB runs, AC correction-bit
+    refinement per T.81 G.2 — for 1x1-sampled components (subsampled
+    progressive, arithmetic coding and factors beyond 2x2 raise
+    ``ValueError``; honest scope, callers dispatch with
+    :func:`is_jpeg`). Returns header fields plus exact channel means
+    over the declared (cropped) width x height."""
     import struct
 
     if not is_jpeg(content):
@@ -746,11 +888,15 @@ def decode_jpeg(content: bytes) -> dict:
     restart_interval = 0
     scan: list[tuple[int, int, int]] = []  # (comp_index, dc_table, ac_table)
     sos_pos = -1
+    progressive = False
+    coef_store: list = []  # per component: [by][bx] -> zigzag coef list
+    prog_scans = 0
+    nbx = nby = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         marker = raw[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack_from(">H", raw, pos + 2)[0]
         seg = raw[pos + 4 : pos + 2 + seg_len]
@@ -771,7 +917,8 @@ def decode_jpeg(content: bytes) -> dict:
                 vals = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {precision}")
@@ -786,12 +933,49 @@ def decode_jpeg(content: bytes) -> dict:
                 raise ValueError("JPEG sampling factors beyond 2x2 unsupported")
             if len(comps) not in (1, 3):
                 raise ValueError(f"unsupported component count {len(comps)}")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if progressive:
+                if any(h != 1 or v != 1 for _, h, v, _ in comps):
+                    raise ValueError(
+                        "subsampled progressive JPEG unsupported (1x1 only)"
+                    )
+                nbx, nby = (width + 7) // 8, (height + 7) // 8
+                coef_store = [
+                    [[[0] * 64 for _ in range(nbx)] for _ in range(nby)]
+                    for _ in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if progressive:
+                scomps = []
+                for c in range(ns):
+                    cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                    idx = next(i for i, t in enumerate(comps) if t[0] == cs)
+                    scomps.append((idx, tables >> 4, tables & 15))
+                band = (
+                    seg[1 + 2 * ns],
+                    seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4,
+                    seg[3 + 2 * ns] & 15,
+                )
+                if band[0] > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                pos = _decode_prog_scan(
+                    raw,
+                    pos + 2 + seg_len,
+                    scomps,
+                    band,
+                    huff,
+                    coef_store,
+                    restart_interval,
+                    nbx,
+                    nby,
+                )
+                prog_scans += 1
+                continue
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 idx = next(i for i, t in enumerate(comps) if t[0] == cs)
@@ -799,7 +983,10 @@ def decode_jpeg(content: bytes) -> dict:
             sos_pos = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if sos_pos < 0 or not comps or width <= 0 or height <= 0:
+    if progressive:
+        if not prog_scans or not comps or width <= 0 or height <= 0:
+            raise ValueError("malformed progressive JPEG: missing SOF/SOS")
+    elif sos_pos < 0 or not comps or width <= 0 or height <= 0:
         raise ValueError("malformed JPEG: missing SOF/SOS")
 
     idct = _jpeg_idct_table()
@@ -816,6 +1003,36 @@ def decode_jpeg(content: bytes) -> dict:
         [[0] * (mcus_x * 8 * h) for _ in range(mcus_y * 8 * v)]
         for _, h, v, _ in comps
     ]
+
+    def idct_block_into(plane: list, z: list, q: list, oy: int, ox: int) -> None:
+        block = [0.0] * 64
+        for k in range(64):
+            if z[k]:
+                block[_JPEG_ZIGZAG[k]] = z[k] * q[k]
+        tmp = [0.0] * 64
+        for y in range(8):
+            row = block[8 * y : 8 * y + 8]
+            for x in range(8):
+                tmp[8 * y + x] = sum(row[u] * idct[u][x] for u in range(8))
+        for x in range(8):
+            col = [tmp[8 * v + x] for v in range(8)]
+            for y in range(8):
+                val = sum(col[v] * idct[v][y] for v in range(8))
+                p = int(round(val + 128.0))
+                plane[oy + y][ox + x] = 0 if p < 0 else 255 if p > 255 else p
+
+    if progressive:
+        # all scans already accumulated into the zigzag coefficient
+        # store — dequantize + IDCT each block (1x1: MCU == block)
+        for ci, (_, _, _, tq) in enumerate(comps):
+            q = qt[tq]
+            for by in range(nby):
+                for bx in range(nbx):
+                    idct_block_into(
+                        planes[ci], coef_store[ci][by][bx], q, by * 8, bx * 8
+                    )
+        return _jpeg_stats(planes, comps, width, height, hmax, vmax)
+
     reader = _JpegBitReader(raw, sos_pos)
 
     def decode_huff(table: dict[tuple[int, int], int]) -> int:
@@ -866,32 +1083,24 @@ def decode_jpeg(content: bytes) -> dict:
                                 f"unexpected marker {m.marker:#x} in scan"
                             )
                         preds[ci] += z[0]
-                        block = [0.0] * 64
-                        block[0] = preds[ci] * q[0]
-                        for k in range(1, 64):
-                            if z[k]:
-                                block[_JPEG_ZIGZAG[k]] = z[k] * q[k]
-                        # separable 2D IDCT: rows then columns
-                        tmp = [0.0] * 64
-                        for y in range(8):
-                            row = block[8 * y : 8 * y + 8]
-                            for x in range(8):
-                                tmp[8 * y + x] = sum(
-                                    row[u] * idct[u][x] for u in range(8)
-                                )
-                        plane = planes[ci]
-                        oy = (my * cv + iby) * 8
-                        ox = (mx * ch + ibx) * 8
-                        for x in range(8):
-                            col = [tmp[8 * v + x] for v in range(8)]
-                            for y in range(8):
-                                val = sum(col[v] * idct[v][y] for v in range(8))
-                                p = int(round(val + 128.0))
-                                plane[oy + y][ox + x] = (
-                                    0 if p < 0 else 255 if p > 255 else p
-                                )
+                        z[0] = preds[ci]
+                        idct_block_into(
+                            planes[ci],
+                            z,
+                            q,
+                            (my * cv + iby) * 8,
+                            (mx * ch + ibx) * 8,
+                        )
             mcu_count += 1
 
+    return _jpeg_stats(planes, comps, width, height, hmax, vmax)
+
+
+def _jpeg_stats(
+    planes: list, comps: list, width: int, height: int, hmax: int, vmax: int
+) -> dict:
+    """Channel means over the declared (cropped) width x height — the
+    shared tail of the baseline and progressive decode paths."""
     n = width * height
     if len(comps) == 1:
         g = planes[0]
@@ -1400,3 +1609,207 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.lit("synthetic/utf8").alias("meta_format"),
         F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("meta_bytes"),
     )
+
+
+def encode_jpeg_progressive_gray8(
+    width: int,
+    height: int,
+    rows: list[list[int]],
+    quant: list[int] | None = None,
+) -> bytes:
+    """Stdlib PROGRESSIVE-JPEG writer (grayscale, SOF2) with the
+    libjpeg-style scan script — spectral selection AND successive
+    approximation, so every decoder path has real input:
+
+      1. DC first         (Ss=0, Se=0,  Ah=0, Al=1)
+      2. AC first  1..5   (Ah=0, Al=2)
+      3. AC first  6..63  (Ah=0, Al=2)
+      4. AC refine 1..63  (Ah=2, Al=1)
+      5. AC refine 1..63  (Ah=1, Al=0)
+      6. DC refine        (Ah=1, Al=0)
+
+    Successive approximation is LOSSLESS once all refinement scans
+    land (first pass sends ``coef >> Al``, refinements restore the
+    dropped bits down to Al=0), so the decoded image is IDENTICAL to
+    the baseline encoding of the same pixels — the cross-check
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` verifies the
+    whole progressive pipeline against the independently-tested
+    sequential path. Width/height must be multiples of 8. EOB runs are
+    emitted per block (EOB0 — valid, simplest)."""
+    import math
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError(
+            "encode_jpeg_progressive_gray8: dimensions must be multiples of 8"
+        )
+    q = quant if quant is not None else [1] * 64
+    dc_enc = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    cosx = [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+    cu = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+    # FDCT + quantize every block once, stored in ZIGZAG order
+    nbx, nby = width // 8, height // 8
+    blocks: list[list[int]] = []
+    for by in range(nby):
+        for bx in range(nbx):
+            cell = [
+                [rows[by * 8 + y][bx * 8 + x] - 128 for x in range(8)]
+                for y in range(8)
+            ]
+            coefs = [0] * 64
+            for v in range(8):
+                for u in range(8):
+                    s = sum(
+                        cell[y][x] * cosx[u][x] * cosx[v][y]
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                    coefs[8 * v + u] = int(
+                        round(0.25 * cu[u] * cu[v] * s / q[8 * v + u])
+                    )
+            blocks.append([coefs[_JPEG_ZIGZAG[k]] for k in range(64)])
+
+    out = bytearray(b"\xff\xd8")
+    zq = bytes(q[_JPEG_ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zq
+    out += b"\xff\xc2" + struct.pack(  # SOF2 progressive, 1 component 1x1
+        ">HBHHBBBB", 11, 8, height, width, 1, 1, 0x11, 0
+    )
+    for tc, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + bytes(vals)
+
+    class _W:
+        def __init__(self) -> None:
+            self.body = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def put(self, code: int, length: int) -> None:
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.nbits += 1
+                if self.nbits == 8:
+                    self.body.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.body.append(0x00)
+                    self.acc = self.nbits = 0
+
+        def done(self) -> bytes:
+            if self.nbits:
+                self.acc = (self.acc << (8 - self.nbits)) | (
+                    (1 << (8 - self.nbits)) - 1
+                )
+                self.body.append(self.acc)
+                if self.acc == 0xFF:
+                    self.body.append(0x00)
+                self.acc = self.nbits = 0
+            return bytes(self.body)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return b"\xff\xda" + struct.pack(
+            ">HBBBBBB", 8, 1, 1, 0x00, ss, se, (ah << 4) | al
+        )
+
+    def dc_first(al: int) -> bytes:
+        w = _W()
+        pred = 0
+        for z in blocks:
+            v = z[0] >> al  # DC point transform: ARITHMETIC shift (T.81)
+            diff = v - pred
+            pred = v
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            code, length = dc_enc[s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return w.done()
+
+    def dc_refine(al: int) -> bytes:
+        w = _W()
+        for z in blocks:
+            w.put((z[0] >> al) & 1, 1)
+        return w.done()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        w = _W()
+        for z in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                av = (z[k] if z[k] >= 0 else -z[k]) >> al  # magnitude shift
+                if av == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_enc[0xF0]
+                    w.put(code, length)
+                    r -= 16
+                s = av.bit_length()
+                vv = av if z[k] >= 0 else -av
+                code, length = ac_enc[(r << 4) | s]
+                w.put(code, length)
+                w.put(vv if vv >= 0 else vv + (1 << s) - 1, s)
+                r = 0
+            if r:
+                code, length = ac_enc[0x00]  # EOB0
+                w.put(code, length)
+        return w.done()
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        w = _W()
+        for z in blocks:
+            absv = [
+                (z[k] if z[k] >= 0 else -z[k]) >> al for k in range(ss, se + 1)
+            ]
+            # last newly-significant position (absval exactly 1)
+            eob = 0
+            for i, av in enumerate(absv):
+                if av == 1:
+                    eob = i + 1
+            r = 0
+            pending: list[int] = []  # correction bits inside the current run
+            for i, av in enumerate(absv):
+                if av == 0:
+                    r += 1
+                    continue
+                if av > 1:
+                    # previously significant: buffered correction bit
+                    pending.append(av & 1)
+                    continue
+                # newly significant (av == 1)
+                while r > 15 and i < eob:
+                    code, length = ac_enc[0xF0]
+                    w.put(code, length)
+                    r -= 16
+                    for bit in pending:
+                        w.put(bit, 1)
+                    pending = []
+                code, length = ac_enc[(r << 4) | 1]
+                w.put(code, length)
+                w.put(1 if z[ss + i] >= 0 else 0, 1)
+                for bit in pending:
+                    w.put(bit, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                code, length = ac_enc[0x00]  # EOB0
+                w.put(code, length)
+                for bit in pending:
+                    w.put(bit, 1)
+        return w.done()
+
+    out += sos(0, 0, 0, 1) + dc_first(1)
+    out += sos(1, 5, 0, 2) + ac_first(1, 5, 2)
+    out += sos(6, 63, 0, 2) + ac_first(6, 63, 2)
+    out += sos(1, 63, 2, 1) + ac_refine(1, 63, 1)
+    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    out += sos(0, 0, 1, 0) + dc_refine(0)
+    return bytes(out) + b"\xff\xd9"

@@ -169,6 +169,9 @@ HEADLINE = [
     "q_text_bpe_merges",
     "q_text_bpe_tokenize",
     "q_media_jpeg_decode_subsampled",
+    "q_media_jpeg_decode_progressive",
+    "q_graph_pagerank_receipt",
+    "q_agg_hll_overlap",
 ]
 
 

@@ -236,9 +236,15 @@ def test_jpeg_decoder_rejects_unsupported_variants():
     from ai_etl_pipeline_spark.operators import multimodal as mm
 
     enc = bytearray(mm.encode_jpeg_gray8(8, 8, [[1] * 8 for _ in range(8)]))
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): as of r9 SOF2 itself
+    # is supported, but a baseline-shaped SOS (Ss=0, Se=63) is an
+    # ILLEGAL progressive scan band and must be rejected as such
     i = bytes(enc).find(b"\xff\xc0")
     enc[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="invalid progressive JPEG scan band"):
+        mm.decode_jpeg(bytes(enc))
+    # lossless SOF3 stays out of scope
+    enc[i + 1] = 0xC3
     with _pytest.raises(ValueError, match="baseline"):
         mm.decode_jpeg(bytes(enc))
     with _pytest.raises(ValueError, match="not a JPEG"):

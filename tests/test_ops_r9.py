@@ -190,14 +190,16 @@ def test_jpeg_420_encoder_rejects_bad_dims_and_decoder_scope():
 
     with _pytest.raises(ValueError, match="multiples of 16"):
         mm.encode_jpeg_ycbcr420(8, 8, [[0] * 8] * 8, [[0] * 4] * 4, [[0] * 4] * 4)
-    # progressive SOF2 still raises (scope unchanged beyond sampling)
+    # lossless SOF3 still raises (progressive SOF2 is supported as of
+    # r9 — see test_jpeg_progressive_*; subsampled SOF2 raises its own
+    # error, tested separately)
     w = 16
     y_rows = [[128] * w for _ in range(w)]
     data = bytearray(
         mm.encode_jpeg_ycbcr420(w, w, y_rows, [[128] * 8] * 8, [[128] * 8] * 8)
     )
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2
+    data[sof + 1] = 0xC3
     with _pytest.raises(ValueError, match="baseline"):
         mm.decode_jpeg(bytes(data))
     # sampling factors beyond 2x2 rejected (Y hv byte: FF C0 len(2)
@@ -238,3 +240,94 @@ def test_bpe_apply_compression_consistent_with_train(spark):
     # max_merges guard
     with pytest.raises(ValueError, match="max_merges"):
         textstats.bpe_apply(df, merges, max_merges=2)
+
+
+# ----------------------------------------------------- progressive JPEG
+
+def test_jpeg_progressive_equals_baseline_decode():
+    # successive approximation is lossless once all refinement scans
+    # land: the progressive decode must be IDENTICAL to the baseline
+    # decode of the same pixels — full-content cross-check (DC first +
+    # refine, AC first with EOB runs, AC correction-bit refinement)
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    W, H = 24, 16
+    rows = [
+        [(x * 7 + y * 13 + ((x * y) % 5) * 11) % 256 for x in range(W)]
+        for y in range(H)
+    ]
+    for quant in (None, [1 + (k % 7) for k in range(64)]):
+        db = mm.decode_jpeg(mm.encode_jpeg_gray8(W, H, rows, quant=quant))
+        dp = mm.decode_jpeg(
+            mm.encode_jpeg_progressive_gray8(W, H, rows, quant=quant)
+        )
+        assert db == dp
+
+
+def test_jpeg_progressive_negative_dc_and_sparse_ac():
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    # dark image (negative DC after level shift) with one bright pixel
+    # per block (sparse AC across all magnitudes/signs)
+    W = H = 16
+    rows = [[3] * W for _ in range(H)]
+    rows[2][5] = 250
+    rows[10][13] = 199
+    db = mm.decode_jpeg(mm.encode_jpeg_gray8(W, H, rows))
+    dp = mm.decode_jpeg(mm.encode_jpeg_progressive_gray8(W, H, rows))
+    assert db == dp
+
+
+def test_jpeg_progressive_subsampled_rejected():
+    import pytest as _pytest
+
+    from ai_etl_pipeline_spark.operators import multimodal as mm
+
+    # take a 4:2:0 stream and flip its SOF0 to SOF2: the decoder must
+    # refuse subsampled progressive cleanly
+    w = 16
+    data = bytearray(
+        mm.encode_jpeg_ycbcr420(
+            w, w, [[128] * w] * w, [[128] * 8] * 8, [[128] * 8] * 8
+        )
+    )
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="subsampled progressive"):
+        mm.decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------- receipts & overlap
+
+def test_pagerank_delta_receipt_shrinks_with_iterations(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], ["src", "dst"]
+    )
+    d2 = graph.pagerank(e, iterations=2, delta_receipt=True).collect()[0][
+        "max_delta"
+    ]
+    d10 = graph.pagerank(e, iterations=10, delta_receipt=True).collect()[0][
+        "max_delta"
+    ]
+    # power iteration converges geometrically: the late delta must be
+    # far below the early one, and the receipt is the same on all rows
+    assert d10 < d2
+    assert d10 < 50_000  # < 0.05 rank units at base=1e6 after 10 iters
+    rows = graph.pagerank(e, iterations=3, delta_receipt=True).collect()
+    assert len({r["max_delta"] for r in rows}) == 1
+    # without the flag the column is absent (schema unchanged for old callers)
+    assert "max_delta" not in graph.pagerank(e, iterations=2).columns
+
+
+def test_hll_overlap_report_bounds(spark):
+    # two segments with known overlap: A = 0..999, B = 500..1499
+    rows = [("A", str(i)) for i in range(1000)] + [
+        ("B", str(i)) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "val"])
+    r = distinct.hll_overlap_report(df, "seg", "val").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["seg_a"], row["seg_b"]) == ("A", "B")
+    assert abs(row["approx_union"] - 1500) / 1500 < 0.10
+    assert abs(row["approx_intersection"] - 500) / 500 < 0.25
