@@ -4146,6 +4146,107 @@ FROM cells GROUP BY media_id, wb, hb
 """
 
 
+def q_media_jpeg_decode_progressive_420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE 4:2:0 JPEG decode end-to-end (r9) — the layout real
+    progressive photos use: interleaved DC scans over 16x16 subsampled
+    MCUs, per-component spectral AC scans + successive-approximation
+    refinements, replication chroma upsampling. MCU-constant YCbCr
+    fixtures with an all-ones quant table make the decode BIT-EXACT;
+    the oracle recomputes the BT.601 means in closed form (full AC
+    content is covered by the pytest cross-check against the baseline
+    4:2:0 decoder)."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                wb, hb = 1 + (i % 2), 1 + (i % 3)
+
+                def yv(mx, my, i=i):
+                    return (i * 13 + mx * 7 + my * 37) % 256
+
+                def cbv(mx, my, i=i):
+                    return (i * 9 + mx * 21 + my * 5) % 256
+
+                def crv(mx, my, i=i):
+                    return (i * 15 + mx * 3 + my * 27) % 256
+
+                w, h = 16 * wb, 16 * hb
+                y_rows = [
+                    [yv(x // 16, y // 16) for x in range(w)] for y in range(h)
+                ]
+                cb_rows = [
+                    [cbv(x // 8, y // 8) for x in range(w // 2)]
+                    for y in range(h // 2)
+                ]
+                cr_rows = [
+                    [crv(x // 8, y // 8) for x in range(w // 2)]
+                    for y in range(h // 2)
+                ]
+                rows.append(
+                    (
+                        i,
+                        multimodal.encode_jpeg_progressive_ycbcr420(
+                            w, h, y_rows, cb_rows, cr_rows
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_MEDIA_JPEG_PROG_420_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+  FROM documents WHERE doc_id < 40
+),
+cells AS (
+  SELECT media_id, wb, hb,
+         (media_id * 13 + gx.range * 7 + gy.range * 37) % 256 AS yv,
+         (media_id * 9 + gx.range * 21 + gy.range * 5) % 256 - 128 AS pb,
+         (media_id * 15 + gx.range * 3 + gy.range * 27) % 256 - 128 AS pr
+  FROM ids, range(0, 2) gx, range(0, 3) gy
+  WHERE gx.range < wb AND gy.range < hb
+),
+rgb AS (
+  SELECT media_id, wb, hb,
+         LEAST(255, GREATEST(0, CAST(round(yv + 1.402 * pr) AS INTEGER))) AS r,
+         LEAST(255, GREATEST(0,
+           CAST(round(yv - 0.344136 * pb - 0.714136 * pr) AS INTEGER))) AS g,
+         LEAST(255, GREATEST(0, CAST(round(yv + 1.772 * pb) AS INTEGER))) AS b
+  FROM cells
+)
+SELECT media_id,
+       CAST(wb * 16 AS BIGINT) AS width,
+       CAST(hb * 16 AS BIGINT) AS height,
+       CAST(wb * hb * 256 AS BIGINT) AS n_pixels,
+       round(avg(r), 3) AS mean_r,
+       round(avg(g), 3) AS mean_g,
+       round(avg(b), 3) AS mean_b
+FROM rgb GROUP BY media_id, wb, hb
+"""
+
+
 _MEDIA_JPEG_420_SQL = """
 WITH ids AS (
   SELECT doc_id AS media_id,
@@ -8067,6 +8168,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_jpeg_decode_progressive": (
         q_media_jpeg_decode_progressive,
         _MEDIA_JPEG_PROG_SQL,
+    ),
+    "q_media_jpeg_decode_progressive_420": (
+        q_media_jpeg_decode_progressive_420,
+        _MEDIA_JPEG_PROG_420_SQL,
     ),
     # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
     "q_graph_kcore": (q_graph_kcore, _kcore_sql()),

@@ -615,6 +615,26 @@ _JPEG_AC_VALS = [
 ]
 
 
+def _jpeg_cosx() -> list[list[float]]:
+    """FDCT cosine table: cos((2x+1) u pi / 16)."""
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+
+
+def _jpeg_cu() -> list[float]:
+    import math
+
+    return [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+
+_JPEG_COSX = _jpeg_cosx()
+_JPEG_CU = _jpeg_cu()
+
+
 def _jpeg_idct_table() -> list[list[float]]:
     """8x8 IDCT basis: table[u][x] = C(u)/2 * cos((2x+1) u pi / 16)."""
     import math
@@ -741,13 +761,16 @@ def _decode_prog_scan(
     huff: dict,
     coef_store: list,
     restart_interval: int,
-    nbx: int,
-    nby: int,
+    comps: list,
+    mcus: tuple[int, int],
+    own_grid: list[tuple[int, int]],
 ) -> int:
     """Decode ONE progressive-JPEG scan (T.81 G.2) into the zigzag
-    coefficient store: DC first/refinement (interleaved allowed at
-    1x1), AC first with EOB runs, AC successive-approximation
-    refinement with correction bits. Returns the position of the
+    coefficient store: DC first/refinement (interleaved: h x v blocks
+    per component per MCU — the subsampled layout), AC first with EOB
+    runs, AC successive-approximation refinement with correction bits.
+    Non-interleaved scans (single component — every AC scan, by spec)
+    walk the component's OWN block grid. Returns the position of the
     marker that follows the scan's entropy data."""
     ss, se, ah, al = band
     # T.81 scan-header legality: a progressive DC scan is exactly
@@ -769,92 +792,113 @@ def _decode_prog_scan(
 
     preds = {ci: 0 for ci, _, _ in scomps}
     eobrun = 0
-    units = nbx * nby  # MCU == one block per component (1x1 contract)
+    # data-unit sequence: interleaved scans walk MCUs emitting h x v
+    # blocks per component; single-component scans walk that
+    # component's own (non-padded) grid — T.81 interleave rules
+    if len(scomps) > 1:
+        mx_n, my_n = mcus
+        seq: list[list[tuple[int, int, int, int, int]]] = []
+        for my in range(my_n):
+            for mx in range(mx_n):
+                blocks = []
+                for ci, td, ta in scomps:
+                    _, ch, cv, _ = comps[ci]
+                    for iby in range(cv):
+                        for ibx in range(ch):
+                            blocks.append(
+                                (ci, td, ta, my * cv + iby, mx * ch + ibx)
+                            )
+                seq.append(blocks)
+    else:
+        ci, td, ta = scomps[0]
+        obx, oby = own_grid[ci]
+        seq = [
+            [(ci, td, ta, by, bx)] for by in range(oby) for bx in range(obx)
+        ]
     unit = 0
     try:
-        for by in range(nby):
-            for bx in range(nbx):
-                if restart_interval and unit and unit % restart_interval == 0:
-                    reader.align_past_rst()
-                    preds = {ci: 0 for ci, _, _ in scomps}
-                    eobrun = 0
-                for ci, td, ta in scomps:
-                    z = coef_store[ci][by][bx]
-                    if ss == 0 and ah == 0:  # DC first
-                        s = decode_huff(huff[(0, td)])
-                        preds[ci] += _jpeg_extend(reader.read_bits(s), s)
-                        z[0] = preds[ci] << al
-                    elif ss == 0:  # DC refinement: one bit per block
-                        z[0] |= reader.read_bit() << al
-                    elif ah == 0:  # AC first (single component per scan)
-                        if eobrun > 0:
-                            eobrun -= 1
-                            continue
-                        k = ss
+        for blocks in seq:
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_past_rst()
+                preds = {ci: 0 for ci, _, _ in scomps}
+                eobrun = 0
+            for ci, td, ta, by, bx in blocks:
+                z = coef_store[ci][by][bx]
+                if ss == 0 and ah == 0:  # DC first
+                    s = decode_huff(huff[(0, td)])
+                    preds[ci] += _jpeg_extend(reader.read_bits(s), s)
+                    z[0] = preds[ci] << al
+                elif ss == 0:  # DC refinement: one bit per block
+                    z[0] |= reader.read_bit() << al
+                elif ah == 0:  # AC first (single component per scan)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = decode_huff(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        z[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (correction bits)
+                    p1, m1 = 1 << al, -1 << al
+                    k = ss
+                    if eobrun == 0:
                         while k <= se:
                             rs = decode_huff(huff[(1, ta)])
                             r, s = rs >> 4, rs & 15
+                            val = 0
                             if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.read_bits(r)
-                                break
-                            k += r
-                            if k > se:
-                                raise ValueError("JPEG AC index overflow")
-                            z[k] = _jpeg_extend(reader.read_bits(s), s) << al
-                            k += 1
-                    else:  # AC refinement (correction bits)
-                        p1, m1 = 1 << al, -1 << al
-                        k = ss
-                        if eobrun == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # ZRL: run of 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid JPEG AC refinement symbol"
+                                    )
+                                val = p1 if reader.read_bit() else m1
                             while k <= se:
-                                rs = decode_huff(huff[(1, ta)])
-                                r, s = rs >> 4, rs & 15
-                                val = 0
-                                if s == 0:
-                                    if r != 15:
-                                        eobrun = 1 << r
-                                        if r:
-                                            eobrun += reader.read_bits(r)
-                                        break
-                                    # ZRL: run of 16 zero-history coefs
+                                if z[k] != 0:
+                                    if reader.read_bit() and (z[k] & p1) == 0:
+                                        z[k] += p1 if z[k] >= 0 else m1
                                 else:
-                                    if s != 1:
-                                        raise ValueError(
-                                            "invalid JPEG AC refinement symbol"
-                                        )
-                                    val = p1 if reader.read_bit() else m1
-                                while k <= se:
-                                    if z[k] != 0:
-                                        if reader.read_bit() and (z[k] & p1) == 0:
-                                            z[k] += p1 if z[k] >= 0 else m1
-                                    else:
-                                        if r == 0:
-                                            break
-                                        r -= 1
-                                    k += 1
-                                if val and k <= se:
-                                    z[k] = val
+                                    if r == 0:
+                                        break
+                                    r -= 1
                                 k += 1
-                        if eobrun > 0:
-                            # EOB: correction bits for the remaining
-                            # nonzero-history coefficients of this block
-                            while k <= se:
-                                if z[k] != 0 and reader.read_bit() and (
-                                    z[k] & p1
-                                ) == 0:
-                                    z[k] += p1 if z[k] >= 0 else m1
-                                k += 1
-                            eobrun -= 1
-                unit += 1
+                            if val and k <= se:
+                                z[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # EOB: correction bits for the remaining
+                        # nonzero-history coefficients of this block
+                        while k <= se:
+                            if z[k] != 0 and reader.read_bit() and (
+                                z[k] & p1
+                            ) == 0:
+                                z[k] += p1 if z[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+            unit += 1
     except _JpegMarker as m:
         raise ValueError(
             f"unexpected marker {m.marker:#x} in progressive scan "
-            f"(unit {unit}/{units})"
+            f"(unit {unit}/{len(seq)})"
         )
     return _next_marker_pos(raw, reader.pos)
 
@@ -869,12 +913,14 @@ def decode_jpeg(content: bytes) -> dict:
     nearly every camera/web JPEG uses — and 4:2:2/4:4:0; chroma is
     upsampled by sample replication). PROGRESSIVE (SOF2) streams decode
     too (r9): spectral selection AND successive approximation — DC
-    first/refinement, AC first with EOB runs, AC correction-bit
-    refinement per T.81 G.2 — for 1x1-sampled components (subsampled
-    progressive, arithmetic coding and factors beyond 2x2 raise
-    ``ValueError``; honest scope, callers dispatch with
-    :func:`is_jpeg`). Returns header fields plus exact channel means
-    over the declared (cropped) width x height."""
+    first/refinement (interleaved, subsampled MCUs included), AC first
+    with EOB runs, AC correction-bit refinement per T.81 G.2;
+    non-interleaved scans walk each component's own block grid, so
+    progressive 4:2:0 (the real-photo progressive layout) decodes.
+    Arithmetic coding, 12-bit, lossless/hierarchical and factors
+    beyond 2x2 raise ``ValueError`` (honest scope, callers dispatch
+    with :func:`is_jpeg`). Returns header fields plus exact channel
+    means over the declared (cropped) width x height."""
     import struct
 
     if not is_jpeg(content):
@@ -891,7 +937,8 @@ def decode_jpeg(content: bytes) -> dict:
     progressive = False
     coef_store: list = []  # per component: [by][bx] -> zigzag coef list
     prog_scans = 0
-    nbx = nby = 0
+    p_mcus = (0, 0)
+    prog_own: list[tuple[int, int]] = []
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
@@ -934,15 +981,27 @@ def decode_jpeg(content: bytes) -> dict:
             if len(comps) not in (1, 3):
                 raise ValueError(f"unsupported component count {len(comps)}")
             if progressive:
-                if any(h != 1 or v != 1 for _, h, v, _ in comps):
-                    raise ValueError(
-                        "subsampled progressive JPEG unsupported (1x1 only)"
+                # per-component coefficient grids: PADDED to whole MCUs
+                # (interleaved DC scans code padding blocks) while
+                # non-interleaved scans walk the OWN (unpadded) grid
+                phmax = max(h for _, h, _, _ in comps)
+                pvmax = max(v for _, _, v, _ in comps)
+                p_mcus = (
+                    (width + 8 * phmax - 1) // (8 * phmax),
+                    (height + 8 * pvmax - 1) // (8 * pvmax),
+                )
+                prog_own = []
+                coef_store = []
+                for _, ch, cv, _ in comps:
+                    cw = (width * ch + phmax - 1) // phmax
+                    chh = (height * cv + pvmax - 1) // pvmax
+                    prog_own.append(((cw + 7) // 8, (chh + 7) // 8))
+                    coef_store.append(
+                        [
+                            [[0] * 64 for _ in range(p_mcus[0] * ch)]
+                            for _ in range(p_mcus[1] * cv)
+                        ]
                     )
-                nbx, nby = (width + 7) // 8, (height + 7) // 8
-                coef_store = [
-                    [[[0] * 64 for _ in range(nbx)] for _ in range(nby)]
-                    for _ in comps
-                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xDD:  # DRI
@@ -971,8 +1030,9 @@ def decode_jpeg(content: bytes) -> dict:
                     huff,
                     coef_store,
                     restart_interval,
-                    nbx,
-                    nby,
+                    comps,
+                    p_mcus,
+                    prog_own,
                 )
                 prog_scans += 1
                 continue
@@ -1023,11 +1083,13 @@ def decode_jpeg(content: bytes) -> dict:
 
     if progressive:
         # all scans already accumulated into the zigzag coefficient
-        # store — dequantize + IDCT each block (1x1: MCU == block)
-        for ci, (_, _, _, tq) in enumerate(comps):
+        # store — dequantize + IDCT each block of every component's
+        # padded grid (padding blocks land in plane padding, cropped
+        # out by the stats pass)
+        for ci, (_, ch, cv, tq) in enumerate(comps):
             q = qt[tq]
-            for by in range(nby):
-                for bx in range(nbx):
+            for by in range(p_mcus[1] * cv):
+                for bx in range(p_mcus[0] * ch):
                     idct_block_into(
                         planes[ci], coef_store[ci][by][bx], q, by * 8, bx * 8
                     )
@@ -1611,6 +1673,187 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing; ``done`` pads the
+    final byte with 1-bits (the T.81 fill convention)."""
+
+    def __init__(self) -> None:
+        self.body = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.body.append(self.acc)
+                if self.acc == 0xFF:
+                    self.body.append(0x00)
+                self.acc = self.nbits = 0
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | (
+                (1 << (8 - self.nbits)) - 1
+            )
+            self.body.append(self.acc)
+            if self.acc == 0xFF:
+                self.body.append(0x00)
+            self.acc = self.nbits = 0
+        return bytes(self.body)
+
+
+def _jpeg_fdct_zigzag(cell: list[list[int]], q: list[int]) -> list[int]:
+    """Level-shifted 8x8 pixel block -> quantized zigzag coefficients
+    (shared by the sequential and progressive writers)."""
+    import math
+
+    cosx = _JPEG_COSX
+    cu = _JPEG_CU
+    coefs = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = sum(
+                cell[y][x] * cosx[u][x] * cosx[v][y]
+                for y in range(8)
+                for x in range(8)
+            )
+            coefs[8 * v + u] = int(round(0.25 * cu[u] * cu[v] * s / q[8 * v + u]))
+    return [coefs[_JPEG_ZIGZAG[k]] for k in range(64)]
+
+
+def _prog_dc_first(
+    w: "_JpegBitWriter",
+    seq: list[tuple[int, list[int]]],
+    dc_enc: dict,
+    al: int,
+) -> None:
+    """DC first scan: per-component predictors over an (interleaved or
+    single-component) block sequence; point transform = ARITHMETIC
+    shift (T.81)."""
+    preds: dict[int, int] = {}
+    for ci, z in seq:
+        v = z[0] >> al
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        code, length = dc_enc[s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _prog_dc_refine(
+    w: "_JpegBitWriter", seq: list[tuple[int, list[int]]], al: int
+) -> None:
+    for _, z in seq:
+        w.put((z[0] >> al) & 1, 1)
+
+
+def _prog_ac_first(
+    w: "_JpegBitWriter",
+    blocks: list[list[int]],
+    ac_enc: dict,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC first scan (single component): magnitude point transform,
+    per-block EOB0 (valid and simplest EOB-run policy)."""
+    for z in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            av = (z[k] if z[k] >= 0 else -z[k]) >> al
+            if av == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_enc[0xF0]
+                w.put(code, length)
+                r -= 16
+            s = av.bit_length()
+            vv = av if z[k] >= 0 else -av
+            code, length = ac_enc[(r << 4) | s]
+            w.put(code, length)
+            w.put(vv if vv >= 0 else vv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            code, length = ac_enc[0x00]  # EOB0
+            w.put(code, length)
+
+
+def _prog_ac_refine(
+    w: "_JpegBitWriter",
+    blocks: list[list[int]],
+    ac_enc: dict,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC successive-approximation refinement scan: newly-significant
+    coefficients as (run|1)+sign, correction bits for the previously
+    significant buffered and flushed after each symbol (libjpeg's
+    encode_mcu_AC_refine shape, per-block EOB0)."""
+    for z in blocks:
+        absv = [(z[k] if z[k] >= 0 else -z[k]) >> al for k in range(ss, se + 1)]
+        eob = 0
+        for i, av in enumerate(absv):
+            if av == 1:
+                eob = i + 1
+        r = 0
+        pending: list[int] = []
+        for i, av in enumerate(absv):
+            if av == 0:
+                r += 1
+                continue
+            if av > 1:
+                pending.append(av & 1)
+                continue
+            while r > 15 and i < eob:
+                code, length = ac_enc[0xF0]
+                w.put(code, length)
+                r -= 16
+                for bit in pending:
+                    w.put(bit, 1)
+                pending = []
+            code, length = ac_enc[(r << 4) | 1]
+            w.put(code, length)
+            w.put(1 if z[ss + i] >= 0 else 0, 1)
+            for bit in pending:
+                w.put(bit, 1)
+            pending = []
+            r = 0
+        if r or pending:
+            code, length = ac_enc[0x00]  # EOB0
+            w.put(code, length)
+            for bit in pending:
+                w.put(bit, 1)
+
+
+def _jpeg_dht_segments() -> bytes:
+    import struct
+
+    out = bytearray()
+    for tc, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + bytes(vals)
+    return bytes(out)
+
+
+def _jpeg_sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    import struct
+
+    ns = len(comp_specs)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tables in comp_specs:
+        out += struct.pack(">BB", cid, tables)
+    return out + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+
 def encode_jpeg_progressive_gray8(
     width: int,
     height: int,
@@ -1636,7 +1879,6 @@ def encode_jpeg_progressive_gray8(
     whole progressive pipeline against the independently-tested
     sequential path. Width/height must be multiples of 8. EOB runs are
     emitted per block (EOB0 — valid, simplest)."""
-    import math
     import struct
 
     if width % 8 or height % 8:
@@ -1646,33 +1888,20 @@ def encode_jpeg_progressive_gray8(
     q = quant if quant is not None else [1] * 64
     dc_enc = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    cosx = [
-        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
-        for u in range(8)
-    ]
-    cu = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
 
-    # FDCT + quantize every block once, stored in ZIGZAG order
     nbx, nby = width // 8, height // 8
-    blocks: list[list[int]] = []
-    for by in range(nby):
-        for bx in range(nbx):
-            cell = [
+    blocks = [
+        _jpeg_fdct_zigzag(
+            [
                 [rows[by * 8 + y][bx * 8 + x] - 128 for x in range(8)]
                 for y in range(8)
-            ]
-            coefs = [0] * 64
-            for v in range(8):
-                for u in range(8):
-                    s = sum(
-                        cell[y][x] * cosx[u][x] * cosx[v][y]
-                        for y in range(8)
-                        for x in range(8)
-                    )
-                    coefs[8 * v + u] = int(
-                        round(0.25 * cu[u] * cu[v] * s / q[8 * v + u])
-                    )
-            blocks.append([coefs[_JPEG_ZIGZAG[k]] for k in range(64)])
+            ],
+            q,
+        )
+        for by in range(nby)
+        for bx in range(nbx)
+    ]
+    seq = [(0, z) for z in blocks]
 
     out = bytearray(b"\xff\xd8")
     zq = bytes(q[_JPEG_ZIGZAG[k]] for k in range(64))
@@ -1680,136 +1909,117 @@ def encode_jpeg_progressive_gray8(
     out += b"\xff\xc2" + struct.pack(  # SOF2 progressive, 1 component 1x1
         ">HBHHBBBB", 11, 8, height, width, 1, 1, 0x11, 0
     )
-    for tc, bits, vals in (
-        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
-        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
-        out += bytes(bits) + bytes(vals)
+    out += _jpeg_dht_segments()
 
-    class _W:
-        def __init__(self) -> None:
-            self.body = bytearray()
-            self.acc = 0
-            self.nbits = 0
+    def run(emit) -> bytes:
+        w = _JpegBitWriter()
+        emit(w)
+        return w.done()
 
-        def put(self, code: int, length: int) -> None:
-            for i in range(length - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((code >> i) & 1)
-                self.nbits += 1
-                if self.nbits == 8:
-                    self.body.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.body.append(0x00)
-                    self.acc = self.nbits = 0
+    out += _jpeg_sos([(1, 0x00)], 0, 0, 0, 1)
+    out += run(lambda w: _prog_dc_first(w, seq, dc_enc, 1))
+    out += _jpeg_sos([(1, 0x00)], 1, 5, 0, 2)
+    out += run(lambda w: _prog_ac_first(w, blocks, ac_enc, 1, 5, 2))
+    out += _jpeg_sos([(1, 0x00)], 6, 63, 0, 2)
+    out += run(lambda w: _prog_ac_first(w, blocks, ac_enc, 6, 63, 2))
+    out += _jpeg_sos([(1, 0x00)], 1, 63, 2, 1)
+    out += run(lambda w: _prog_ac_refine(w, blocks, ac_enc, 1, 63, 1))
+    out += _jpeg_sos([(1, 0x00)], 1, 63, 1, 0)
+    out += run(lambda w: _prog_ac_refine(w, blocks, ac_enc, 1, 63, 0))
+    out += _jpeg_sos([(1, 0x00)], 0, 0, 1, 0)
+    out += run(lambda w: _prog_dc_refine(w, seq, 0))
+    return bytes(out) + b"\xff\xd9"
 
-        def done(self) -> bytes:
-            if self.nbits:
-                self.acc = (self.acc << (8 - self.nbits)) | (
-                    (1 << (8 - self.nbits)) - 1
-                )
-                self.body.append(self.acc)
-                if self.acc == 0xFF:
-                    self.body.append(0x00)
-                self.acc = self.nbits = 0
-            return bytes(self.body)
 
-    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
-        return b"\xff\xda" + struct.pack(
-            ">HBBBBBB", 8, 1, 1, 0x00, ss, se, (ah << 4) | al
+def encode_jpeg_progressive_ycbcr420(
+    width: int,
+    height: int,
+    y_rows: list[list[int]],
+    cb_rows: list[list[int]],
+    cr_rows: list[list[int]],
+    quant: list[int] | None = None,
+) -> bytes:
+    """PROGRESSIVE 4:2:0 JPEG writer — the layout real progressive
+    photos use: SOF2 with Y at 2x2 and half-resolution Cb/Cr at 1x1,
+    an INTERLEAVED DC first scan (4 Y + 1 Cb + 1 Cr blocks per 16x16
+    MCU, per-component predictors), per-component spectral AC scans
+    with one successive-approximation refinement each, and an
+    interleaved DC refinement. Lossless once complete, so
+    ``decode_jpeg(progressive 4:2:0) == decode_jpeg(baseline 4:2:0)``
+    cross-checks the subsampled progressive path end-to-end.
+    Width/height must be multiples of 16."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError(
+            "encode_jpeg_progressive_ycbcr420: dimensions must be multiples of 16"
         )
+    q = quant if quant is not None else [1] * 64
+    dc_enc = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    def dc_first(al: int) -> bytes:
-        w = _W()
-        pred = 0
-        for z in blocks:
-            v = z[0] >> al  # DC point transform: ARITHMETIC shift (T.81)
-            diff = v - pred
-            pred = v
-            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-            code, length = dc_enc[s]
-            w.put(code, length)
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        return w.done()
-
-    def dc_refine(al: int) -> bytes:
-        w = _W()
-        for z in blocks:
-            w.put((z[0] >> al) & 1, 1)
-        return w.done()
-
-    def ac_first(ss: int, se: int, al: int) -> bytes:
-        w = _W()
-        for z in blocks:
-            r = 0
-            for k in range(ss, se + 1):
-                av = (z[k] if z[k] >= 0 else -z[k]) >> al  # magnitude shift
-                if av == 0:
-                    r += 1
-                    continue
-                while r > 15:
-                    code, length = ac_enc[0xF0]
-                    w.put(code, length)
-                    r -= 16
-                s = av.bit_length()
-                vv = av if z[k] >= 0 else -av
-                code, length = ac_enc[(r << 4) | s]
-                w.put(code, length)
-                w.put(vv if vv >= 0 else vv + (1 << s) - 1, s)
-                r = 0
-            if r:
-                code, length = ac_enc[0x00]  # EOB0
-                w.put(code, length)
-        return w.done()
-
-    def ac_refine(ss: int, se: int, al: int) -> bytes:
-        w = _W()
-        for z in blocks:
-            absv = [
-                (z[k] if z[k] >= 0 else -z[k]) >> al for k in range(ss, se + 1)
+    def grid(rows: list[list[int]], w8: int, h8: int) -> list[list[list[int]]]:
+        return [
+            [
+                _jpeg_fdct_zigzag(
+                    [
+                        [rows[by * 8 + y][bx * 8 + x] - 128 for x in range(8)]
+                        for y in range(8)
+                    ],
+                    q,
+                )
+                for bx in range(w8)
             ]
-            # last newly-significant position (absval exactly 1)
-            eob = 0
-            for i, av in enumerate(absv):
-                if av == 1:
-                    eob = i + 1
-            r = 0
-            pending: list[int] = []  # correction bits inside the current run
-            for i, av in enumerate(absv):
-                if av == 0:
-                    r += 1
-                    continue
-                if av > 1:
-                    # previously significant: buffered correction bit
-                    pending.append(av & 1)
-                    continue
-                # newly significant (av == 1)
-                while r > 15 and i < eob:
-                    code, length = ac_enc[0xF0]
-                    w.put(code, length)
-                    r -= 16
-                    for bit in pending:
-                        w.put(bit, 1)
-                    pending = []
-                code, length = ac_enc[(r << 4) | 1]
-                w.put(code, length)
-                w.put(1 if z[ss + i] >= 0 else 0, 1)
-                for bit in pending:
-                    w.put(bit, 1)
-                pending = []
-                r = 0
-            if r or pending:
-                code, length = ac_enc[0x00]  # EOB0
-                w.put(code, length)
-                for bit in pending:
-                    w.put(bit, 1)
+            for by in range(h8)
+        ]
+
+    yb = grid(y_rows, width // 8, height // 8)
+    cbb = grid(cb_rows, width // 16, height // 16)
+    crb = grid(cr_rows, width // 16, height // 16)
+    # interleaved MCU sequence for the DC scans
+    seq: list[tuple[int, list[int]]] = []
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for iby in range(2):
+                for ibx in range(2):
+                    seq.append((0, yb[my * 2 + iby][mx * 2 + ibx]))
+            seq.append((1, cbb[my][mx]))
+            seq.append((2, crb[my][mx]))
+    flat = {
+        0: [z for row in yb for z in row],
+        1: [z for row in cbb for z in row],
+        2: [z for row in crb for z in row],
+    }
+
+    out = bytearray(b"\xff\xd8")
+    zq = bytes(q[_JPEG_ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zq
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHBBBBBBBBBB",
+        17, 8, height, width, 3,
+        1, 0x22, 0,
+        2, 0x11, 0,
+        3, 0x11, 0,
+    )
+    out += _jpeg_dht_segments()
+
+    def run(emit) -> bytes:
+        w = _JpegBitWriter()
+        emit(w)
         return w.done()
 
-    out += sos(0, 0, 0, 1) + dc_first(1)
-    out += sos(1, 5, 0, 2) + ac_first(1, 5, 2)
-    out += sos(6, 63, 0, 2) + ac_first(6, 63, 2)
-    out += sos(1, 63, 2, 1) + ac_refine(1, 63, 1)
-    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
-    out += sos(0, 0, 1, 0) + dc_refine(0)
+    out += _jpeg_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1)
+    out += run(lambda w: _prog_dc_first(w, seq, dc_enc, 1))
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        out += _jpeg_sos([(cid, 0x00)], 1, 63, 0, 1)
+        out += run(
+            lambda w, c=comp: _prog_ac_first(w, flat[c], ac_enc, 1, 63, 1)
+        )
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        out += _jpeg_sos([(cid, 0x00)], 1, 63, 1, 0)
+        out += run(
+            lambda w, c=comp: _prog_ac_refine(w, flat[c], ac_enc, 1, 63, 0)
+        )
+    out += _jpeg_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    out += run(lambda w: _prog_dc_refine(w, seq, 0))
     return bytes(out) + b"\xff\xd9"

@@ -172,6 +172,7 @@ HEADLINE = [
     "q_media_jpeg_decode_progressive",
     "q_graph_pagerank_receipt",
     "q_agg_hll_overlap",
+    "q_media_jpeg_decode_progressive_420",
 ]
 
 

@@ -278,23 +278,32 @@ def test_jpeg_progressive_negative_dc_and_sparse_ac():
     assert db == dp
 
 
-def test_jpeg_progressive_subsampled_rejected():
-    import pytest as _pytest
-
+def test_jpeg_progressive_420_equals_baseline_420():
+    # subsampled PROGRESSIVE (the real-photo progressive layout):
+    # interleaved DC scans over 16x16 MCUs + per-component AC scans
+    # walking each component's own grid; lossless once refinements
+    # complete, so it must equal the baseline 4:2:0 decode exactly
     from ai_etl_pipeline_spark.operators import multimodal as mm
 
-    # take a 4:2:0 stream and flip its SOF0 to SOF2: the decoder must
-    # refuse subsampled progressive cleanly
-    w = 16
-    data = bytearray(
-        mm.encode_jpeg_ycbcr420(
-            w, w, [[128] * w] * w, [[128] * 8] * 8, [[128] * 8] * 8
+    W, H = 32, 16
+    y_rows = [
+        [(x * 5 + y * 9 + ((x + y) % 7) * 13) % 256 for x in range(W)]
+        for y in range(H)
+    ]
+    cb_rows = [[(x * 11 + y * 3) % 256 for x in range(W // 2)] for y in range(H // 2)]
+    cr_rows = [
+        [(x * 2 + y * 17 + 40) % 256 for x in range(W // 2)] for y in range(H // 2)
+    ]
+    for quant in (None, [1 + (k % 5) for k in range(64)]):
+        db = mm.decode_jpeg(
+            mm.encode_jpeg_ycbcr420(W, H, y_rows, cb_rows, cr_rows, quant=quant)
         )
-    )
-    sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="subsampled progressive"):
-        mm.decode_jpeg(bytes(data))
+        dp = mm.decode_jpeg(
+            mm.encode_jpeg_progressive_ycbcr420(
+                W, H, y_rows, cb_rows, cr_rows, quant=quant
+            )
+        )
+        assert db == dp
 
 
 # ------------------------------------------------- receipts & overlap
