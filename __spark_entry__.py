@@ -2068,10 +2068,11 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train(docs, "text", rounds=8)
 
 
-def _bpe_chain_sql(rounds: int = 8) -> str:
+def _bpe_chain_sql(rounds: int = 8, src: str = "documents") -> str:
     """The shared BPE-training CTE chain: w0 (encoded distinct-word
-    frequencies) then per round p{i} (the chosen merge) and w{i} (the
-    rewritten vocabulary)."""
+    frequencies over ``src`` — a table or an earlier CTE) then per
+    round p{i} (the chosen merge) and w{i} (the rewritten
+    vocabulary)."""
     s = "\x1f"
     steps = []
     for i in range(1, rounds + 1):
@@ -2096,7 +2097,7 @@ w{i} AS MATERIALIZED (
     SELECT token AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
       SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                                 x -> x <> '')) AS token
-      FROM documents
+      FROM {src}
     ) GROUP BY token
   )
 ),
@@ -2155,6 +2156,129 @@ SELECT doc_id,
        CAST(sum(chars) AS BIGINT) AS n_chars,
        CAST(sum(syms) AS BIGINT) AS n_bpe_tokens
 FROM encd GROUP BY doc_id
+"""
+
+
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-data pipeline capstone (r9): the chain a
+    real 100 TB curation run executes, composed from this engine's own
+    operators — Gopher quality gate → exact dedup (canonical min-id) →
+    benchmark decontamination (8-gram anti-join vs the 5% hash-sampled
+    eval set) → BPE tokenizer TRAINED on the surviving corpus (4
+    merges) → tokenization → per-source token accounting. Every stage
+    is the oracle-checked operator from its own registry row; the
+    oracle here replays the whole chain as one CTE pipeline — an
+    end-to-end receipt, not just per-stage ones. Per source:
+    ``(n_docs, total_words, total_chars, total_bpe_tokens)``."""
+    docs = _t(spark, sf_dir, "documents")
+    # min_stop_hits=0: the synthetic corpus has no English stopwords
+    # (the q_pipeline_curation_v2 precedent); every other Gopher rule
+    # stays at the paper's defaults
+    flags = textstats.gopher_quality_flags(
+        docs, "doc_id", "text", min_stop_hits=0
+    )
+    kept = docs.join(
+        flags.where(F.col("keep_gopher")).select("doc_id"), "doc_id", "left_semi"
+    )
+    dd = dedup.dedup_exact(kept, ["text"], "doc_id")
+    deduped = kept.join(dd.select("doc_id"), "doc_id", "left_semi")
+    bench = sampling.hash_sample(docs, "doc_id", 0.05, salt="bench")
+    clean = dedup.decontaminate(deduped, bench, "doc_id", "text", n=8)
+    merges = textstats.bpe_train(clean, "text", rounds=4)
+    tok = textstats.bpe_apply(clean, merges, "text", "doc_id")
+    return (
+        clean.select("doc_id", "source")
+        .join(tok, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_pretrain_sql(rounds: int = 4) -> str:
+    s = "\x1f"
+    enc = f"regexp_replace(w, '(.)', '{s}\\1{s}', 'g')"
+    for i in range(1, rounds + 1):
+        enc = (
+            f"replace({enc}, '{s}' || (SELECT l FROM p{i}) || '{s}{s}' || "
+            f"(SELECT r FROM p{i}) || '{s}', '{s}' || (SELECT l FROM p{i}) || "
+            f"(SELECT r FROM p{i}) || '{s}')"
+        )
+    return f"""
+WITH gq AS MATERIALIZED ({_gopher_sql_min_stop(0)}),
+kept AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN gq ON gq.doc_id = d.doc_id
+  WHERE gq.keep_gopher
+),
+ddm AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+kd AS MATERIALIZED (SELECT k.* FROM kept k JOIN ddm USING (doc_id)),
+kdtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM kd
+),
+kdgrams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        FROM kdtok WHERE len(ts) >= 8)
+  UNION
+  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+  FROM kdtok WHERE len(ts) < 8 AND array_to_string(ts, ' ') <> ''
+),
+benchtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+  WHERE CAST('0x' || substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000 < 50000
+),
+benchgrams AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM (
+    SELECT array_to_string(ts[i:i+7], ' ') AS shingle
+    FROM (SELECT ts, unnest(range(1, len(ts) - 6)) AS i
+          FROM benchtok WHERE len(ts) >= 8)
+    UNION
+    SELECT array_to_string(ts, ' ') AS shingle
+    FROM benchtok WHERE len(ts) < 8 AND array_to_string(ts, ' ') <> ''
+  )
+),
+hits AS (
+  SELECT DISTINCT g.doc_id FROM kdgrams g JOIN benchgrams b USING (shingle)
+),
+clean AS MATERIALIZED (
+  SELECT kd.* FROM kd LEFT JOIN hits h ON kd.doc_id = h.doc_id
+  WHERE h.doc_id IS NULL
+),
+{_bpe_chain_sql(rounds, src="clean")},
+docw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS w
+  FROM clean
+),
+encd AS (
+  SELECT doc_id, length(w) AS chars,
+         len(string_split(trim({enc}, '{s}'), '{s}{s}')) AS syms
+  FROM docw
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS nw, sum(chars) AS nc, sum(syms) AS nt
+  FROM encd GROUP BY doc_id
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.nw) AS BIGINT) AS total_words,
+       CAST(sum(p.nc) AS BIGINT) AS total_chars,
+       CAST(sum(p.nt) AS BIGINT) AS total_bpe_tokens
+FROM clean c JOIN perdoc p ON c.doc_id = p.doc_id
+GROUP BY c.source
+ORDER BY c.source
 """
 
 
@@ -8196,9 +8320,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _pagerank_directed_personalized_sql(),
     ),
     "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
-    # --- round-9 NEW: relational BPE tokenizer training + tokenization ---
+    # --- round-9 NEW: relational BPE tokenizer training + tokenization;
+    #     end-to-end pretraining-pipeline capstone ---
     "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
     "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
+    "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -8210,8 +8336,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
-    "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
-    "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
     "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
     "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
     "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),
@@ -8233,6 +8357,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
+    "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
     "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),
     "q_sample_negatives": (q_sample_negatives, _SAMPLE_NEGATIVES_SQL),
     "q_pipeline_quality_mix": (q_pipeline_quality_mix, _quality_mix_sql()),

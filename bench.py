@@ -173,6 +173,7 @@ HEADLINE = [
     "q_graph_pagerank_receipt",
     "q_agg_hll_overlap",
     "q_media_jpeg_decode_progressive_420",
+    "q_pipeline_pretrain",
 ]
 
 
