@@ -5333,6 +5333,51 @@ FROM da LEFT JOIN ta USING (lang)
 """
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (r9): per-source sampling
+    rates DERIVED from the data as ``∝ n_i^(1/2)`` (τ=2, the
+    square-root rule of multilingual pretraining mixes), realized as a
+    deterministic hash-thinning/up-sampling multiset. sqrt is the one
+    float op and IEEE requires it correctly rounded, so everything
+    downstream is integer micro-unit arithmetic and the realized
+    multiset hash-matches across engines — a DATA-DERIVED mixture
+    under the full hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(
+        docs, "doc_id", "source", temperature=2.0, salt="temp"
+    )
+    return out.select("doc_id", "source", "copy_no")
+
+
+_SAMPLE_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS wi FROM c
+),
+t AS (
+  SELECT CAST(sum(wi) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS tn FROM w
+),
+r AS (
+  SELECT source, (wi * tn * 1000000) // (tw * n) AS rate_micro
+  FROM w CROSS JOIN t
+),
+j AS (
+  SELECT d.doc_id, d.source,
+         CAST(r.rate_micro // 1000000 AS INTEGER)
+         + CASE WHEN CAST('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)),
+                           1, 15) AS BIGINT) % 1000000
+                     < r.rate_micro % 1000000
+           THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN r USING (source)
+)
+SELECT doc_id, source, CAST(u.g AS INTEGER) AS copy_no
+FROM j, LATERAL (SELECT unnest(generate_series(1, j.copies)) AS g) u
+WHERE j.copies > 0
+"""
+
+
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling with UP-sampling — the training
     mix's epochs-per-domain knob: en×0.5, de×2.5 (every de doc twice,
@@ -6643,6 +6688,74 @@ CROSS JOIN (
   SELECT CAST(coalesce(max(abs(a.rank - b.rank)), 0) AS BIGINT) AS max_delta
   FROM r{_PR_ITERS} a JOIN r{_PR_ITERS - 1} b ON a.node = b.node
 ) dd
+ORDER BY r.rank DESC, r.node
+LIMIT 20
+"""
+
+
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (r9): the trade graph with edge weight = how
+    many lineitems flowed between the customer and supplier — rank
+    follows purchase VOLUME, not mere adjacency (an entity with one
+    heavy partner now outranks one with many trivial ones). Per-edge
+    integer share ``rank·w div strength``; the oracle unrolls the same
+    weighted iterations — bit-exact. Top-20, ties by node id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        weight_col="weight",
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_weighted_sql() -> str:
+    teleport = (100 - _PR_DAMP) * _PR_BASE
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(({teleport} + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((r.rank * e.w) // deg.d) AS BIGINT) AS incoming
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH base_edges AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM base_edges
+    UNION ALL
+    SELECT dst, src, w FROM base_edges
+  ) GROUP BY src, dst
+),
+deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
+FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -8272,6 +8385,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     fixpoint-proximity receipt variant ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
+    "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
     # --- round-8 NEW: directed mode with dangling-sink redistribution ---
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     # --- round-8 NEW: strategy-applying join; pure-sketch curation
@@ -8325,6 +8439,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
     "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
     "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
+    # --- round-9 NEW: data-derived temperature mixture ---
+    "q_sample_temperature": (q_sample_temperature, _SAMPLE_TEMPERATURE_SQL),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -8336,9 +8452,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
-    "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
-    "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
-    "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
@@ -8357,6 +8470,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
+    "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
+    "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),
     "q_events_resample_locf": (q_events_resample_locf, _EVENTS_RESAMPLE_SQL),
     "q_agg_histogram": (q_agg_histogram, _AGG_HISTOGRAM_SQL),
     "q_embed_truncate": (q_embed_truncate, _EMBED_TRUNCATE_SQL),

@@ -42,6 +42,7 @@ def pagerank(
     checkpoint_every: int | None = 6,
     seeds: DataFrame | None = None,
     delta_receipt: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped random-walk centrality over an edge relation: fixed
     ``iterations`` of ``rank'(u) = ((100 - d)·base + d·(Σ_{v→u}
@@ -88,15 +89,37 @@ def pagerank(
     receipt that says whether the FIXED iteration count was enough
     (one extra node-sized join + scalar aggregate, still zero driver
     actions; same scalar on every row).
+
+    ``weight_col`` (r9): WEIGHTED random walk — each out-edge receives
+    rank proportional to its (positive integer) weight: ``contrib(v→u)
+    = rank(v)·w(v,u) div Σ_out w(v)``, computed per edge in the one
+    edge join (parallel edges collapse by summing weights; the
+    unweighted path keeps its original expressions bit-for-bit, so
+    existing oracles are untouched). ``degree`` in the output becomes
+    the out-STRENGTH (weight sum). Symmetric mode mirrors each edge
+    with its weight.
     """
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"pagerank: damping_pct must be in [1, 99], got {damping_pct}")
-    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    if weight_col is not None:
+        e = edges.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
     if symmetric:
         e = e.unionByName(
-            e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+            e.select(
+                F.col("__dst").alias("__src"),
+                F.col("__src").alias("__dst"),
+                *([F.col("__w")] if weight_col is not None else []),
+            )
         )
     # lazy localCheckpoint the iteration's working set ONCE: every
     # iteration references edges/deg/nodes, and without truncation each
@@ -110,13 +133,35 @@ def pagerank(
     # per-iteration contribution join reuses the layout instead of
     # re-shuffling the (big) edge side every round — only the
     # node-sized contribution frame moves per iteration
-    e = (
-        e.where(F.col("__src") != F.col("__dst"))
-        .distinct()
-        .repartition(F.col("__src"))
-        .localCheckpoint(eager=False)
-    )
-    deg = e.groupBy("__src").agg(F.count("*").alias("__deg")).localCheckpoint(eager=False)
+    e = e.where(F.col("__src") != F.col("__dst"))
+    if weight_col is not None:
+        # parallel edges collapse by SUMMING weights (the natural
+        # multigraph semantics); zero/negative weights rejected in-plan
+        e = e.groupBy("__src", "__dst").agg(
+            F.sum(
+                F.when(
+                    F.col("__w") <= 0,
+                    F.raise_error(
+                        F.lit("pagerank: edge weights must be positive")
+                    ).cast("bigint"),
+                ).otherwise(F.col("__w"))
+            ).alias("__w")
+        )
+    else:
+        e = e.distinct()
+    e = e.repartition(F.col("__src")).localCheckpoint(eager=False)
+    if weight_col is not None:
+        deg = (
+            e.groupBy("__src")
+            .agg(F.sum("__w").alias("__deg"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        deg = (
+            e.groupBy("__src")
+            .agg(F.count("*").alias("__deg"))
+            .localCheckpoint(eager=False)
+        )
     if symmetric:
         # after symmetrization every endpoint appears as a source —
         # src-only is the complete node set and reads e once
@@ -187,14 +232,28 @@ def pagerank(
         # per-NODE contribution first (node-sized join of two node-keyed
         # frames), then a single edge join — the edge relation is the
         # big side and should be touched exactly once per iteration
-        node_contrib = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
-            F.col("__src"), F.expr("__rank div __deg").alias("__contrib")
-        )
-        incoming = (
-            e.join(node_contrib, "__src")
-            .groupBy("__dst")
-            .agg(F.sum("__contrib").alias("__incoming"))
-        )
+        if weight_col is not None:
+            # weighted: the per-edge share needs the edge weight, so
+            # carry (rank, strength) to the edge join and split there
+            node_side = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
+                F.col("__src"), F.col("__rank"), F.col("__deg")
+            )
+            incoming = (
+                e.join(node_side, "__src")
+                .groupBy("__dst")
+                .agg(
+                    F.sum(F.expr("(__rank * __w) div __deg")).alias("__incoming")
+                )
+            )
+        else:
+            node_contrib = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
+                F.col("__src"), F.expr("__rank div __deg").alias("__contrib")
+            )
+            incoming = (
+                e.join(node_contrib, "__src")
+                .groupBy("__dst")
+                .agg(F.sum("__contrib").alias("__incoming"))
+            )
         new_ranks = nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
         if symmetric and seeds is not None:
             ranks = (

@@ -457,3 +457,82 @@ def poisson_bootstrap(
             F.round((F.col("r.s") / F.col("r.n")) / 100.0, 4).alias("mean_value"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    temperature: float = 2.0,
+    target_rows: int | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/
+    multi-source rebalancing rule every large pretraining recipe uses
+    (sample group i with probability ∝ n_i^(1/τ)): τ=1 keeps natural
+    proportions, τ→∞ approaches uniform-over-groups, τ=2 (the common
+    choice, and the default) is the square-root rule. Unlike
+    :func:`mixture_sample` the per-group rates are DERIVED FROM THE
+    DATA (one bounded groupBy-count aggregate), not passed in.
+
+    Exactness across engines: after ONE ``sqrt`` per group — IEEE-754
+    requires sqrt to be correctly rounded, so Spark and DuckDB agree
+    bit-for-bit, which a general ``pow`` does NOT guarantee — every
+    derived quantity is integer micro-unit arithmetic
+    (``w_i = round(sqrt(n_i)·1e6)``, ``rate_i = w_i·N·1e6 div
+    (Σw·n_i)``), so the realized multiset is hash-gateable. For
+    τ ≠ 2 the operator falls back to float ``pow`` (documented
+    cross-engine tolerance, not exactness). Expected output size is
+    ``target_rows`` (default: the input row count — pure rebalance).
+
+    Plan shape: one bounded count aggregate → broadcast rate join →
+    per-row hash predicate + guarded ``sequence`` explode (no corpus
+    shuffle). Output adds ``copy_no``; rows from over-sampled groups
+    repeat, under-sampled groups hash-thin."""
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature_mixture: temperature must be > 0, got {temperature}"
+        )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    if temperature == 2.0:
+        wcol = F.sqrt(F.col("__n"))
+    else:
+        wcol = F.pow(F.col("__n"), F.lit(1.0 / temperature))
+    weights = counts.withColumn(
+        "__w", F.round(wcol * _M).cast("bigint")
+    )
+    totals = weights.agg(
+        F.sum("__w").cast("bigint").alias("__tw"),
+        F.sum("__n").cast("bigint").alias("__tn"),
+    )
+    n_target = (
+        F.lit(int(target_rows)).cast("bigint")
+        if target_rows is not None
+        else F.col("__tn")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col),
+            (F.col("__w") * n_target * F.lit(_M)).alias("__num"),
+            (F.col("__tw") * F.col("__n")).alias("__den"),
+        )
+        .select(
+            F.col(group_col),
+            F.expr("__num div __den").alias("__rate_micro"),
+        )
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    base = F.expr(f"__rate_micro div {_M}").cast("int")
+    frac = (F.col("__rate_micro") % F.lit(_M)).cast("bigint")
+    n_copies = (base + (_bucket(F.col(id_col), salt) < frac).cast("int")).cast(
+        "int"
+    )
+    return (
+        joined.withColumn("__copies", n_copies)
+        .where(F.col("__copies") > 0)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies", "__rate_micro")
+    )

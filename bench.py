@@ -174,6 +174,8 @@ HEADLINE = [
     "q_agg_hll_overlap",
     "q_media_jpeg_decode_progressive_420",
     "q_pipeline_pretrain",
+    "q_graph_pagerank_weighted",
+    "q_sample_temperature",
 ]
 
 

@@ -340,3 +340,46 @@ def test_hll_overlap_report_bounds(spark):
     assert (row["seg_a"], row["seg_b"]) == ("A", "B")
     assert abs(row["approx_union"] - 1500) / 1500 < 0.10
     assert abs(row["approx_intersection"] - 500) / 500 < 0.25
+
+
+# -------------------------------------------- weighted PR / temperature mix
+
+def test_pagerank_weighted_follows_volume(spark):
+    # a-b with weight 99 vs a-c with weight 1: b must far outrank c
+    e = spark.createDataFrame(
+        [("a", "b", 99), ("a", "c", 1)], ["src", "dst", "w"]
+    )
+    rows = {
+        r["node"]: r
+        for r in graph.pagerank(e, iterations=6, weight_col="w").collect()
+    }
+    assert rows["b"]["rank"] > 2 * rows["c"]["rank"]
+    # degree column is now out-STRENGTH
+    assert rows["a"]["degree"] == 100
+    # unweighted on the same topology treats b and c equally
+    u = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e.drop("w"), iterations=6).collect()
+    }
+    assert u["b"] == u["c"]
+    # non-positive weights fail loudly
+    bad = spark.createDataFrame([("a", "b", 0)], ["src", "dst", "w"])
+    with pytest.raises(Exception, match="positive"):
+        graph.pagerank(bad, iterations=2, weight_col="w").collect()
+
+
+def test_temperature_mixture_rebalances_toward_uniform(spark):
+    # 900 docs in A, 100 in B: tau=2 rates ~ sqrt -> B up-samples, A thins
+    rows = [(i, "A") for i in range(900)] + [(i + 900, "B") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.temperature_mixture(df, "doc_id", "source", temperature=2.0)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # weights sqrt(900)=30 vs sqrt(100)=10 -> p_A=3/4 of N=1000 -> rate
+    # 750/900 = 0.833 (thinning), p_B=1/4 -> rate 250/100 = 2.5 (x2 + 50%)
+    assert abs(by["A"] - 750) <= 40
+    assert abs(by["B"] - 250) <= 25
+    # total preserved in expectation (pure rebalance)
+    assert abs((by["A"] + by["B"]) - 1000) <= 60
+    with pytest.raises(ValueError, match="temperature"):
+        sampling.temperature_mixture(df, "doc_id", "source", temperature=0)
