@@ -2369,6 +2369,66 @@ GROUP BY 1, 2
 """
 
 
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 → 16 dims (r9):
+    Achlioptas sign matrix from portable md5, one literal addition
+    chain per component — a 4× dimension cut at parquet scan speed
+    (no shuffle, no Python), the cheap front of the ANN stack. Exact
+    vector replay at 6 dp (micro-int rendering) plus the per-vector
+    ``norm_ratio`` distance-preservation receipt (≈1 when JL holds).
+    Oracle embeds the SAME sign literals via
+    ``random_projection_signs`` — bit-exact by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = similarity.random_projection(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16, salt="jl"
+    )
+    p = p.withColumn("__dv", F.expr("transform(embedding, x -> cast(x as double))"))
+    return p.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("proj"),
+                lambda v: F.round(v * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("pvec_micro"),
+        F.round(
+            similarity.norm_expr("proj") / similarity.norm_expr("__dv"), 6
+        ).alias("norm_ratio"),
+    )
+
+
+def _embed_random_projection_sql() -> str:
+    import math
+
+    signs = similarity.random_projection_signs(64, 16, "jl")
+    scale = repr(1.0 / math.sqrt(16.0))
+    comps = []
+    for j in range(16):
+        terms = "".join(
+            (" + " if signs[j][i] > 0 else " - ") + f"dv[{i + 1}]" for i in range(64)
+        )
+        comps.append(f"round(({scale}) * (CAST(0 AS DOUBLE){terms}), 6)")
+    plist = ",\n    ".join(comps)
+    return f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, dv, list_value(
+    {plist}) AS pv
+  FROM d
+)
+SELECT vec_id,
+       array_to_string(list_transform(pv,
+         x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',') AS pvec_micro,
+       round(sqrt(list_aggregate(list_transform(pv, x -> x * x), 'sum')) /
+             sqrt(list_aggregate(list_transform(dv, x -> x * x), 'sum')), 6) AS norm_ratio
+FROM p
+"""
+
+
 def q_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation: first-8-component prefix of each
     embedding re-L2-normalized (the MRL cheap tier — a 4× cut through
@@ -4732,6 +4792,143 @@ SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS shared_customers
 FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
 GROUP BY 1, 2
 ORDER BY shared_customers DESC, supp_a, supp_b
+LIMIT 20
+"""
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup pair graph by
+    FIXED-ROUND min-label propagation (r9) — the receipt-style twin of
+    ``q_dedup_clusters``: same input pairs, completely different
+    algorithm (8 synchronous min-label rounds vs pointer-halving
+    contraction), plus an explicit convergence receipt (``n_changed``
+    from the final round; 0 = the fixpoint was reached inside the
+    round budget). Top-20 components by size. The oracle replays the
+    pair generation bit-for-bit, then unrolls the SAME 8 rounds as
+    chained CTEs — unlike the clusters oracle's recursive CTE, this
+    checks the fixed-round semantics themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    lab = graph.label_propagation(
+        pairs, "id_a", "id_b", iterations=8, mode="components", change_receipt=True
+    )
+    return (
+        lab.groupBy("label", "n_changed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("component_size"))
+        .select(F.col("label").alias("component"), "component_size", "n_changed")
+        .orderBy(F.col("component_size").desc(), F.col("component"))
+        .limit(20)
+    )
+
+
+def _graph_components_sql() -> str:
+    base = _minhash_sql().strip()
+    head, tail = base.split("\nSELECT inter.id_a", 1)
+    pairs_select = "SELECT inter.id_a" + tail
+    rounds = []
+    for i in range(1, 9):
+        rounds.append(f"""l{i} AS MATERIALIZED (
+  SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT e.dst AS node, min(x.label) AS nbr
+    FROM edges e JOIN l{i - 1} x ON x.node = e.src GROUP BY e.dst
+  ) m ON m.node = l.node
+)""")
+    chain = ",\n".join(rounds)
+    return f"""{head},
+pairs AS ({pairs_select}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE id_a <> id_b
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{chain},
+chg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed
+  FROM l8 a JOIN l7 b ON a.node = b.node
+)
+SELECT l.label AS component, CAST(count(*) AS BIGINT) AS component_size, c.n_changed
+FROM l8 l CROSS JOIN chg c
+GROUP BY l.label, c.n_changed
+ORDER BY component_size DESC, component
+LIMIT 20
+"""
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label-propagation communities (r9) over the
+    cosine 3-NN graph of the embedding corpus — LPA cluster discovery
+    on the similarity graph, the graph-side alternative to centroid
+    k-means (``q_embed_kmeans``): no k chosen up front, communities
+    emerge from edge density. 6 synchronous rounds with the
+    (count DESC, label ASC) tiebreak make the classic
+    randomized-order algorithm deterministic and oracle-matchable;
+    top-20 communities by size. The exact 3-NN graph tier is the
+    documented small-corpus path (broadcast queries × corpus, the
+    q_knn_bruteforce precedent); at 100 TB the edge builder swaps to
+    ``lsh_knn`` with the SAME downstream propagation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = similarity.brute_force_knn(emb, emb, k=3)
+    lab = graph.label_propagation(
+        knn, "query_id", "neighbor_id", iterations=6, mode="communities"
+    )
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .select(F.col("label").alias("community"), "community_size")
+        .orderBy(F.col("community_size").desc(), F.col("community"))
+        .limit(20)
+    )
+
+
+def _graph_communities_sql() -> str:
+    rounds = []
+    for i in range(1, 7):
+        rounds.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, x.label, count(*) AS c
+  FROM edges e JOIN l{i - 1} x ON x.node = e.src GROUP BY 1, 2
+),
+w{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, coalesce(w.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN w{i} w ON w.node = l.node
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+knn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+edges AS MATERIALIZED (
+  SELECT query_id AS src, neighbor_id AS dst FROM knn
+  UNION
+  SELECT neighbor_id, query_id FROM knn
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{chain}
+SELECT l.label AS community, CAST(count(*) AS BIGINT) AS community_size
+FROM l6 l GROUP BY l.label
+ORDER BY community_size DESC, community
 LIMIT 20
 """
 
@@ -8441,6 +8638,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
     # --- round-9 NEW: data-derived temperature mixture ---
     "q_sample_temperature": (q_sample_temperature, _SAMPLE_TEMPERATURE_SQL),
+    # --- round-9 NEW: fixed-round label propagation — min-label
+    #     components w/ convergence receipt, majority-vote communities ---
+    "q_graph_components": (q_graph_components, _graph_components_sql()),
+    "q_graph_communities": (q_graph_communities, _graph_communities_sql()),
+    # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
+    "q_embed_random_projection": (
+        q_embed_random_projection,
+        _embed_random_projection_sql(),
+    ),
     # --- round-8 AFFECTED by the JPEG dispatch added to
     #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
@@ -8455,9 +8661,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
-    "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
-    "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
-    "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
@@ -8470,6 +8673,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
+    "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
+    "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),
     "q_cdc_table_diff": (q_cdc_table_diff, _CDC_TABLE_DIFF_SQL),
     "q_dedup_templates": (q_dedup_templates, _DEDUP_TEMPLATES_SQL),
     "q_url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_SQL),

@@ -358,6 +358,150 @@ def pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+    mode: str = "components",
+    checkpoint_every: int | None = 2,
+    change_receipt: bool = False,
+) -> DataFrame:
+    """Fixed-round label propagation over an undirected edge relation
+    — the third member of the fixed-iteration graph tier (PageRank's
+    and k-core's sibling; no reference counterpart, SURVEY.md §2.4).
+
+    ``mode='components'`` is min-label propagation: each round every
+    node takes the minimum of its own label and its neighbors' labels,
+    so after R rounds two nodes share a label iff they are within
+    graph distance R of the component minimum — connected components
+    for any graph whose component RADIUS (from the min-id node) is
+    ≤ R. This is the receipt-style twin of
+    ``dedup.near_duplicate_clusters``: same answer, completely
+    different algorithm (flat per-round relabel vs pointer-halving
+    contraction), which makes it the natural cross-check.
+
+    ``mode='communities'`` is majority-vote label propagation (classic
+    LPA community detection): each round every node adopts its
+    neighbors' most frequent label, ties broken deterministically by
+    (count DESC, label ASC) — dense neighborhoods lock onto one label
+    within a few rounds, sparse cut edges don't carry enough votes to
+    cross. Synchronous updates with a total tiebreak order keep the
+    result engine-independent (classic LPA randomizes update order;
+    that would be unverifiable).
+
+    Edges are symmetrized, self-loops dropped; the node set is all
+    endpoints and every node starts with its own id as label.
+
+    Scale shape: per round, one edge-sized equi-join (edges are
+    hash-partitioned on the join key once, before a lazy
+    localCheckpoint, so each round re-shuffles only the node-sized
+    label frame) + one destination-keyed aggregate (components: MIN —
+    map-side combinable; communities: per-(node,label) counts + one
+    row_number window). Fixed round count, zero driver actions, no
+    convergence probes — one lazy plan, same contract as
+    :func:`pagerank`.
+
+    ``change_receipt`` appends ``n_changed``: how many labels the
+    FINAL round changed (same scalar every row, broadcast crossJoin —
+    scalars only). 0 proves the fixed round count reached the
+    fixpoint; >0 says the result is the R-round approximation — the
+    k-core ``is_converged`` contract.
+
+    Returns ``(node, label[, n_changed])``.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}"
+        )
+    if mode not in ("components", "communities"):
+        raise ValueError(
+            "label_propagation: mode must be 'components' or 'communities', "
+            f"got {mode!r}"
+        )
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    e = e.unionByName(
+        e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    )
+    e = (
+        e.where(F.col("__src") != F.col("__dst"))
+        .distinct()
+        .repartition(F.col("__src"))
+        .localCheckpoint(eager=False)
+    )
+    # symmetrized: src alone covers every endpoint
+    nodes = (
+        e.select(F.col("__src").alias("__node")).distinct().localCheckpoint(eager=False)
+    )
+    labels = nodes.withColumn("__label", F.col("__node"))
+    prev_labels = None
+    for it in range(iterations):
+        if change_receipt and it == iterations - 1:
+            prev_labels = labels.localCheckpoint(eager=False)
+            labels = prev_labels
+        lab_src = labels.select(F.col("__node").alias("__src"), F.col("__label"))
+        if mode == "components":
+            nbr = (
+                e.join(lab_src, "__src")
+                .groupBy("__dst")
+                .agg(F.min("__label").alias("__nbr"))
+            )
+            labels = (
+                labels.join(nbr, labels["__node"] == nbr["__dst"], "left")
+                .select(
+                    F.col("__node"),
+                    F.least(
+                        F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
+                    ).alias("__label"),
+                )
+            )
+        else:
+            cnt = (
+                e.join(lab_src, "__src")
+                .groupBy("__dst", "__label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            w = Window.partitionBy("__dst").orderBy(
+                F.col("__c").desc(), F.col("__label").asc()
+            )
+            win = (
+                cnt.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("__dst"), F.col("__label").alias("__win"))
+            )
+            labels = (
+                labels.join(win, labels["__node"] == win["__dst"], "left")
+                .select(
+                    F.col("__node"),
+                    F.coalesce(F.col("__win"), F.col("__label")).alias("__label"),
+                )
+            )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    out = labels.select(F.col("__node").alias("node"), F.col("__label").alias("label"))
+    if change_receipt:
+        changed = (
+            labels.join(
+                prev_labels.select(
+                    F.col("__node"), F.col("__label").alias("__prev")
+                ),
+                "__node",
+            )
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("__label") != F.col("__prev")).cast("bigint")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_changed")
+            )
+        )
+        out = out.crossJoin(F.broadcast(changed))
+    return out
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -1080,3 +1080,89 @@ def recall_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a deterministic
+    ±1 sign matrix: ``proj_j = (1/sqrt(out_dim)) · Σ_i s_ij · v_i``
+    with ``s_ij ∈ {+1, -1}`` derived from the portable md5 of
+    ``salt|i|j`` (Achlioptas' database-friendly JL construction — ±1
+    entries preserve pairwise distances within (1±ε) at
+    out_dim = O(log n / ε²), no Gaussian sampling needed). The cheap
+    front of an ANN stack: a 4× dimension cut at scan speed that every
+    downstream index (LSH / IVF / PQ) can build on.
+
+    Determinism/verifiability: the sign matrix is a pure function of
+    (salt, i, j) — both the Spark expression and the SQL oracle embed
+    the SAME literal signs, the per-component sum is one
+    left-to-right addition chain in ascending ``i`` (identical IEEE
+    double fold on both engines), and the one scale constant
+    ``1/sqrt(out_dim)`` is embedded via ``repr`` — so projected
+    vectors hash-match bit-for-bit at 6 dp, like the Matryoshka and
+    PQ tiers.
+
+    Scale shape: per-row expression work only (O(in_dim·out_dim)
+    multiply-adds, whole-stage codegen, no Python, no shuffle, no
+    driver action) — the projection runs at parquet scan speed on any
+    corpus size. Input dimension is enforced in-plan
+    (``raise_error`` on a size mismatch — a ragged vector fails
+    loudly, never silently mis-projects).
+
+    Returns the input frame + ``proj`` (array<double>, components
+    rounded to 6 dp).
+    """
+    import hashlib
+    import math
+
+    if in_dim < 1:
+        raise ValueError(f"random_projection: in_dim must be >= 1, got {in_dim}")
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, got {out_dim}")
+
+    def _sign(i: int, j: int) -> int:
+        h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:15]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    scale = repr(1.0 / math.sqrt(float(out_dim)))
+    guarded = df.withColumn(
+        "__dv",
+        F.when(
+            F.size(F.col(vec_col)) != in_dim,
+            F.raise_error(
+                F.lit(f"random_projection: expected {in_dim}-dim vectors")
+            ).cast("array<double>"),
+        ).otherwise(F.expr(_dbl(vec_col))),
+    )
+    comps = []
+    for j in range(out_dim):
+        terms = "".join(
+            (" + " if _sign(i, j) > 0 else " - ") + f"__dv[{i}]"
+            for i in range(in_dim)
+        )
+        comps.append(F.expr(f"round(({scale}) * (cast(0 as double){terms}), 6)"))
+    return guarded.withColumn("proj", F.array(*comps)).drop("__dv")
+
+
+def random_projection_signs(
+    in_dim: int, out_dim: int, salt: str = "jl"
+) -> list[list[int]]:
+    """The exact ±1 sign matrix :func:`random_projection` embeds
+    (``signs[j][i]``) — exposed so oracles and tests can replay the
+    projection without re-deriving the hash convention."""
+    import hashlib
+
+    out = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:15]
+            row.append(1 if int(h, 16) % 2 == 0 else -1)
+        out.append(row)
+    return out

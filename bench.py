@@ -176,6 +176,9 @@ HEADLINE = [
     "q_pipeline_pretrain",
     "q_graph_pagerank_weighted",
     "q_sample_temperature",
+    "q_graph_components",
+    "q_graph_communities",
+    "q_embed_random_projection",
 ]
 
 

@@ -92,8 +92,18 @@ def test_countmin_inner_product_depth_mismatch_raises(spark):
 # ------------------------------------------------- containment dup-id guard
 
 def test_containment_pairs_duplicate_id_raises(spark):
+    # include a SECOND id sharing grams with the duplicated one: the
+    # duplicate-only corpus has zero cross-id candidates, and AQE's
+    # empty-relation propagation may then skip the guard subtree
+    # before it runs (a scheduling race — harmless in the operator,
+    # empty output can't mis-scale, but flaky as a test); a non-empty
+    # candidate join forces the sizes side to evaluate
     df = spark.createDataFrame(
-        [("d1", "alpha beta gamma delta"), ("d1", "alpha beta gamma delta")],
+        [
+            ("d1", "alpha beta gamma delta"),
+            ("d1", "alpha beta gamma delta"),
+            ("d2", "alpha beta gamma delta epsilon"),
+        ],
         ["doc_id", "text"],
     )
     with pytest.raises(Exception, match="duplicate doc id"):
@@ -383,3 +393,101 @@ def test_temperature_mixture_rebalances_toward_uniform(spark):
     assert abs((by["A"] + by["B"]) - 1000) <= 60
     with pytest.raises(ValueError, match="temperature"):
         sampling.temperature_mixture(df, "doc_id", "source", temperature=0)
+
+
+# ------------------------------------------------------- label propagation
+
+def test_label_propagation_components_two_islands(spark):
+    # two disjoint paths: labels converge to each island's min id
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")], ["src", "dst"]
+    )
+    out = graph.label_propagation(
+        e, iterations=4, mode="components", change_receipt=True
+    ).collect()
+    lab = {r["node"]: r["label"] for r in out}
+    assert lab == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+    assert all(r["n_changed"] == 0 for r in out)  # 4 rounds >= radius
+
+
+def test_label_propagation_receipt_flags_short_rounds(spark):
+    # a 8-node path needs 7 rounds from the min end; 2 rounds must
+    # report unfinished propagation through n_changed > 0
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(7)], ["src", "dst"]
+    )
+    out = graph.label_propagation(
+        e, iterations=2, mode="components", change_receipt=True
+    ).collect()
+    assert out[0]["n_changed"] > 0
+    done = graph.label_propagation(
+        e, iterations=8, mode="components", change_receipt=True
+    ).collect()
+    assert all(r["n_changed"] == 0 for r in done)
+    assert len({r["label"] for r in done}) == 1
+
+
+def test_label_propagation_communities_two_cliques(spark):
+    # two triangles joined by one bridge edge: majority vote locks each
+    # triangle onto its min label; the single bridge vote never wins
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("p", "q"), ("q", "r"), ("p", "r")]
+    e = spark.createDataFrame(tri1 + tri2 + [("c", "p")], ["src", "dst"])
+    out = graph.label_propagation(e, iterations=4, mode="communities").collect()
+    lab = {r["node"]: r["label"] for r in out}
+    assert len({lab["a"], lab["b"], lab["c"]}) == 1
+    assert len({lab["p"], lab["q"], lab["r"]}) == 1
+    assert lab["a"] != lab["p"]
+
+
+def test_label_propagation_validates(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations"):
+        graph.label_propagation(e, iterations=0)
+    with pytest.raises(ValueError, match="mode"):
+        graph.label_propagation(e, mode="majority")
+
+
+# ------------------------------------------------------- JL projection
+
+def test_random_projection_shape_and_norms(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+    import math
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.random_projection(
+        df, in_dim=8, out_dim=4, salt="t"
+    ).collect()
+    assert all(len(r["proj"]) == 4 for r in out)
+    # JL: mean squared-norm ratio close to 1 across vectors
+    ratios = []
+    for r in out:
+        on = math.sqrt(sum(x * x for x in r["embedding"]))
+        pn = math.sqrt(sum(x * x for x in r["proj"]))
+        if on > 0:
+            ratios.append((pn / on) ** 2)
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5
+    # replayable sign matrix
+    s = similarity.random_projection_signs(8, 4, "t")
+    assert len(s) == 4 and len(s[0]) == 8
+    assert all(v in (1, -1) for row in s for v in row)
+    r0 = out[0]
+    j = 0
+    expect = round(
+        (1.0 / math.sqrt(4.0))
+        * sum(s[j][i] * r0["embedding"][i] for i in range(8)),
+        6,
+    )
+    assert abs(r0["proj"][j] - expect) < 1e-9
+
+
+def test_random_projection_ragged_vector_raises(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="expected 2-dim"):
+        similarity.random_projection(df, in_dim=2, out_dim=2).collect()
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.random_projection(df, in_dim=2, out_dim=0)

@@ -124,6 +124,9 @@ ALL_OPS = (
     "pagerank",
     # round-8: degree-ordered triangle census growth curve
     "triangles",
+    # round-9: weighted PageRank + fixed-round label propagation
+    # (components / majority-vote communities) growth curves
+    "wpagerank", "labelprop", "lpa_comm",
 )
 
 
@@ -273,6 +276,64 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         )
         release_shuffles(spark)
         out["pagerank_sec"], out["pagerank_nodes"] = t_pr, n_pr
+
+    if "wpagerank" in ops:
+        # same sparse expander as "pagerank", with a deterministic
+        # small-integer weight per edge ((src % 7) + 1) — growth
+        # measures the weighted iteration (the extra per-edge
+        # multiply/div and the strength aggregate), not a new topology
+        n_nodes = docs.selectExpr("max(doc_id) + 1 as m").first()["m"]
+        ids = docs.select("doc_id")
+        wpr_edges = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % n_nodes).alias("dst"),
+        ).unionByName(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 2 + 1) % n_nodes).alias("dst"),
+            )
+        ).withColumn("w", (F.col("src") % 7 + 1).cast("bigint"))
+        from ai_etl_pipeline_spark.operators import graph
+
+        t_wpr, n_wpr = timed(
+            lambda: graph.pagerank(wpr_edges, iterations=8, weight_col="w").count()
+        )
+        release_shuffles(spark)
+        out["wpagerank_sec"], out["wpagerank_nodes"] = t_wpr, n_wpr
+
+    if "labelprop" in ops or "lpa_comm" in ops:
+        # disjoint 5-node path components (i—i+1 inside groups of 5):
+        # component count grows linearly, radius <= 4 < the 6 fixed
+        # rounds, so min-label converges (n_changed = 0) and growth
+        # measures the per-round edge join + dst-keyed aggregate
+        lp_edges = (
+            docs.select("doc_id")
+            .where(F.col("doc_id") % 5 < 4)
+            .select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 1).alias("dst"),
+            )
+        )
+        from ai_etl_pipeline_spark.operators import graph
+
+        if "labelprop" in ops:
+            t_lp, n_lp = timed(
+                lambda: graph.label_propagation(
+                    lp_edges, iterations=6, mode="components"
+                ).count()
+            )
+            release_shuffles(spark)
+            out["labelprop_sec"], out["labelprop_nodes"] = t_lp, n_lp
+        if "lpa_comm" in ops:
+            # same graph, majority-vote mode: adds the per-round
+            # (node,label) count + row_number window — the LPA shuffle
+            t_lc, n_lc = timed(
+                lambda: graph.label_propagation(
+                    lp_edges, iterations=6, mode="communities"
+                ).count()
+            )
+            release_shuffles(spark)
+            out["lpa_comm_sec"], out["lpa_comm_nodes"] = t_lc, n_lc
 
     if "triangles" in ops:
         # deterministic circulant graph over the doc ids (i—i+1, i—i+2
