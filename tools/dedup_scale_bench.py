@@ -438,6 +438,7 @@ def main() -> None:
             "minhash_sec", "clusters_sec", "incremental_sec",
             "bucketed_probe_sec", "containment_sec", "entity_sec",
             "bm25_sec", "pagerank_sec", "triangles_sec",
+            "wpagerank_sec", "labelprop_sec", "lpa_comm_sec",
         ):
             if op_key in sa and op_key in sb:
                 r[op_key.replace("_sec", "_time_growth")] = round(
