@@ -4866,12 +4866,13 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     emerge from edge density. 6 synchronous rounds with the
     (count DESC, label ASC) tiebreak make the classic
     randomized-order algorithm deterministic and oracle-matchable;
-    top-20 communities by size. The exact 3-NN graph tier is the
-    documented small-corpus path (broadcast queries × corpus, the
-    q_knn_bruteforce precedent); at 100 TB the edge builder swaps to
-    ``lsh_knn`` with the SAME downstream propagation."""
+    top-20 communities by size. The 3-NN graph comes from the
+    BUCKETED sign-LSH tier (candidates = same-bucket pairs, the
+    100 TB edge-builder path — the exact crossJoin tier measured
+    78 s at sf0.1 where this plan runs in ~4 s; singleton-bucket
+    vectors drop out, the documented LSH recall trade)."""
     emb = _t(spark, sf_dir, "embeddings")
-    knn = similarity.brute_force_knn(emb, emb, k=3)
+    knn = similarity.lsh_knn(emb, emb, k=3, num_bits=4)
     lab = graph.label_propagation(
         knn, "query_id", "neighbor_id", iterations=6, mode="communities"
     )
@@ -4904,12 +4905,13 @@ l{i} AS MATERIALIZED (
 )""")
     chain = ",\n".join(rounds)
     return f"""
-WITH scored AS MATERIALIZED (
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+scored AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
                (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
                 sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 ),
 knn AS (
   SELECT query_id, neighbor_id FROM (
