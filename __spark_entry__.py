@@ -4935,6 +4935,89 @@ LIMIT 20
 """
 
 
+_HITS_ITERS = 6
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the nation-level trade graph
+    (edge: a customer in nation A bought from a supplier in nation B —
+    a genuinely MIXED-ROLE directed graph, unlike the bipartite
+    customer→supplier rendering where each side could only ever hold
+    one of the two scores). Hub = a nation whose customers buy from
+    many well-supplied nations; authority = a nation whose suppliers
+    serve many well-connected buyers — the complementary centrality
+    pair PageRank's single score can't separate. 6 coupled power
+    half-steps, each L1-renormalized in integer micro-units, so the
+    oracle unrolls the same half-steps and the FULL hash gate holds
+    (float HITS would be accumulation-order-dependent). The expensive
+    part is the one-pass 4-table edge derivation; the iterations run
+    on the nations-sized graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    h = graph.hits(edges, iterations=_HITS_ITERS, base=_PR_BASE)
+    return h.orderBy(F.col("auth").desc(), F.col("node")).limit(25)
+
+
+def _graph_hits_sql() -> str:
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        # MATERIALIZED: each half-step is referenced by the next one
+        # AND by its own normalization's scalar sum — inlining would
+        # re-expand the chain exponentially (the PageRank precedent)
+        steps.append(f"""a{i}_raw AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS auth
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.auth, 0) * (SELECT t FROM total)
+              // (SELECT sum(auth) FROM a{i}_raw) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN a{i}_raw r ON r.node = n.node
+),
+h{i}_raw AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hub
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.hub, 0) * (SELECT t FROM total)
+              // (SELECT sum(hub) FROM h{i}_raw) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN h{i}_raw r ON r.node = n.node
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+                  CAST(s_nationkey AS BIGINT) AS dst
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+total AS (SELECT count(*) * CAST({_PR_BASE} AS BIGINT) AS t FROM nodes),
+h0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS hub FROM nodes),
+{chain}
+SELECT h.node, h.hub, a.auth
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.node = h.node
+ORDER BY a.auth DESC, h.node
+LIMIT 25
+"""
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders: five rules
     (not-null, unique, range, accepted set, regex) compiled into ONE
@@ -8644,6 +8727,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     components w/ convergence receipt, majority-vote communities ---
     "q_graph_components": (q_graph_components, _graph_components_sql()),
     "q_graph_communities": (q_graph_communities, _graph_communities_sql()),
+    # --- round-9 NEW: HITS hubs/authorities (integer coupled power
+    #     iteration; oracle unrolls the L1-renormalized half-steps) ---
+    "q_graph_hits": (q_graph_hits, _graph_hits_sql()),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -8663,7 +8749,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
-    "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
@@ -8675,6 +8760,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),

@@ -656,3 +656,113 @@ def triangle_count(
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+    base: int = 1_000_000,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """Hubs-and-authorities (HITS / Kleinberg) over a directed edge
+    relation: fixed ``iterations`` of the coupled power iteration
+    ``auth(j) = Σ_{i→j} hub(i)`` then ``hub(i) = Σ_{i→j} auth(j)``,
+    each half-step L1-renormalized to total mass ``n_nodes·base`` in
+    INTEGER micro-units (``score·n·base div Σ score`` — the module's
+    bit-exact cross-engine contract; classic HITS L2-normalizes, but
+    any positive rescaling has the same fixpoint directions and L1
+    keeps the arithmetic in exact integers).
+
+    A hub is a node that points at many good authorities (a curator /
+    broad buyer); an authority is pointed at by many good hubs (a
+    canonical source / widely-bought supplier) — the complementary
+    centrality pair PageRank's single score can't separate, and the
+    natural ranking for bipartite-ish interaction graphs.
+
+    Scale shape: the deduplicated edge relation is hash-partitioned
+    and lazily checkpointed TWICE — once on ``src`` (the auth
+    half-step joins hubs on src) and once on ``dst`` (the hub
+    half-step joins auths on dst) — so each half-step reuses a
+    co-located layout instead of re-shuffling the big edge side;
+    only the node-sized score frame moves per iteration. The L1 total
+    is one scalar aggregate per half-step (broadcast as a scalar —
+    the one-row crossJoin rule), there are no driver actions, and the
+    periodic lazy checkpoint truncates the lineage like
+    :func:`pagerank`. Overflow bound: ``raw·n_nodes·base`` must fit
+    int64 — at the default base a billion-node graph needs ``base``
+    lowered (the same bound :func:`pagerank` documents).
+
+    An empty edge set (after self-loop removal) has an empty node set
+    and returns an EMPTY frame — zero rows, not silent zero scores.
+
+    Returns one row per node (union of BOTH endpoints): ``node``,
+    ``hub``, ``auth`` (micro-unit bigints).
+    """
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+        .where(F.col("__src") != F.col("__dst"))
+        .distinct()
+    )
+    e_src = e.repartition(F.col("__src")).localCheckpoint(eager=False)
+    e_dst = e_src.repartition(F.col("__dst")).localCheckpoint(eager=False)
+    nodes = (
+        e_src.select(F.col("__src").alias("__node"))
+        .unionByName(e_src.select(F.col("__dst").alias("__node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # scalar total mass for the renormalization — computed once
+    total = nodes.agg(
+        F.expr(f"count(*) * cast({base} as bigint)").alias("__total")
+    ).localCheckpoint(eager=False)
+
+    def _normalize(raw: DataFrame, score: str) -> DataFrame:
+        # raw is node-keyed (__node, score) with absent nodes missing;
+        # rescale to Σ = n·base and re-attach the zero-score nodes.
+        # raw is referenced TWICE (the scalar sum + the values) — lazily
+        # checkpoint so the plan is truncated to a LogicalRDD instead of
+        # DOUBLING per half-step (2^(2·iterations) leaf expansion
+        # otherwise; planning alone dominated the wall time)
+        raw = raw.localCheckpoint(eager=False)
+        s = raw.agg(F.sum(score).cast("bigint").alias("__sum"))
+        return (
+            nodes.join(raw, "__node", "left")
+            .crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.col("__node"),
+                F.expr(
+                    f"coalesce({score}, cast(0 as bigint)) * __total div __sum"
+                ).alias(score),
+            )
+        )
+
+    hubs = nodes.withColumn("__hub", F.lit(base).cast("bigint"))
+    auths = None
+    for it in range(iterations):
+        auth_raw = (
+            e_src.join(hubs, e_src["__src"] == hubs["__node"])
+            .groupBy("__dst")
+            .agg(F.sum("__hub").alias("__auth"))
+            .select(F.col("__dst").alias("__node"), F.col("__auth"))
+        )
+        auths = _normalize(auth_raw, "__auth")
+        hub_raw = (
+            e_dst.join(auths, e_dst["__dst"] == auths["__node"])
+            .groupBy("__src")
+            .agg(F.sum("__auth").alias("__hub"))
+            .select(F.col("__src").alias("__node"), F.col("__hub"))
+        )
+        hubs = _normalize(hub_raw, "__hub")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs.join(auths, "__node").select(
+        F.col("__node").alias("node"),
+        F.col("__hub").alias("hub"),
+        F.col("__auth").alias("auth"),
+    )

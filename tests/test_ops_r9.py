@@ -491,3 +491,63 @@ def test_random_projection_ragged_vector_raises(spark):
         similarity.random_projection(df, in_dim=2, out_dim=2).collect()
     with pytest.raises(ValueError, match="out_dim"):
         similarity.random_projection(df, in_dim=2, out_dim=0)
+
+
+# ---------------------------------------------------------------- HITS
+
+def test_hits_star_center_is_authority(spark):
+    # leaves all point at the center: center = sole authority with the
+    # whole auth mass (n*base), zero hub; leaves = equal hubs, zero auth
+    e = spark.createDataFrame(
+        [("l1", "c"), ("l2", "c"), ("l3", "c")], ["src", "dst"]
+    )
+    rows = {r["node"]: r for r in graph.hits(e, iterations=3).collect()}
+    assert rows["c"]["auth"] == 4 * 1_000_000 and rows["c"]["hub"] == 0
+    hubs = {rows[n]["hub"] for n in ("l1", "l2", "l3")}
+    assert len(hubs) == 1 and rows["l1"]["auth"] == 0
+
+
+def test_hits_integer_exact_vs_python_replica(spark):
+    # bit-exactness contract: replicate the integer algorithm in plain
+    # Python on a mixed-role graph and demand EXACT equality
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("d", "c")]
+    base, iters = 1_000_000, 4
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    total = len(nodes) * base
+    hub = {n: base for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        s = sum(raw.values())
+        auth = {n: raw[n] * total // s for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        s = sum(raw.values())
+        hub = {n: raw[n] * total // s for n in nodes}
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in graph.hits(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=iters
+        ).collect()
+    }
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_ignores_self_loops_and_parallel_edges(spark):
+    clean = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    noisy = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("a", "a"), ("c", "c")],
+        ["src", "dst"],
+    )
+    c = {r["node"]: (r["hub"], r["auth"]) for r in graph.hits(clean).collect()}
+    n = {r["node"]: (r["hub"], r["auth"]) for r in graph.hits(noisy).collect()}
+    assert c == n
+
+
+def test_hits_self_loop_only_graph_is_empty(spark):
+    # a self-loop is removed, leaving no edges -> no nodes -> zero rows
+    e = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    assert graph.hits(e, iterations=1).count() == 0
