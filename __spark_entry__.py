@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ai_etl_pipeline_spark.functions.portable import md5_i64, md5_i64_sql, tokens_col
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
-from ai_etl_pipeline_spark.operators import graph, validate
+from ai_etl_pipeline_spark.operators import behavior, graph, validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -5018,6 +5018,113 @@ LIMIT 25
 """
 
 
+_FUNNEL_SPAN_S = 7 * 86400
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch sequential funnel view → click → purchase within a
+    7-day window of the first view: each step counted at its earliest
+    occurrence STRICTLY AFTER the previous step's time (re-orderings
+    don't convert; repeats collapse to the first). k steps = k
+    filtered corpus scans + user-keyed aggregates; the report is
+    steps-sized with exact integer micro-ratios (overall and
+    step-over-step conversion) — full hash gate."""
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel(
+        ev,
+        ["view", "click", "purchase"],
+        max_span_seconds=_FUNNEL_SPAN_S,
+    ).orderBy("step")
+
+
+_EVENTS_FUNNEL_SQL = f"""
+WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+s1 AS MATERIALIZED (SELECT u, min(ts) AS t1 FROM ev WHERE t = 'view' GROUP BY u),
+s2 AS MATERIALIZED (
+  SELECT e.u, s.t1, min(e.ts) AS tk
+  FROM ev e JOIN s1 s ON s.u = e.u
+  WHERE e.t = 'click' AND e.ts > s.t1
+    AND e.ts <= s.t1 + INTERVAL {_FUNNEL_SPAN_S} SECOND
+  GROUP BY e.u, s.t1
+),
+s3 AS MATERIALIZED (
+  SELECT e.u, s.t1, min(e.ts) AS tk
+  FROM ev e JOIN s2 s ON s.u = e.u
+  WHERE e.t = 'purchase' AND e.ts > s.tk
+    AND e.ts <= s.t1 + INTERVAL {_FUNNEL_SPAN_S} SECOND
+  GROUP BY e.u, s.t1
+),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(step AS INTEGER) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users * 1000000 // n1 AS BIGINT) AS conversion_micro,
+       CAST(CASE WHEN prev_n IS NULL THEN 1000000
+                 ELSE n_users * 1000000 // prev_n END AS BIGINT)
+         AS step_conversion_micro
+FROM (
+  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+         n1, CAST(NULL AS BIGINT) AS prev_n FROM n
+  UNION ALL
+  SELECT 2, 'click', n2, n1, n1 FROM n
+  UNION ALL
+  SELECT 3, 'purchase', n3, n1, n2 FROM n
+)
+ORDER BY step
+"""
+
+
+_RETENTION_EPOCH, _RETENTION_WEEKS = "2024-01-01", 12
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users cohorted by the week of
+    their first ``signup`` event; a cohort's week-k retention = the
+    fraction active (any event) k weeks later. Week = integer
+    ``datediff div 7`` since a fixed epoch on BOTH engines —
+    sidestepping date_trunc('week') start-of-week conventions, which
+    differ per engine and would break the hash gate. Two corpus
+    scans, one user-keyed join, cohort-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    out = behavior.cohort_retention(
+        ev,
+        "signup",
+        epoch=_RETENTION_EPOCH,
+        max_weeks=_RETENTION_WEEKS,
+    )
+    return out.orderBy("cohort_week", "week_offset")
+
+
+_EVENTS_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS t,
+         CAST(datediff('day', DATE '{_RETENTION_EPOCH}', CAST(ts AS DATE)) // 7
+              AS INTEGER) AS w
+  FROM events
+),
+coh AS MATERIALIZED (
+  SELECT u, min(w) AS cohort_week FROM ev WHERE t = 'signup' GROUP BY u
+),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM coh GROUP BY cohort_week),
+act AS (SELECT DISTINCT u, w FROM ev),
+a AS (
+  SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN coh c ON c.u = a.u
+  WHERE a.w - c.cohort_week BETWEEN 0 AND {_RETENTION_WEEKS - 1}
+  GROUP BY 1, 2
+)
+SELECT CAST(a.cohort_week AS INTEGER) AS cohort_week,
+       CAST(week_offset AS INTEGER) AS week_offset,
+       n_cohort, n_active,
+       CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_micro
+FROM a JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders: five rules
     (not-null, unique, range, accepted set, regex) compiled into ONE
@@ -8730,6 +8837,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-9 NEW: HITS hubs/authorities (integer coupled power
     #     iteration; oracle unrolls the L1-renormalized half-steps) ---
     "q_graph_hits": (q_graph_hits, _graph_hits_sql()),
+    # --- round-9 NEW: behavioral analytics — sequential funnel and
+    #     weekly cohort retention, exact integer micro-ratios ---
+    "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
+    "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -8751,16 +8862,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
-    "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     # --- round-6 CHANGED code paths (kmeans assignment persist /
     # SemDeDup block bound) — must stay in-window ---
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
+    "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
     "q_layout_zone_map": (q_layout_zone_map, _LAYOUT_ZONE_MAP_SQL),
     "q_corr_matrix": (q_corr_matrix, _CORR_MATRIX_SQL),

@@ -1,0 +1,186 @@
+"""Behavioral / product-analytics operators over event streams:
+sequential funnels and cohort retention (north-star extension; ABSENT
+in the reference, which has no event surface at all — SURVEY.md §2.4).
+
+Both operators reduce an event corpus to a bounded report through
+user-keyed aggregates — the scale contract: the corpus is touched a
+fixed number of times (one filtered scan per funnel step / two scans
+for retention), every shuffle is keyed on the user id (the natural
+high-cardinality partitioning key, no skew beyond real power users),
+and every intermediate frame after the first aggregate is USER-sized,
+not event-sized. No windows over the whole corpus, no driver actions.
+
+Ratios are reported in integer micro-units (``x·1e6 div base``) so the
+cross-engine verification stays under the full hash gate — the
+module-wide bit-exactness contract (see ``graph.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """First-touch sequential funnel: for each prefix of ``steps``,
+    how many users performed the steps IN ORDER — step k counted at
+    its earliest occurrence STRICTLY AFTER the user's step-(k-1) time
+    (the standard product-analytics semantics: re-orderings don't
+    count, repeat events collapse to the first qualifying one).
+    ``max_span_seconds`` additionally requires every step to land
+    within that window of the user's step-1 time (a "converted within
+    7 days" funnel).
+
+    Plan shape: step 1 is one filtered user-keyed aggregate; each
+    later step is one filtered corpus scan joined to the USER-sized
+    previous-step frame (broadcast-eligible once the funnel narrows)
+    then min-aggregated — k steps = k corpus scans, zero corpus-keyed
+    shuffles beyond the user-hash ones, and the output is
+    steps-sized. At 100 TB the event scan is the cost; filters push
+    to parquet (type equality + timestamp range).
+
+    Returns one row per step: ``step`` (1-based), ``event_type``,
+    ``n_users``, ``conversion_micro`` (vs step 1) and
+    ``step_conversion_micro`` (vs the previous step), both exact
+    integer ratios.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel: need >= 2 steps, got {len(steps)}")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    )
+    reached = (
+        ev.where(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t1"))
+        .localCheckpoint(eager=False)
+    )
+    per_step = [reached]
+    prev = reached.select("__u", F.col("__t1").alias("__prev"), "__t1")
+    for s in steps[1:]:
+        cond = F.col("__ts") > F.col("__prev")
+        if max_span_seconds is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col("__t1") + F.expr(f"INTERVAL {int(max_span_seconds)} SECOND")
+            )
+        cur = (
+            ev.where(F.col("__t") == s)
+            .join(prev, "__u")
+            .where(cond)
+            .groupBy("__u", "__t1")
+            .agg(F.min("__ts").alias("__tk"))
+            .localCheckpoint(eager=False)
+        )
+        per_step.append(cur)
+        prev = cur.select("__u", F.col("__tk").alias("__prev"), "__t1")
+    counts = []
+    for i, frame in enumerate(per_step):
+        counts.append(
+            frame.agg(F.count(F.lit(1)).cast("bigint").alias("__n")).select(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(steps[i]).alias("event_type"),
+                F.col("__n").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w_first = (
+        per_step[0].agg(F.count(F.lit(1)).cast("bigint").alias("__n1"))
+    )
+    # steps-sized frame × one-row scalar: the one-row crossJoin rule
+    out = out.crossJoin(F.broadcast(w_first))
+    from pyspark.sql.window import Window
+
+    # the report is steps-sized — a window over it is driver-trivial
+    prev_n = F.lag("n_users", 1).over(Window.orderBy("step"))
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.expr("n_users * 1000000 div __n1").alias("conversion_micro"),
+        prev_n.alias("__prev_n"),
+    ).select(
+        "step",
+        "event_type",
+        "n_users",
+        "conversion_micro",
+        F.expr(
+            "CASE WHEN __prev_n IS NULL THEN cast(1000000 as bigint) "
+            "ELSE n_users * 1000000 div __prev_n END"
+        ).alias("step_conversion_micro"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    max_weeks: int = 12,
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the week
+    of their FIRST ``cohort_event`` (e.g. ``signup``), and a cohort's
+    week-``k`` retention is the fraction of it active (ANY event) in
+    week ``cohort_week + k``. Weeks are integer indices since a fixed
+    ``epoch`` date — ``datediff // 7`` on both engines, sidestepping
+    the engine-specific ``date_trunc('week')`` start-of-week
+    conventions that would break bit-exact parity.
+
+    Plan shape: two corpus scans (first-event aggregate; distinct
+    user-week activity), one user-keyed join between a USER-sized and
+    a user-week-sized frame, then a cohort-week aggregate — output is
+    (cohorts × ``max_weeks``)-sized. Retention is an exact integer
+    micro-ratio.
+    """
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    ).withColumn(
+        "__week",
+        F.expr(
+            f"CAST(datediff(to_date(__ts), to_date('{epoch}')) div 7 AS INT)"
+        ),
+    )
+    cohorts = (
+        ev.where(F.col("__t") == cohort_event)
+        .groupBy("__u")
+        .agg(F.min("__week").alias("cohort_week"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    activity = ev.select("__u", "__week").distinct()
+    active = (
+        activity.join(cohorts, "__u")
+        .withColumn("week_offset", F.col("__week") - F.col("cohort_week"))
+        .where(
+            (F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("int").alias("cohort_week"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_cohort",
+            "n_active",
+            F.expr("n_active * 1000000 div n_cohort").alias("retention_micro"),
+        )
+    )
