@@ -5018,6 +5018,72 @@ LIMIT 25
 """
 
 
+_KHOP_MAX = 4
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to a fixed depth over the undirected trade
+    graph: minimum hop distance from the modulo supplier cohort
+    (every 5th suppkey — nonempty at every SF) to every entity within
+    4 hops, reported as a distance histogram. Per hop one
+    frontier-against-checkpointed-edges join + one node-keyed min
+    aggregate; the oracle unrolls the same relaxation rounds as
+    chained CTEs (the PageRank precedent). Traversal is the primitive
+    under contamination blast-radius and k-hop neighborhood
+    extraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = sup.where(F.col("s_suppkey") % 5 == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    d = graph.k_hop_distances(edges, seeds, max_hops=_KHOP_MAX, symmetric=True)
+    return (
+        d.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def _graph_khop_sql() -> str:
+    rounds = []
+    for i in range(1, _KHOP_MAX + 1):
+        rounds.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN d{i - 1} d ON d.node = e.src
+  ) GROUP BY node
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+d0 AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS dist
+  FROM supplier WHERE s_suppkey % 5 = 0
+),
+{chain}
+SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d{_KHOP_MAX} GROUP BY dist ORDER BY dist
+"""
+
+
 _FUNNEL_SPAN_S = 7 * 86400
 
 
@@ -5028,7 +5094,9 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't convert; repeats collapse to the first). k steps = k
     filtered corpus scans + user-keyed aggregates; the report is
     steps-sized with exact integer micro-ratios (overall and
-    step-over-step conversion) — full hash gate."""
+    step-over-step conversion) — full hash gate. The operator-ized
+    generalization of ``q_funnel_conversion``'s inline composition:
+    parameterized step list, conversion span, per-step report rows."""
     ev = _t(spark, sf_dir, "events")
     return behavior.funnel(
         ev,
@@ -5085,7 +5153,9 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``datediff div 7`` since a fixed epoch on BOTH engines —
     sidestepping date_trunc('week') start-of-week conventions, which
     differ per engine and would break the hash gate. Two corpus
-    scans, one user-keyed join, cohort-sized output."""
+    scans, one user-keyed join, cohort-sized output. Generalizes
+    ``q_retention_cohorts`` (first-ACTIVITY week triangle, raw counts)
+    to an anchored cohort event + exact retention ratios."""
     ev = _t(spark, sf_dir, "events")
     out = behavior.cohort_retention(
         ev,
@@ -8841,6 +8911,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     weekly cohort retention, exact integer micro-ratios ---
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
+    # --- round-9 NEW: fixed-depth multi-source BFS (k-hop distances) ---
+    "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -8864,12 +8936,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     entity resolution (ordering contract: 1-50) ---
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    # --- round-6 CHANGED code paths (kmeans assignment persist /
-    # SemDeDup block bound) — must stay in-window ---
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
-    "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
     "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),

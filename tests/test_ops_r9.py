@@ -551,3 +551,57 @@ def test_hits_self_loop_only_graph_is_empty(spark):
     # a self-loop is removed, leaving no edges -> no nodes -> zero rows
     e = spark.createDataFrame([("a", "a")], ["src", "dst"])
     assert graph.hits(e, iterations=1).count() == 0
+
+
+# ------------------------------------------------------------- k-hop BFS
+
+def test_k_hop_chain_distances(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.k_hop_distances(e, seeds, max_hops=3).collect()
+    }
+    # e is 4 hops away -> absent at max_hops=3
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_k_hop_min_distance_wins_multi_seed(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "c")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.k_hop_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got["c"] == 1  # via z, not the 2-hop path via a
+
+
+def test_k_hop_symmetric_reaches_backwards(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("b",)], ["node"])
+    directed = {
+        r["node"]: r["dist"]
+        for r in graph.k_hop_distances(e, seeds, max_hops=2).collect()
+    }
+    undirected = {
+        r["node"]: r["dist"]
+        for r in graph.k_hop_distances(
+            e, seeds, max_hops=2, symmetric=True
+        ).collect()
+    }
+    assert directed == {"b": 0}
+    assert undirected == {"b": 0, "a": 1}
+
+
+def test_k_hop_seed_outside_graph_kept_at_zero(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("q",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.k_hop_distances(e, seeds, max_hops=2).collect()
+    }
+    assert got == {"q": 0}
