@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ai_etl_pipeline_spark.functions.portable import md5_i64, md5_i64_sql, tokens_col
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
-from ai_etl_pipeline_spark.operators import behavior, graph, validate
+from ai_etl_pipeline_spark.operators import behavior, graph, layout, validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -5018,6 +5018,53 @@ LIMIT 25
 """
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering + zone-map skipping on TWO columns at once
+    (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` idiom): lineitem keyed
+    by bit-interleaved (l_partkey, l_suppkey), range-partitioned on
+    the Morton key into 8 files, then two zone-map-pruned range scans
+    — one per dimension — prove BOTH columns stay locally narrow
+    (a single-column sort only ever prunes its own column; the
+    pruning-effectiveness assertion lives in pytest, where file counts
+    are inspectable). The oracle replays the same range filters over
+    the logical table — skipping must be invisible to results."""
+    from ai_etl_pipeline_spark.sources.readers import (
+        zone_map_manifest,
+        zone_map_pruned_scan,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    keyed = layout.zorder_key(li, ["l_partkey", "l_suppkey"], bits=12)
+    out = _scratch_dir("zorder", sf_dir)
+    keyed.repartitionByRange(8, "__zkey").drop("__zkey").write.mode(
+        "overwrite"
+    ).parquet(out)
+    man = zone_map_manifest(spark, out, ["l_partkey", "l_suppkey"])
+    a = zone_map_pruned_scan(spark, out, man, "l_partkey", lo=100, hi=400).agg(
+        F.lit("l_partkey").alias("dim"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    b = zone_map_pruned_scan(spark, out, man, "l_suppkey", lo=10, hi=40).agg(
+        F.lit("l_suppkey").alias("dim"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return a.unionByName(b)
+
+
+_LAYOUT_ZORDER_SQL = """
+SELECT 'l_partkey' AS dim, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_partkey BETWEEN 100 AND 400
+UNION ALL
+SELECT 'l_suppkey', count(*), round(sum(l_quantity), 2)
+FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40
+"""
+
+
 _KHOP_MAX = 4
 
 
@@ -8913,6 +8960,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
     # --- round-9 NEW: fixed-depth multi-source BFS (k-hop distances) ---
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
+    # --- round-9 NEW: Z-order clustering + two-dimension zone-map skip ---
+    "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -8929,16 +8978,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
-    "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
+    "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
     "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
