@@ -5018,6 +5018,51 @@ LIMIT 25
 """
 
 
+_KANON_K = 10
+
+
+def q_validate_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before releasing a training corpus: k-anonymity
+    over the customer quasi-identifiers (nation, market segment,
+    account-balance sign) and l-diversity of the sensitive account
+    balance — the re-identification exposure report (classes and rows
+    below k). One quasi-key aggregate + one bounded summary; oracle is
+    the same two-level aggregation."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_sign", F.signum("c_acctbal").cast("int")
+    )
+    return validate.k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment", "bal_sign"],
+        k=_KANON_K,
+        sensitive_col="c_acctbal",
+    )
+
+
+_VALIDATE_KANON_SQL = f"""
+WITH classes AS (
+  SELECT CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+  FROM (SELECT c_nationkey, c_mktsegment,
+               CAST(CASE WHEN c_acctbal > 0 THEN 1
+                         WHEN c_acctbal < 0 THEN -1 ELSE 0 END AS INTEGER)
+                 AS bal_sign, c_acctbal
+        FROM customer)
+  GROUP BY c_nationkey, c_mktsegment, bal_sign
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(min(l) AS BIGINT) AS l_diversity,
+       min(sz) >= {_KANON_K} AS meets_k
+FROM classes
+"""
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustering + zone-map skipping on TWO columns at once
     (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` idiom): lineitem keyed
@@ -8962,6 +9007,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
     # --- round-9 NEW: Z-order clustering + two-dimension zone-map skip ---
     "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
+    # --- round-9 NEW: k-anonymity / l-diversity privacy audit ---
+    "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -8976,7 +9023,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
     #     duplication matrix, Matryoshka truncation ---
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
-    "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
@@ -8986,6 +9032,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),

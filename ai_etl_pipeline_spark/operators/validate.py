@@ -208,3 +208,54 @@ def population_stability(
             / 10000.0
         ),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy audit for a release/training corpus: k-anonymity (every
+    quasi-identifier combination is shared by ≥ k rows) and, when
+    ``sensitive_col`` is given, l-diversity (each equivalence class
+    holds ≥ l distinct sensitive values — k-anonymity alone fails when
+    a class is uniform in the sensitive attribute).
+
+    One quasi-key aggregate over the corpus (class-sized result), one
+    bounded summary aggregate — the two-level aggregation idiom; at
+    100 TB the corpus scan is the floor and the equivalence-class
+    frame is as skew-safe as the quasi-key cardinality. NULL
+    quasi-values group as their own class (standard SQL grouping).
+
+    Returns ONE row: ``n_rows``, ``n_classes``, ``k_anonymity`` (the
+    achieved k = smallest class), ``n_classes_below_k`` /
+    ``n_rows_below_k`` (re-identification exposure at the requested
+    ``k``), ``meets_k``, and with a sensitive column ``l_diversity``
+    (the achieved l = min distinct sensitive values per class).
+    """
+    if k < 1:
+        raise ValueError(f"k_anonymity_report: k must be >= 1, got {k}")
+    qcols = [F.col(c) for c in quasi_cols]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("__l")
+        )
+    classes = df.groupBy(*qcols).agg(*aggs)
+    out_aggs = [
+        F.sum("__size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__size").cast("bigint").alias("k_anonymity"),
+        F.sum((F.col("__size") < k).cast("bigint"))
+        .cast("bigint")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("__size") < k, F.col("__size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("__l").cast("bigint").alias("l_diversity"))
+    return classes.agg(*out_aggs).withColumn(
+        "meets_k", F.col("k_anonymity") >= k
+    )

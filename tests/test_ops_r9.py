@@ -605,3 +605,38 @@ def test_k_hop_seed_outside_graph_kept_at_zero(spark):
         for r in graph.k_hop_distances(e, seeds, max_hops=2).collect()
     }
     assert got == {"q": 0}
+
+
+# ------------------------------------------------------ k-anonymity
+
+def test_k_anonymity_report_counts(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    rows = [
+        ("us", "a", 1), ("us", "a", 2), ("us", "a", 2),   # class size 3, l=2
+        ("fr", "b", 5),                                    # class size 1, l=1
+        ("de", "c", 7), ("de", "c", 7),                    # class size 2, l=1
+    ]
+    df = spark.createDataFrame(rows, ["nation", "segment", "val"])
+    r = validate.k_anonymity_report(
+        df, ["nation", "segment"], k=2, sensitive_col="val"
+    ).collect()[0]
+    assert r["n_rows"] == 6 and r["n_classes"] == 3
+    assert r["k_anonymity"] == 1 and not r["meets_k"]
+    assert r["n_classes_below_k"] == 1 and r["n_rows_below_k"] == 1
+    assert r["l_diversity"] == 1
+
+
+def test_k_anonymity_meets_k_without_sensitive(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3), ("y", 4)], ["g", "v"]
+    )
+    r = validate.k_anonymity_report(df, ["g"], k=2).collect()[0]
+    assert r["meets_k"] and r["k_anonymity"] == 2
+    assert "l_diversity" not in r.asDict()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate.k_anonymity_report(df, ["g"], k=0)
