@@ -179,6 +179,12 @@ HEADLINE = [
     "q_graph_components",
     "q_graph_communities",
     "q_embed_random_projection",
+    "q_graph_hits",
+    "q_graph_khop",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_layout_zorder",
+    "q_validate_kanonymity",
 ]
 
 
