@@ -5018,6 +5018,40 @@ LIMIT 25
 """
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: corpus vectors (vec_id % 17 != 0)
+    surviving after dropping everything within cosine 0.3 of the
+    benchmark cohort (vec_id % 17 == 0) — the paraphrase-leakage
+    remover the 8-gram ``q_decontaminate`` can't express. Candidates
+    = same sign-LSH bucket, benchmark broadcast; oracle replays the
+    identical bucketed candidate scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    out = dedup.semantic_decontaminate(corpus, bench, threshold=0.3)
+    return out.select("vec_id").orderBy("vec_id")
+
+
+_DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings
+),
+c AS (SELECT * FROM v WHERE vec_id % 17 <> 0),
+b AS (SELECT * FROM v WHERE vec_id % 17 = 0),
+hits AS (
+  SELECT DISTINCT c.vec_id
+  FROM c JOIN b ON c.bucket = b.bucket
+  WHERE round({_DOT_SQL.format(a='c.embedding', b='b.embedding')} /
+              (sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}) *
+               sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+        >= 0.3
+)
+SELECT vec_id FROM c
+WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+ORDER BY vec_id
+"""
+
+
 _KANON_K = 10
 
 
@@ -9009,6 +9043,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     # --- round-9 NEW: k-anonymity / l-diversity privacy audit ---
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
+    # --- round-9 NEW: embedding-space benchmark decontamination ---
+    "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9022,7 +9058,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
     #     duplication matrix, Matryoshka truncation ---
-    "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
@@ -9032,6 +9067,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),

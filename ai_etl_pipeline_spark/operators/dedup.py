@@ -1161,3 +1161,51 @@ def template_fingerprint(
         )
     )
     return df.withColumn(out_col, F.md5(norm))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_bits: int = 8,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: drop corpus rows whose
+    embedding sits within ``threshold`` cosine of ANY benchmark vector
+    — the leakage the 8-gram :func:`decontaminate` can't see
+    (paraphrased / translated / reformatted eval items share no
+    surface n-grams but land next to the benchmark in embedding
+    space; Phi/Llama-style training reports decontaminate BOTH ways).
+
+    Candidates = same deterministic sign-LSH bucket (the established
+    embedding-near-dup blocking — never all pairs); the benchmark side
+    is broadcast (eval suites are tiny next to a 100 TB corpus), so
+    the whole hit scan is one map-side join over the bucketed corpus,
+    followed by a hit-id-sized anti-join. Same recall trade as every
+    LSH tier: a leaked row in a different bucket survives — widen with
+    ``num_bits`` ↓ or multiple probes when the benchmark matters.
+
+    Returns the surviving corpus rows (all original columns).
+    """
+    from . import similarity
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.expr(similarity._dbl(vec_col)).alias("__cv"),
+        similarity.sign_lsh_bucket(vec_col, num_bits).alias("__bucket"),
+    )
+    b = benchmark.select(
+        F.expr(similarity._dbl(vec_col)).alias("__bv"),
+        similarity.sign_lsh_bucket(vec_col, num_bits).alias("__bucket"),
+    )
+    hits = (
+        c.join(F.broadcast(b), "__bucket")
+        .where(
+            F.round(similarity.cosine_expr("__cv", "__bv"), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")

@@ -640,3 +640,28 @@ def test_k_anonymity_meets_k_without_sensitive(spark):
 
     with _pytest.raises(ValueError):
         validate.k_anonymity_report(df, ["g"], k=0)
+
+
+# ------------------------------------------- semantic decontamination
+
+def test_semantic_decontaminate_drops_near_benchmark(spark):
+    # corpus doc 1 is (nearly) identical to benchmark doc 100 -> dropped;
+    # doc 2 is orthogonal -> survives even in the same bucket universe
+    rows = [
+        (1, [1.0, 0.0, 1.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 1.0]),
+    ]
+    bench = [(100, [1.0, 0.0, 1.0, 0.0])]
+    c = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = spark.createDataFrame(bench, ["vec_id", "embedding"])
+    out = dedup.semantic_decontaminate(c, b, threshold=0.9, num_bits=2)
+    assert [r["vec_id"] for r in out.collect()] == [2]
+
+
+def test_semantic_decontaminate_keeps_all_on_empty_benchmark(spark):
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    b = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = dedup.semantic_decontaminate(c, b, threshold=0.5, num_bits=1)
+    assert out.count() == 2
