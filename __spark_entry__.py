@@ -5018,6 +5018,51 @@ LIMIT 25
 """
 
 
+def q_enrich_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding fit table: order priority encoded
+    against the order value (integer cents), leave-fold-out over the
+    deterministic md5 5-fold split with smoothing-20 shrink toward
+    the global prior — pure integer arithmetic end to end, so the fit
+    artifact is bit-exact. One corpus aggregate to (category × fold),
+    window sums over that bounded frame, one scalar prior."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    out = enrich.target_encode(
+        orders, "o_orderpriority", "cents", "o_orderkey", k=5, smoothing=20
+    )
+    return out.orderBy("o_orderpriority", "fold")
+
+
+_ENRICH_TARGET_ENCODE_SQL = """
+WITH f AS (
+  SELECT o_orderpriority AS cat,
+         CAST((CAST('0x' || substr(md5('te|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000) % 5 AS INTEGER) AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cf AS (
+  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM f GROUP BY cat, fold
+),
+cc AS (
+  SELECT cat, fold, n, s,
+         sum(n) OVER (PARTITION BY cat) AS n_cat,
+         sum(s) OVER (PARTITION BY cat) AS s_cat
+  FROM cf
+),
+p AS (SELECT sum(s) // sum(n) AS prior FROM cf)
+SELECT cat AS o_orderpriority, fold,
+       CAST(n_cat - n AS BIGINT) AS n_out,
+       CAST(s_cat - s AS BIGINT) AS sum_out,
+       CAST((s_cat - s + 20 * p.prior) // (n_cat - n + 20) AS BIGINT)
+         AS target_enc
+FROM cc CROSS JOIN p
+ORDER BY o_orderpriority, fold
+"""
+
+
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC decontamination: corpus vectors (vec_id % 17 != 0)
     surviving after dropping everything within cosine 0.3 of the
@@ -9043,8 +9088,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     # --- round-9 NEW: k-anonymity / l-diversity privacy audit ---
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
-    # --- round-9 NEW: embedding-space benchmark decontamination ---
+    # --- round-9 NEW: embedding-space benchmark decontamination;
+    #     leakage-safe leave-fold-out target encoding ---
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
+    "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9060,13 +9107,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     duplication matrix, Matryoshka truncation ---
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
-    "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
+    "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),

@@ -182,3 +182,72 @@ def apply_value_map_df(
     return joined.withColumn(column, F.coalesce(map_df["translated"], df[column])).drop(
         "original", "translated"
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: int = 20,
+    salt: str = "te",
+) -> DataFrame:
+    """Leakage-safe target encoding (the workhorse categorical feature
+    for tabular ML): each category's encoding is the SMOOTHED mean of
+    an integer-valued target, computed LEAVE-FOLD-OUT — a row's own
+    fold's rows are excluded from its statistic, so the feature never
+    memorizes its own label (the out-of-fold scheme CatBoost/Kaggle
+    practice settled on). Folds are the deterministic md5 assignment
+    of :func:`sampling.kfold_assign` — stable across runs and engines.
+
+    ``target_col`` must be integer-valued (pre-scale money to cents,
+    rates to micro-units): the encoding is ``(sum_out + smoothing ·
+    prior) div (cnt_out + smoothing)`` in pure integer arithmetic
+    (prior = global integer mean), so the fit artifact is bit-exact
+    cross-engine. A category seen only inside the row's own fold
+    degrades to the prior (cnt_out = 0) — the cold-start behavior you
+    want.
+
+    One corpus aggregate to (category × fold) granularity, then
+    window sums over that BOUNDED frame and one scalar prior — the
+    corpus is scanned once. Returns the fit TABLE ``(cat_col, fold,
+    n_out, sum_out, target_enc)``; broadcast-join it back on
+    ``(cat_col, fold)`` to featurize (train) or aggregate folds to
+    featurize unseen data (serve).
+    """
+    if k < 2:
+        raise ValueError(f"target_encode: k must be >= 2, got {k}")
+    if smoothing < 1:
+        raise ValueError(
+            f"target_encode: smoothing must be >= 1, got {smoothing}"
+        )
+    from pyspark.sql import Window
+
+    from .sampling import kfold_assign
+
+    folded = kfold_assign(df, id_col, k=k, salt=salt)
+    cf = folded.groupBy(F.col(cat_col), F.col("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col(target_col).cast("bigint")).alias("__s"),
+    )
+    w = Window.partitionBy(cat_col)
+    cf = cf.withColumn("__n_cat", F.sum("__n").over(w)).withColumn(
+        "__s_cat", F.sum("__s").over(w)
+    )
+    prior = cf.groupBy().agg(
+        F.expr("sum(__s) div sum(__n)").alias("__prior")
+    )
+    return (
+        cf.crossJoin(F.broadcast(prior))
+        .select(
+            F.col(cat_col),
+            F.col("fold"),
+            (F.col("__n_cat") - F.col("__n")).alias("n_out"),
+            (F.col("__s_cat") - F.col("__s")).alias("sum_out"),
+            F.expr(
+                f"(__s_cat - __s + {smoothing} * __prior) "
+                f"div (__n_cat - __n + {smoothing})"
+            ).alias("target_enc"),
+        )
+    )

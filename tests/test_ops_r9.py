@@ -665,3 +665,47 @@ def test_semantic_decontaminate_keeps_all_on_empty_benchmark(spark):
     b = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = dedup.semantic_decontaminate(c, b, threshold=0.5, num_bits=1)
     assert out.count() == 2
+
+
+# -------------------------------------------------- target encoding
+
+def test_target_encode_leaves_own_fold_out(spark):
+    from ai_etl_pipeline_spark.operators import enrich
+
+    # two folds (k=2): category 'a' rows land in both folds; each
+    # fold's encoding must exclude its own fold's rows
+    rows = [(i, "a", 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "cat", "t"])
+    out = enrich.target_encode(df, "cat", "t", "id", k=2, smoothing=1)
+    got = {r["fold"]: r for r in out.collect()}
+    total_n, total_s = 40, sum(100 + i for i in range(40))
+    prior = total_s // total_n
+    for fold, r in got.items():
+        assert r["n_out"] + (total_n - r["n_out"]) == total_n
+        assert r["n_out"] < total_n  # own fold genuinely excluded
+        expect = (r["sum_out"] + 1 * prior) // (r["n_out"] + 1)
+        assert r["target_enc"] == expect
+
+
+def test_target_encode_cold_category_degrades_to_prior(spark):
+    from ai_etl_pipeline_spark.operators import enrich
+
+    # category 'cold' has rows in exactly one fold -> that fold's
+    # n_out = 0 and the encoding equals the global prior
+    rows = [(i, "warm", 1000) for i in range(50)]
+    df = spark.createDataFrame(rows + [(999, "cold", 0)], ["id", "cat", "t"])
+    out = enrich.target_encode(df, "cat", "t", "id", k=5, smoothing=10)
+    cold = [r for r in out.collect() if r["cat"] == "cold"][0]
+    prior = (50 * 1000 + 0) // 51
+    assert cold["n_out"] == 0
+    assert cold["target_enc"] == prior
+
+
+def test_target_encode_validations(spark):
+    from ai_etl_pipeline_spark.operators import enrich
+
+    df = spark.createDataFrame([(1, "a", 2)], ["id", "cat", "t"])
+    with pytest.raises(ValueError):
+        enrich.target_encode(df, "cat", "t", "id", k=1)
+    with pytest.raises(ValueError):
+        enrich.target_encode(df, "cat", "t", "id", smoothing=0)

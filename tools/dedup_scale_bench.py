@@ -126,7 +126,7 @@ ALL_OPS = (
     "triangles",
     # round-9: weighted PageRank + fixed-round label propagation
     # (components / majority-vote communities) growth curves
-    "wpagerank", "labelprop", "lpa_comm",
+    "wpagerank", "labelprop", "lpa_comm", "hits", "khop",
 )
 
 
@@ -335,6 +335,43 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
             release_shuffles(spark)
             out["lpa_comm_sec"], out["lpa_comm_nodes"] = t_lc, n_lc
 
+    if "hits" in ops or "khop" in ops:
+        # the pagerank sparse expander again (2 edges/node, directed):
+        # growth measures the coupled half-steps (hits: 2 edge joins +
+        # 2 scalar renormalizations per iteration) / the relaxation
+        # rounds (khop: frontier join + node-keyed min per hop), not a
+        # densifying graph
+        n_nodes = docs.selectExpr("max(doc_id) + 1 as m").first()["m"]
+        ids = docs.select("doc_id")
+        gk_edges = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % n_nodes).alias("dst"),
+        ).unionByName(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 2 + 1) % n_nodes).alias("dst"),
+            )
+        )
+        from ai_etl_pipeline_spark.operators import graph
+
+        if "hits" in ops:
+            t_h, n_h = timed(
+                lambda: graph.hits(gk_edges, iterations=6).count()
+            )
+            release_shuffles(spark)
+            out["hits_sec"], out["hits_nodes"] = t_h, n_h
+        if "khop" in ops:
+            seeds = ids.where(F.col("doc_id") % 1024 == 0).select(
+                F.col("doc_id").alias("node")
+            )
+            t_k, n_k = timed(
+                lambda: graph.k_hop_distances(
+                    gk_edges, seeds, max_hops=4, symmetric=True
+                ).count()
+            )
+            release_shuffles(spark)
+            out["khop_sec"], out["khop_reached"] = t_k, n_k
+
     if "triangles" in ops:
         # deterministic circulant graph over the doc ids (i—i+1, i—i+2
         # mod n): every node closes triangle (i, i+1, i+2), so triangle
@@ -439,6 +476,7 @@ def main() -> None:
             "bucketed_probe_sec", "containment_sec", "entity_sec",
             "bm25_sec", "pagerank_sec", "triangles_sec",
             "wpagerank_sec", "labelprop_sec", "lpa_comm_sec",
+            "hits_sec", "khop_sec",
         ):
             if op_key in sa and op_key in sb:
                 r[op_key.replace("_sec", "_time_growth")] = round(
