@@ -4982,7 +4982,7 @@ def _graph_hits_sql() -> str:
 ),
 a{i} AS MATERIALIZED (
   SELECT n.node,
-         CAST(coalesce(r.auth, 0) * (SELECT t FROM total)
+         CAST(CAST(coalesce(r.auth, 0) AS HUGEINT) * (SELECT t FROM total)
               // (SELECT sum(auth) FROM a{i}_raw) AS BIGINT) AS auth
   FROM nodes n LEFT JOIN a{i}_raw r ON r.node = n.node
 ),
@@ -4992,7 +4992,7 @@ h{i}_raw AS MATERIALIZED (
 ),
 h{i} AS MATERIALIZED (
   SELECT n.node,
-         CAST(coalesce(r.hub, 0) * (SELECT t FROM total)
+         CAST(CAST(coalesce(r.hub, 0) AS HUGEINT) * (SELECT t FROM total)
               // (SELECT sum(hub) FROM h{i}_raw) AS BIGINT) AS hub
   FROM nodes n LEFT JOIN h{i}_raw r ON r.node = n.node
 )""")

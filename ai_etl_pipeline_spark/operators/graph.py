@@ -690,9 +690,9 @@ def hits(
     is one scalar aggregate per half-step (broadcast as a scalar —
     the one-row crossJoin rule), there are no driver actions, and the
     periodic lazy checkpoint truncates the lineage like
-    :func:`pagerank`. Overflow bound: ``raw·n_nodes·base`` must fit
-    int64 — at the default base a billion-node graph needs ``base``
-    lowered (the same bound :func:`pagerank` documents).
+    :func:`pagerank`. The renormalization product (≈ n²·base²) runs in
+    exact decimal(38,0) — wide enough past a quadrillion nodes — and
+    the quotient drops back to bigint.
 
     An empty edge set (after self-loop removal) has an empty node set
     and returns an EMPTY frame — zero rows, not silent zero scores.
@@ -735,8 +735,14 @@ def hits(
             .crossJoin(F.broadcast(total))
             .select(
                 F.col("__node"),
+                # the rescale product needs ~2× the bits of the scores:
+                # score ≤ total = n·base, so score·total ≈ n²·base² —
+                # overflowed int64 at 8M nodes in the scale bench. The
+                # multiply runs in exact decimal(38,0) (good to 1e38);
+                # the quotient is back ≤ total and fits bigint
                 F.expr(
-                    f"coalesce({score}, cast(0 as bigint)) * __total div __sum"
+                    f"cast(cast(coalesce({score}, 0) as decimal(38, 0)) "
+                    "* __total div __sum as bigint)"
                 ).alias(score),
             )
         )

@@ -709,3 +709,15 @@ def test_target_encode_validations(spark):
         enrich.target_encode(df, "cat", "t", "id", k=1)
     with pytest.raises(ValueError):
         enrich.target_encode(df, "cat", "t", "id", smoothing=0)
+
+
+def test_hits_renormalization_survives_wide_mass(spark):
+    # n^2 * base^2 ~ 1e24 overflowed a bigint product before the
+    # decimal(38,0) intermediate (caught by the 8M-node scale bench)
+    n = 200
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    rows = graph.hits(e, iterations=2, base=10**9).collect()
+    assert len(rows) == n
+    assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
