@@ -185,6 +185,8 @@ HEADLINE = [
     "q_events_retention",
     "q_layout_zorder",
     "q_validate_kanonymity",
+    "q_decontaminate_semantic",
+    "q_enrich_target_encode",
 ]
 
 
