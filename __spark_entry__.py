@@ -1749,6 +1749,43 @@ FROM (
 """
 
 
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: each query probes its own sign bucket
+    PLUS two Hamming-distance-1 neighbor buckets (flip bit 0, flip
+    bit 1) — near-misses one sign flip away become candidates without
+    rebucketing the corpus (the Lv et al. recall lever, deterministic
+    probe order). Candidate volume grows ×3 on the query side only;
+    the oracle unions the same probe buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=5, num_bits=4, multiprobe=2
+    )
+
+
+_KNN_LSH_MULTIPROBE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+q AS (SELECT vec_id, embedding, bucket FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT vec_id, embedding, bucket FROM q
+  UNION ALL SELECT vec_id, embedding, xor(bucket, 1) FROM q
+  UNION ALL SELECT vec_id, embedding, xor(bucket, 2) FROM q
+),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='p.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='p.embedding', b='p.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM probes p JOIN v c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: 8 centroids from one
     deterministic Lloyd round (init = smallest md5 of id, one
@@ -9020,11 +9057,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     # --- round-8 NEW: strategy-applying join; pure-sketch curation
     #     pipeline (no exact one-reducer aggregate in its plan) ---
-    "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),
-    "q_pipeline_curation_scale": (
-        q_pipeline_curation_scale,
-        _PIPELINE_CURATION_SCALE_SQL,
-    ),
     # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
     #     block-constant fixtures; closed-form oracle); r9 adds the
     #     4:2:0 chroma-subsampled path (the real-photo layout) ---
@@ -9092,6 +9124,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     leakage-safe leave-fold-out target encoding ---
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
+    # --- round-9 NEW: multi-probe LSH (Hamming-1 recall lever); the
+    #     base LSH query rotates back in (lsh_knn gained the param) ---
+    "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
+    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9112,6 +9148,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),
+    "q_pipeline_curation_scale": (
+        q_pipeline_curation_scale,
+        _PIPELINE_CURATION_SCALE_SQL,
+    ),
     "q_source_schema_evolution": (q_source_schema_evolution, _SOURCE_EVOLUTION_SQL),
     "q_join_strategy_report": (q_join_strategy_report, _JOIN_STRATEGY_SQL),
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
@@ -9302,7 +9343,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
-    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),

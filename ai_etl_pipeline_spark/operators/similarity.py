@@ -221,17 +221,44 @@ def lsh_knn(
     vec_col: str = "embedding",
     k: int = 5,
     num_bits: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall is
     traded for a bucket-key equi-join instead of a cross join — the
-    100 TB path (bucket the corpus once, probe per query)."""
+    100 TB path (bucket the corpus once, probe per query).
+
+    ``multiprobe`` > 0 additionally probes that many Hamming-distance-1
+    neighbor buckets per query (flip bit 0, bit 1, …) — the standard
+    multi-probe LSH recall lever (Lv et al., VLDB'07 shape with a
+    deterministic probe order): near-misses that landed one sign flip
+    away become candidates WITHOUT rebucketing the corpus or adding
+    tables. Candidate volume grows ×(1+multiprobe) on the QUERY side
+    only; the corpus is still bucketed once. Duplicate (query,
+    candidate) pairs from overlapping probes collapse before scoring.
+    """
     from pyspark.sql import Window
 
+    if not 0 <= multiprobe <= num_bits:
+        raise ValueError(
+            f"lsh_knn: multiprobe must be in [0, num_bits], got {multiprobe}"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(_dbl(vec_col)).alias("qv"),
         sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.expr(f"cast(bucket ^ {1 << i} as int)")
+                for i in range(multiprobe)
+            ],
+        )
+        q = (
+            q.withColumn("bucket", F.explode(probes))
+            .dropDuplicates(["query_id", "bucket"])
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(_dbl(vec_col)).alias("cv"),

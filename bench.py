@@ -187,6 +187,7 @@ HEADLINE = [
     "q_validate_kanonymity",
     "q_decontaminate_semantic",
     "q_enrich_target_encode",
+    "q_knn_lsh_multiprobe",
 ]
 
 

@@ -721,3 +721,31 @@ def test_hits_renormalization_survives_wide_mass(spark):
     rows = graph.hits(e, iterations=2, base=10**9).collect()
     assert len(rows) == n
     assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
+
+
+# -------------------------------------------------- multi-probe LSH
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_knn(emb, qs, k=5)
+    single = similarity.lsh_knn(emb, qs, k=5, num_bits=6)
+    multi = similarity.lsh_knn(emb, qs, k=5, num_bits=6, multiprobe=3)
+    rep = {
+        r["tier"]: r
+        for r in similarity.recall_report(
+            exact, {"single": single, "multi": multi}
+        ).collect()
+    }
+    assert rep["multi"]["recall_micro"] >= rep["single"]["recall_micro"]
+    assert rep["multi"]["n_candidates"] >= rep["single"]["n_candidates"]
+
+
+def test_lsh_multiprobe_validation(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.lsh_knn(emb, emb, num_bits=2, multiprobe=3)
