@@ -1786,6 +1786,50 @@ FROM (
 """
 
 
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling (the RAG long-doc idiom):
+    every 50th vec_id is one simulated document's chunk set; pooled
+    vector = per-component integer-micro-unit mean. Float sums across
+    rows are accumulation-order-dependent (partition order moves the
+    low bits) — integer sums commute, so a POOLED EMBEDDING TABLE sits
+    under the full hash gate. One shuffle carries groups×dim partial
+    sums (map-side combine), never corpus×dim."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "doc", F.col("vec_id") % 50
+    )
+    out = similarity.mean_pool_embeddings(emb, "doc")
+    return out.select(
+        "doc",
+        "n_chunks",
+        F.array_join(
+            F.transform(F.col("pooled"), lambda v: v.cast("string")), ","
+        ).alias("pooled_micro"),
+    ).orderBy("doc")
+
+
+_EMBED_MEAN_POOL_SQL = """
+WITH parts AS (
+  SELECT vec_id % 50 AS doc,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT doc, pos, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM parts GROUP BY doc, pos
+),
+g AS (SELECT doc, CAST(max(n) AS BIGINT) AS n_chunks FROM sums GROUP BY doc)
+SELECT s.doc, g.n_chunks,
+       array_to_string(
+         list(CAST(CASE WHEN s.s < 0 THEN -((-s.s) // g.n_chunks)
+                        ELSE s.s // g.n_chunks END AS VARCHAR)
+              ORDER BY s.pos), ',') AS pooled_micro
+FROM sums s JOIN g USING (doc)
+GROUP BY s.doc, g.n_chunks
+ORDER BY s.doc
+"""
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: 8 centroids from one
     deterministic Lloyd round (init = smallest md5 of id, one
@@ -9078,7 +9122,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
     # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
     #     co-purchase projection ---
-    "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
     # --- round-9 NEW: HLL cross-source overlap estimate ---
     "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
@@ -9125,9 +9168,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
     # --- round-9 NEW: multi-probe LSH (Hamming-1 recall lever); the
-    #     base LSH query rotates back in (lsh_knn gained the param) ---
+    #     base LSH query rotates back in (lsh_knn gained the param);
+    #     integer-micro-unit chunk->doc mean pooling ---
     "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
+    "q_embed_mean_pool": (q_embed_mean_pool, _EMBED_MEAN_POOL_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9148,6 +9193,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
     "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),
     "q_pipeline_curation_scale": (
         q_pipeline_curation_scale,

@@ -1193,3 +1193,59 @@ def random_projection_signs(
             row.append(1 if int(h, 16) % 2 == 0 else -1)
         out.append(row)
     return out
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pool chunk embeddings into one vector per group (the RAG /
+    long-doc idiom: embed chunks, mean-pool to a document vector).
+
+    Components are summed as INTEGER micro-units (``round(x·scale)``
+    as bigint): float sums across rows are accumulation-order-
+    dependent (partition order changes the low bits), which would put
+    a pooled-embedding table outside the bit-exact verification
+    contract; integer sums commute. The mean is the integer quotient.
+
+    Plan shape: posexplode to (group, pos, component) — partial
+    (map-side) aggregation means the ONE shuffle carries
+    groups×dim partial sums, not corpus×dim rows — then the pooled
+    vector is re-assembled with a sorted collect per group (each
+    group's list is dim-sized, never corpus-sized). Ragged vectors
+    surface as a wrong-length pooled vector for the group — validate
+    upstream with the projection guard if mixed dims are possible.
+
+    Returns ``(group_col, n_chunks, pooled)`` — pooled is
+    ``array<bigint>`` in micro-units; divide by ``scale`` to read
+    floats back.
+    """
+    if scale < 1:
+        raise ValueError(f"mean_pool_embeddings: scale must be >= 1, got {scale}")
+    parts = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> cast(round(cast(x as double)"
+                f" * {scale}) as bigint))"
+            )
+        ).alias("__pos", "__v"),
+    )
+    sums = parts.groupBy("__g", "__pos").agg(
+        F.sum("__v").alias("__s"), F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    return (
+        sums.groupBy("__g")
+        .agg(
+            # every component sees the same chunk count; max = that count
+            F.max("__n").alias("n_chunks"),
+            F.expr("array_sort(collect_list(struct(__pos, __s)))").alias("__ps"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_chunks"),
+            F.expr("transform(__ps, p -> p.__s div n_chunks)").alias("pooled"),
+        )
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "q_decontaminate_semantic",
     "q_enrich_target_encode",
     "q_knn_lsh_multiprobe",
+    "q_embed_mean_pool",
 ]
 
 

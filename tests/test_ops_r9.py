@@ -749,3 +749,38 @@ def test_lsh_multiprobe_validation(spark):
     emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         similarity.lsh_knn(emb, emb, num_bits=2, multiprobe=3)
+
+
+# -------------------------------------------------- mean pooling
+
+def test_mean_pool_integer_exact(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    rows = [
+        (1, "d1", [1.0, -2.0]),
+        (2, "d1", [2.0, -3.0]),
+        (3, "d2", [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "doc", "embedding"])
+    got = {
+        r["doc"]: (r["n_chunks"], list(r["pooled"]))
+        for r in similarity.mean_pool_embeddings(df, "doc").collect()
+    }
+    # d1: sums (3e6, -5e6) over 2 chunks -> (1_500_000, -2_500_000)
+    assert got["d1"] == (2, [1_500_000, -2_500_000])
+    assert got["d2"] == (1, [500_000, 500_000])
+
+
+def test_mean_pool_order_invariance(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    rows = [(i, "d", [0.1 * i, -0.1 * i]) for i in range(1, 30)]
+    a = similarity.mean_pool_embeddings(
+        spark.createDataFrame(rows, ["vec_id", "doc", "embedding"]), "doc"
+    ).collect()[0]
+    b = similarity.mean_pool_embeddings(
+        spark.createDataFrame(rows[::-1], ["vec_id", "doc", "embedding"])
+        .repartition(7),
+        "doc",
+    ).collect()[0]
+    assert list(a["pooled"]) == list(b["pooled"])
