@@ -1786,6 +1786,58 @@ FROM (
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    customer→supplier baskets (high-volume lines only, the sparse
+    co-purchase precedent): which supplier pairs co-occur in the same
+    customer's purchases more than independence predicts. Exact
+    integer micro-ratios; lift numerator in decimal(38,0). Top-20 by
+    lift, ties by pair id."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    baskets = (
+        li.where(F.col("l_quantity") >= 45)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+    )
+    rules = relational.market_basket_rules(baskets, "cust", "supp", min_pair_count=3)
+    return rules.orderBy(
+        F.col("lift_micro").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(20)
+
+
+_BASKET_RULES_SQL = """
+WITH t AS (
+  SELECT DISTINCT o_custkey AS txn, l_suppkey AS item
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_quantity >= 45
+),
+n AS (SELECT CAST(count(DISTINCT txn) AS BIGINT) AS n_txn FROM t),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY item),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM t a JOIN t b ON a.txn = b.txn AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT item_a, item_b, pair_count,
+       CAST(pair_count * 1000000 // n.n_txn AS BIGINT) AS support_micro,
+       CAST(pair_count * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_micro,
+       CAST(pair_count * 1000000 // cb.cnt AS BIGINT) AS conf_b_to_a_micro,
+       CAST(CAST(pair_count AS HUGEINT) * n.n_txn * 1000000
+            // (ca.cnt * cb.cnt) AS BIGINT) AS lift_micro
+FROM p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b
+CROSS JOIN n
+ORDER BY lift_micro DESC, item_a, item_b
+LIMIT 20
+"""
+
+
 def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document embedding pooling (the RAG long-doc idiom):
     every 50th vec_id is one simulated document's chunk set; pooled
@@ -9127,7 +9179,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
-    "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
     "q_graph_pagerank_personalized": (
         q_graph_pagerank_personalized,
         _pagerank_personalized_sql(),
@@ -9173,6 +9224,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_embed_mean_pool": (q_embed_mean_pool, _EMBED_MEAN_POOL_SQL),
+    # --- round-9 NEW: pairwise association rules (support/conf/lift) ---
+    "q_basket_rules": (q_basket_rules, _BASKET_RULES_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9193,6 +9246,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
     "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),
     "q_pipeline_curation_scale": (

@@ -680,3 +680,84 @@ def auto_join(
             return salted_join(right, left, key, "inner", salt_buckets).select(*cols)
         return salted_join(left, right, key, "inner", salt_buckets)
     return left.join(right, key, how)
+
+
+def market_basket_rules(
+    df: DataFrame,
+    txn_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association rules over a (transaction, item) relation —
+    support / confidence / lift, the classic market-basket mining
+    output (and, on a corpus, the "terms that co-occur more than
+    chance" profile). Itemsets stop at pairs: the frequent-pair tier
+    is where the recommender/co-occurrence value is, and pairs keep
+    the plan a single bounded self-join instead of Apriori's level-wise
+    candidate explosion.
+
+    Plan shape: dedup to distinct (txn, item); one txn-keyed self-join
+    (fan-out bounded by basket size, the co-purchase projection
+    precedent) → pair counts filtered by ``min_pair_count`` BEFORE any
+    further joins; two item-keyed joins attach the marginals; one
+    scalar transaction count broadcasts. All ratios are exact integer
+    micro-units; the lift numerator (≈ n²·1e6) runs in decimal(38,0)
+    so billion-transaction corpora don't overflow int64 (the HITS
+    lesson).
+
+    Returns one row per surviving unordered pair: ``item_a < item_b``,
+    ``pair_count``, ``support_micro`` (pair / all txns),
+    ``conf_a_to_b_micro`` / ``conf_b_to_a_micro`` (pair / marginal),
+    and ``lift_micro`` (1e6 = independence).
+    """
+    if min_pair_count < 1:
+        raise ValueError(
+            f"market_basket_rules: min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    t = df.select(
+        F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item")
+    ).distinct()
+    n_txn = t.agg(
+        F.count_distinct(F.col("__txn")).cast("bigint").alias("__n")
+    )
+    item_cnt = t.groupBy("__item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    a, b = t.alias("__a"), t.alias("__b")
+    pairs = (
+        a.join(b, F.col("__a.__txn") == F.col("__b.__txn"))
+        .where(F.col("__a.__item") < F.col("__b.__item"))
+        .groupBy(
+            F.col("__a.__item").alias("item_a"),
+            F.col("__b.__item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    return (
+        pairs.join(
+            item_cnt.select(
+                F.col("__item").alias("item_a"), F.col("__cnt").alias("__ca")
+            ),
+            "item_a",
+        )
+        .join(
+            item_cnt.select(
+                F.col("__item").alias("item_b"), F.col("__cnt").alias("__cb")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_txn))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.expr("pair_count * 1000000 div __n").alias("support_micro"),
+            F.expr("pair_count * 1000000 div __ca").alias("conf_a_to_b_micro"),
+            F.expr("pair_count * 1000000 div __cb").alias("conf_b_to_a_micro"),
+            F.expr(
+                "cast(cast(pair_count as decimal(38, 0)) * __n * 1000000 "
+                "div (__ca * __cb) as bigint)"
+            ).alias("lift_micro"),
+        )
+    )

@@ -189,6 +189,7 @@ HEADLINE = [
     "q_enrich_target_encode",
     "q_knn_lsh_multiprobe",
     "q_embed_mean_pool",
+    "q_basket_rules",
 ]
 
 

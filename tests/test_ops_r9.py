@@ -784,3 +784,37 @@ def test_mean_pool_order_invariance(spark):
         "doc",
     ).collect()[0]
     assert list(a["pooled"]) == list(b["pooled"])
+
+
+# -------------------------------------------------- basket rules
+
+def test_market_basket_rules_exact_ratios(spark):
+    from ai_etl_pipeline_spark.operators import relational
+
+    # 4 txns; {x,y} together in 2; x in 3, y in 2; z rides alone
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["txn", "item"])
+    out = relational.market_basket_rules(df, "txn", "item", min_pair_count=2)
+    r = out.collect()
+    assert len(r) == 1 and (r[0]["item_a"], r[0]["item_b"]) == ("x", "y")
+    assert r[0]["pair_count"] == 2
+    assert r[0]["support_micro"] == 2 * 1_000_000 // 4
+    assert r[0]["conf_a_to_b_micro"] == 2 * 1_000_000 // 3
+    assert r[0]["conf_b_to_a_micro"] == 1_000_000
+    # lift = (2/4) / ((3/4)*(2/4)) = 4/3
+    assert r[0]["lift_micro"] == 2 * 4 * 1_000_000 // (3 * 2)
+
+
+def test_market_basket_rules_dedups_repeat_lines(spark):
+    from ai_etl_pipeline_spark.operators import relational
+
+    # the same (txn, item) line twice must count once
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, ["txn", "item"])
+    r = relational.market_basket_rules(df, "txn", "item").collect()
+    assert r[0]["pair_count"] == 2 and r[0]["conf_a_to_b_micro"] == 1_000_000
