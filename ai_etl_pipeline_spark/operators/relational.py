@@ -714,9 +714,18 @@ def market_basket_rules(
         raise ValueError(
             f"market_basket_rules: min_pair_count must be >= 1, got {min_pair_count}"
         )
-    t = df.select(
-        F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item")
-    ).distinct()
+    # the basket relation is referenced FOUR times (both self-join
+    # sides, the marginals, the txn count) — hash-partition on the
+    # self-join key and lazily checkpoint so the base scan runs once
+    # and the self-join reuses the layout (the pagerank idiom)
+    t = (
+        df.select(
+            F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item")
+        )
+        .distinct()
+        .repartition(F.col("__txn"))
+        .localCheckpoint(eager=False)
+    )
     n_txn = t.agg(
         F.count_distinct(F.col("__txn")).cast("bigint").alias("__n")
     )
