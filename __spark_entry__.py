@@ -5325,6 +5325,39 @@ FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40
 _KHOP_MAX = 4
 
 
+def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PageRank (warm start): run 4 iterations, snapshot
+    the rank table, then resume 4 more from it via ``init_ranks`` —
+    the maintenance mode for an evolving graph (resume from
+    yesterday's ranks instead of from scratch). Because the iteration
+    is a deterministic pure function of the rank frame, 4+4 warm is
+    BIT-EQUAL to 8 straight — so the oracle is ``q_graph_pagerank``'s
+    existing 8-iteration unroll, and a hash match IS the proof that
+    the warm-start path loses nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    half = _PR_ITERS // 2
+    snap = graph.pagerank(
+        edges, iterations=half, damping_pct=_PR_DAMP, base=_PR_BASE
+    ).select("node", "rank")
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS - half,
+        damping_pct=_PR_DAMP,
+        base=_PR_BASE,
+        init_ranks=snap,
+    )
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS to a fixed depth over the undirected trade
     graph: minimum hop distance from the modulo supplier cohort
@@ -9177,7 +9210,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-9 NEW: HLL cross-source overlap estimate ---
     "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
-    "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
     "q_graph_pagerank_personalized": (
         q_graph_pagerank_personalized,
@@ -9208,8 +9240,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     weekly cohort retention, exact integer micro-ratios ---
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
-    # --- round-9 NEW: fixed-depth multi-source BFS (k-hop distances) ---
+    # --- round-9 NEW: fixed-depth multi-source BFS (k-hop distances);
+    #     warm-start PageRank (oracle = the straight 8-iteration unroll,
+    #     so the hash match proves 4+4 warm == 8 cold) ---
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
+    "q_graph_pagerank_incremental": (q_graph_pagerank_incremental, _pagerank_sql()),
     # --- round-9 NEW: Z-order clustering + two-dimension zone-map skip ---
     "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     # --- round-9 NEW: k-anonymity / l-diversity privacy audit ---
@@ -9246,6 +9281,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
     "q_join_auto": (q_join_auto, _JOIN_AUTO_SQL),

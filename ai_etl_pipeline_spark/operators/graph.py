@@ -43,6 +43,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     delta_receipt: bool = False,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Damped random-walk centrality over an edge relation: fixed
     ``iterations`` of ``rank'(u) = ((100 - d)·base + d·(Σ_{v→u}
@@ -220,7 +221,32 @@ def pagerank(
                 seed_nodes.agg(F.count("*").cast("bigint").alias("__s"))
                 .localCheckpoint(eager=False)
             )
-    ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
+    if init_ranks is not None:
+        # WARM START (incremental maintenance): resume from a previous
+        # run's (node, rank) output instead of the uniform ``base``.
+        # Because the iteration is a deterministic pure function of the
+        # rank frame, pagerank(init=pagerank(edges, k), m) is BIT-EQUAL
+        # to pagerank(edges, k + m) on an unchanged graph — the
+        # equivalence the incremental registry query's oracle exploits —
+        # and on a mutated graph it converges from the warm point
+        # instead of from scratch. Nodes new since the snapshot start at
+        # ``base``; departed nodes' rows are dropped by the node-set
+        # join.
+        prev = init_ranks.select(
+            F.col(init_ranks.columns[0]).alias("__node"),
+            F.col(init_ranks.columns[1]).cast("bigint").alias("__prev_rank"),
+        )
+        ranks = (
+            nodes.join(prev, "__node", "left")
+            .select(
+                F.col("__node"),
+                F.coalesce(F.col("__prev_rank"), F.lit(base).cast("bigint"))
+                .alias("__rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     prev_ranks = None
     for it in range(iterations):

@@ -190,6 +190,7 @@ HEADLINE = [
     "q_knn_lsh_multiprobe",
     "q_embed_mean_pool",
     "q_basket_rules",
+    "q_graph_pagerank_incremental",
 ]
 
 

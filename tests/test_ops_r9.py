@@ -818,3 +818,33 @@ def test_market_basket_rules_dedups_repeat_lines(spark):
     df = spark.createDataFrame(rows, ["txn", "item"])
     r = relational.market_basket_rules(df, "txn", "item").collect()
     assert r[0]["pair_count"] == 2 and r[0]["conf_a_to_b_micro"] == 1_000_000
+
+
+# ------------------------------------------- incremental pagerank
+
+def test_pagerank_warm_start_equals_straight_run(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    straight = {
+        r["node"]: r["rank"] for r in graph.pagerank(e, iterations=6).collect()
+    }
+    snap = graph.pagerank(e, iterations=2).select("node", "rank")
+    warm = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e, iterations=4, init_ranks=snap).collect()
+    }
+    assert warm == straight
+
+
+def test_pagerank_warm_start_new_node_enters_at_base(spark):
+    old = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    snap = graph.pagerank(old, iterations=2).select("node", "rank")
+    grown = spark.createDataFrame(
+        [("a", "b"), ("b", "z")], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in graph.pagerank(
+        grown, iterations=1, init_ranks=snap
+    ).collect()}
+    # z was absent from the snapshot; it participates (fresh at base)
+    assert "z" in out and out["z"] > 0
