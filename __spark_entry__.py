@@ -1786,6 +1786,42 @@ FROM (
 """
 
 
+def q_validate_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC receipt: does the line discount predict a returned
+    item? Tie-corrected rank-sum identity in exact integers —
+    per-distinct-score (pos, neg) aggregation (one corpus shuffle),
+    cumulative window over the SCORES-sized frame only, never a
+    global corpus sort; ties get the conventional half-credit via ×2
+    scaling. The discrimination receipt for any pipeline score."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return validate.auc_report(li, "score", "label")
+
+
+_VALIDATE_AUC_SQL = """
+WITH sc AS (
+  SELECT l_discount AS s,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM lineitem GROUP BY l_discount
+),
+c AS (
+  SELECT pos, neg,
+         CAST(coalesce(sum(neg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM sc
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(CAST(sum(pos * (2 * neg_below + neg)) AS HUGEINT) * 1000000
+            // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_micro
+FROM c
+"""
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules (support / confidence / lift) over
     customer→supplier baskets (high-volume lines only, the sparse
@@ -9259,8 +9295,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_embed_mean_pool": (q_embed_mean_pool, _EMBED_MEAN_POOL_SQL),
-    # --- round-9 NEW: pairwise association rules (support/conf/lift) ---
+    # --- round-9 NEW: pairwise association rules (support/conf/lift);
+    #     integer tie-corrected ROC-AUC receipt ---
     "q_basket_rules": (q_basket_rules, _BASKET_RULES_SQL),
+    "q_validate_auc": (q_validate_auc, _VALIDATE_AUC_SQL),
     # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
@@ -9278,9 +9316,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
     #     entity resolution (ordering contract: 1-50) ---
-    "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
     # rotated out of the window in r9 (r8-green, code unchanged this round)
+    "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),

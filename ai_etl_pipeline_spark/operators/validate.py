@@ -259,3 +259,61 @@ def k_anonymity_report(
     return classes.agg(*out_aggs).withColumn(
         "meets_k", F.col("k_anonymity") >= k
     )
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC-AUC of a score against a binary label — the standard quality
+    receipt for any ranker/classifier/filter score in the pipeline
+    (is the quality score actually predictive of the keep/drop label?).
+
+    Computed by the tie-corrected rank-sum identity, in EXACT integer
+    arithmetic: aggregate to per-distinct-score (pos, neg) counts
+    first — ONE corpus shuffle keyed on the score — then
+    ``U₂ = Σ_s pos_s · (2·neg_below(s) + neg_s)`` over the
+    scores-sized frame and ``auc_micro = U₂·1e6 div (2·n_pos·n_neg)``
+    (ties contribute the conventional half-credit; the ×2 scaling
+    keeps halves integral; the product runs in decimal(38,0)). The
+    only window runs over DISTINCT scores — quantize a continuous
+    score to fixed precision first at 100 TB so that frame stays
+    small; the corpus itself is never globally sorted.
+
+    ``label_col`` must be 0/1 (or boolean). Degenerate inputs (no
+    positives or no negatives) fail loudly on the div-by-zero rather
+    than reporting a fake 0.5. Returns ONE row:
+    ``(n_pos, n_neg, auc_micro)``.
+    """
+    from pyspark.sql import Window
+
+    sc = (
+        df.select(
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("bigint").alias("__pos"),
+            F.sum(1 - F.col("__y")).cast("bigint").alias("__neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    sc = sc.withColumn(
+        "__neg_below", F.coalesce(F.sum("__neg").over(w), F.lit(0).cast("bigint"))
+    )
+    return sc.agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+        F.sum(F.expr("__pos * (2 * __neg_below + __neg)"))
+        .cast("bigint")
+        .alias("__u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "cast(cast(__u2 as decimal(38, 0)) * 1000000 "
+            "div (2 * n_pos * n_neg) as bigint)"
+        ).alias("auc_micro"),
+    )

@@ -191,6 +191,7 @@ HEADLINE = [
     "q_embed_mean_pool",
     "q_basket_rules",
     "q_graph_pagerank_incremental",
+    "q_validate_auc",
 ]
 
 

@@ -848,3 +848,47 @@ def test_pagerank_warm_start_new_node_enters_at_base(spark):
     ).collect()}
     # z was absent from the snapshot; it participates (fresh at base)
     assert "z" in out and out["z"] > 0
+
+
+# -------------------------------------------------------- ROC-AUC
+
+def test_auc_perfect_and_inverted_separation(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    rows = [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]
+    perfect = validate.auc_report(
+        spark.createDataFrame(rows, ["score", "label"]), "score", "label"
+    ).collect()[0]
+    assert perfect["auc_micro"] == 1_000_000
+    inverted = validate.auc_report(
+        spark.createDataFrame(
+            [(s, 1 - y) for s, y in rows], ["score", "label"]
+        ),
+        "score",
+        "label",
+    ).collect()[0]
+    assert inverted["auc_micro"] == 0
+
+
+def test_auc_ties_get_half_credit(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    # all scores equal: AUC must be exactly 1/2
+    rows = [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)]
+    r = validate.auc_report(
+        spark.createDataFrame(rows, ["score", "label"]), "score", "label"
+    ).collect()[0]
+    assert r["auc_micro"] == 500_000
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+
+
+def test_auc_matches_sklearn_style_hand_calc(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    rows = [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)]
+    # pairs: (0.35 vs 0.1 win), (0.35 vs 0.4 loss), (0.8 vs both wins)
+    # AUC = 3/4
+    r = validate.auc_report(
+        spark.createDataFrame(rows, ["score", "label"]), "score", "label"
+    ).collect()[0]
+    assert r["auc_micro"] == 750_000
