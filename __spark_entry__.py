@@ -5500,8 +5500,11 @@ n AS (SELECT (SELECT count(*) FROM s1) AS n1,
              (SELECT count(*) FROM s3) AS n3)
 SELECT CAST(step AS INTEGER) AS step, event_type,
        CAST(n_users AS BIGINT) AS n_users,
-       CAST(n_users * 1000000 // n1 AS BIGINT) AS conversion_micro,
+       CAST(CASE WHEN n1 = 0 THEN NULL
+                 ELSE n_users * 1000000 // n1 END AS BIGINT)
+         AS conversion_micro,
        CAST(CASE WHEN prev_n IS NULL THEN 1000000
+                 WHEN prev_n = 0 THEN NULL
                  ELSE n_users * 1000000 // prev_n END AS BIGINT)
          AS step_conversion_micro
 FROM (

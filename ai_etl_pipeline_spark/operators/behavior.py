@@ -104,11 +104,17 @@ def funnel(
 
     # the report is steps-sized — a window over it is driver-trivial
     prev_n = F.lag("n_users", 1).over(Window.orderBy("step"))
+    # zero bases yield NULL rates, not a div-by-zero job failure: a
+    # funnel whose step k converted nobody still reports the later
+    # steps' (0-user) rows (hypothesis-caught under ANSI mode)
     return out.select(
         "step",
         "event_type",
         "n_users",
-        F.expr("n_users * 1000000 div __n1").alias("conversion_micro"),
+        F.expr(
+            "CASE WHEN __n1 = 0 THEN cast(NULL as bigint) "
+            "ELSE n_users * 1000000 div __n1 END"
+        ).alias("conversion_micro"),
         prev_n.alias("__prev_n"),
     ).select(
         "step",
@@ -117,6 +123,7 @@ def funnel(
         "conversion_micro",
         F.expr(
             "CASE WHEN __prev_n IS NULL THEN cast(1000000 as bigint) "
+            "WHEN __prev_n = 0 THEN cast(NULL as bigint) "
             "ELSE n_users * 1000000 div __prev_n END"
         ).alias("step_conversion_micro"),
     )
