@@ -1864,7 +1864,7 @@ SELECT item_a, item_b, pair_count,
        CAST(pair_count * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_micro,
        CAST(pair_count * 1000000 // cb.cnt AS BIGINT) AS conf_b_to_a_micro,
        CAST(CAST(pair_count AS HUGEINT) * n.n_txn * 1000000
-            // (ca.cnt * cb.cnt) AS BIGINT) AS lift_micro
+            // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_micro
 FROM p
 JOIN ic ca ON ca.item = p.item_a
 JOIN ic cb ON cb.item = p.item_b
@@ -5242,7 +5242,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 17 != 0)
     bench = emb.where(F.col("vec_id") % 17 == 0)
-    out = dedup.semantic_decontaminate(corpus, bench, threshold=0.3)
+    out = dedup.semantic_decontaminate(corpus, bench, min_similarity=0.3)
     return out.select("vec_id").orderBy("vec_id")
 
 
@@ -5526,7 +5526,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix: users cohorted by the week of
     their first ``signup`` event; a cohort's week-k retention = the
     fraction active (any event) k weeks later. Week = integer
-    ``datediff div 7`` since a fixed epoch on BOTH engines —
+    ``floor(datediff / 7)`` since a fixed epoch on BOTH engines —
     sidestepping date_trunc('week') start-of-week conventions, which
     differ per engine and would break the hash gate. Two corpus
     scans, one user-keyed join, cohort-sized output. Generalizes

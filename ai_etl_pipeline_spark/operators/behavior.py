@@ -142,9 +142,13 @@ def cohort_retention(
     of their FIRST ``cohort_event`` (e.g. ``signup``), and a cohort's
     week-``k`` retention is the fraction of it active (ANY event) in
     week ``cohort_week + k``. Weeks are integer indices since a fixed
-    ``epoch`` date — ``datediff // 7`` on both engines, sidestepping
+    ``epoch`` date — FLOOR(datediff / 7) on both engines (Spark
+    ``floor``, DuckDB ``//`` — which already floors), sidestepping
     the engine-specific ``date_trunc('week')`` start-of-week
-    conventions that would break bit-exact parity.
+    conventions that would break bit-exact parity. Floor (not
+    truncate-toward-zero ``div``) keeps pre-epoch weeks aligned: with
+    ``div``, the 6 days before the epoch would share index 0 with the
+    7 days after it (a 13-day "week 0") — r9 ADVICE.
 
     Plan shape: two corpus scans (first-event aggregate; distinct
     user-week activity), one user-keyed join between a USER-sized and
@@ -159,7 +163,7 @@ def cohort_retention(
     ).withColumn(
         "__week",
         F.expr(
-            f"CAST(datediff(to_date(__ts), to_date('{epoch}')) div 7 AS INT)"
+            f"CAST(floor(datediff(to_date(__ts), to_date('{epoch}')) / 7) AS INT)"
         ),
     )
     cohorts = (

@@ -1168,12 +1168,13 @@ def semantic_decontaminate(
     benchmark: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.3,
+    min_similarity: float = 0.85,
     num_bits: int = 8,
 ) -> DataFrame:
     """SEMANTIC benchmark decontamination: drop corpus rows whose
-    embedding sits within ``threshold`` cosine of ANY benchmark vector
-    — the leakage the 8-gram :func:`decontaminate` can't see
+    embedding has cosine SIMILARITY >= ``min_similarity`` to ANY
+    benchmark vector — the leakage the 8-gram :func:`decontaminate`
+    can't see
     (paraphrased / translated / reformatted eval items share no
     surface n-grams but land next to the benchmark in embedding
     space; Phi/Llama-style training reports decontaminate BOTH ways).
@@ -1203,7 +1204,7 @@ def semantic_decontaminate(
         c.join(F.broadcast(b), "__bucket")
         .where(
             F.round(similarity.cosine_expr("__cv", "__bv"), 6)
-            >= F.lit(threshold)
+            >= F.lit(min_similarity)
         )
         .select(F.col("__id").alias(id_col))
         .distinct()

@@ -354,21 +354,48 @@ def countmin_rollup(
         if coarse_keys
         else fine.groupBy("j", "bucket")
     )
-    return grouped.agg(F.sum("cnt").alias("cnt"))
+    # Declared params travel WITH the sketch (r9 ADVICE): a probe whose
+    # width/depth disagrees with the rollup's is detectable in BOTH
+    # directions (too-small AND too-large) by comparing literals,
+    # instead of the one-sided max-bucket heuristic.
+    return (
+        grouped.agg(F.sum("cnt").alias("cnt"))
+        .withColumn("cms_depth", F.lit(depth))
+        .withColumn("cms_width", F.lit(width))
+    )
 
 
 def _validate_cms_params(sketch: DataFrame, depth: int, width: int, fn: str) -> None:
-    """Guard (r8 ADVICE): probing a :func:`countmin_rollup` sketch with
-    a depth larger than the rollup's would silently yield est_count=0
-    through the left-join coalesce, violating the one-sided (>= true
-    count) guarantee; a width smaller than the rollup's hashes probes
-    into buckets the sketch never wrote. The sketch is bounded
-    (<= depth*width rows), so one tiny aggregate action is cheap.
-    Raises on mismatch; an EMPTY sketch passes (nothing to contradict)."""
-    row = sketch.agg(
-        F.max("j").alias("mj"), F.max("bucket").alias("mb")
-    ).collect()[0]
+    """Guard (r8+r9 ADVICE): probing a :func:`countmin_rollup` sketch
+    with mismatched params silently corrupts estimates — a larger probe
+    depth or a DIFFERENT probe width (either direction) hashes items
+    into buckets the sketch never wrote and returns est_count=0 through
+    the left-join coalesce, violating the one-sided (>= true count)
+    guarantee. Sketches now carry their declared ``cms_depth`` /
+    ``cms_width`` as literal columns, so BOTH directions compare
+    exactly; legacy sketches without the columns fall back to the
+    one-sided max-bucket heuristic (width-too-small only — documented
+    limitation). The sketch is bounded (<= depth*width rows), so the
+    one tiny aggregate action is cheap. Raises on mismatch; an EMPTY
+    sketch passes (nothing to contradict)."""
+    declared = {"cms_depth", "cms_width"} <= set(sketch.columns)
+    aggs = [F.max("j").alias("mj"), F.max("bucket").alias("mb")]
+    if declared:
+        aggs += [F.max("cms_depth").alias("md"), F.max("cms_width").alias("mw")]
+    row = sketch.agg(*aggs).collect()[0]
     if row["mj"] is None:
+        return
+    if declared:
+        if row["md"] != depth:
+            raise ValueError(
+                f"{fn}: probe depth={depth} does not match sketch "
+                f"declared depth={row['md']}"
+            )
+        if row["mw"] != width:
+            raise ValueError(
+                f"{fn}: probe width={width} does not match sketch "
+                f"declared width={row['mw']}"
+            )
         return
     if row["mj"] != depth - 1:
         raise ValueError(
@@ -410,7 +437,8 @@ def countmin_estimate(
         )
         % F.lit(width),
     )
-    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    cells = sketch.select("j", "bucket", "cnt")
+    joined = probes.join(F.broadcast(cells), ["j", "bucket"], "left")
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count")
     )
@@ -430,12 +458,34 @@ def countmin_inner_product(
     WITHOUT touching either corpus at plan time. One bounded join +
     one scalar aggregate; returns one row ``(est_join_rows)``.
     Sketches of different depth raise (r8 ADVICE) — a partial j join
-    would silently bias the min."""
-    da = sketch_a.agg(F.max("j")).collect()[0][0]
-    db = sketch_b.agg(F.max("j")).collect()[0][0]
+    would silently bias the min; different declared widths also raise
+    (r9 ADVICE) — same-bucket cells from different-width hashes are
+    counts of UNRELATED key sets and their dot product is noise."""
+
+    def _params(s: DataFrame):
+        declared = {"cms_depth", "cms_width"} <= set(s.columns)
+        aggs = [F.max("j").alias("mj")]
+        if declared:
+            aggs += [F.max("cms_depth").alias("md"), F.max("cms_width").alias("mw")]
+        r = s.agg(*aggs).collect()[0]
+        return (
+            r["mj"] + 1 if r["mj"] is not None else None,
+            r["md"] if declared else None,
+            r["mw"] if declared else None,
+        )
+
+    (da, dda, wa), (db, ddb, wb) = _params(sketch_a), _params(sketch_b)
     if da is not None and db is not None and da != db:
         raise ValueError(
-            f"countmin_inner_product: sketch depths differ ({da + 1} vs {db + 1})"
+            f"countmin_inner_product: sketch depths differ ({da} vs {db})"
+        )
+    if dda is not None and ddb is not None and dda != ddb:
+        raise ValueError(
+            f"countmin_inner_product: declared depths differ ({dda} vs {ddb})"
+        )
+    if wa is not None and wb is not None and wa != wb:
+        raise ValueError(
+            f"countmin_inner_product: declared widths differ ({wa} vs {wb})"
         )
     a = sketch_a.select("j", "bucket", F.col("cnt").alias("__ca"))
     b = sketch_b.select("j", "bucket", F.col("cnt").alias("__cb"))

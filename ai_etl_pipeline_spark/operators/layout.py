@@ -62,10 +62,15 @@ def zorder_key(
     norm_exprs = []
     for c in cols:
         lo, hi = f"__min_{c}", f"__max_{c}"
+        # `<=>` (null-safe equal): an all-NULL column gives NULL min/max
+        # and must take the constant-0 branch, not NULL-poison every key
+        # (r9 ADVICE); the (x - min) * top product is widened to decimal
+        # so ranges beyond ~1.4e14 can't overflow bigint.
         norm_exprs.append(
-            f"CASE WHEN {hi} = {lo} THEN cast(0 as bigint) "
-            f"ELSE (coalesce(cast({c} as bigint), {lo}) - {lo}) * {top} "
-            f"div ({hi} - {lo}) END"
+            f"CASE WHEN {hi} <=> {lo} THEN cast(0 as bigint) "
+            f"ELSE cast(cast(coalesce(cast({c} as bigint), {lo}) - {lo} "
+            f"as decimal(38, 0)) * {top} "
+            f"div ({hi} - {lo}) as bigint) END"
         )
     terms = []
     for i, n in enumerate(norm_exprs):

@@ -765,8 +765,11 @@ def market_basket_rules(
             F.expr("pair_count * 1000000 div __ca").alias("conf_a_to_b_micro"),
             F.expr("pair_count * 1000000 div __cb").alias("conf_b_to_a_micro"),
             F.expr(
+                # both sides of the integral divide widened to decimal:
+                # two ~3e9 marginals overflow the bigint product __ca*__cb
+                # even though the numerator was already decimal (r9 ADVICE)
                 "cast(cast(pair_count as decimal(38, 0)) * __n * 1000000 "
-                "div (__ca * __cb) as bigint)"
+                "div (cast(__ca as decimal(38, 0)) * __cb) as bigint)"
             ).alias("lift_micro"),
         )
     )

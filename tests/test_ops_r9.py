@@ -654,7 +654,7 @@ def test_semantic_decontaminate_drops_near_benchmark(spark):
     bench = [(100, [1.0, 0.0, 1.0, 0.0])]
     c = spark.createDataFrame(rows, ["vec_id", "embedding"])
     b = spark.createDataFrame(bench, ["vec_id", "embedding"])
-    out = dedup.semantic_decontaminate(c, b, threshold=0.9, num_bits=2)
+    out = dedup.semantic_decontaminate(c, b, min_similarity=0.9, num_bits=2)
     assert [r["vec_id"] for r in out.collect()] == [2]
 
 
@@ -663,7 +663,7 @@ def test_semantic_decontaminate_keeps_all_on_empty_benchmark(spark):
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
     )
     b = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    out = dedup.semantic_decontaminate(c, b, threshold=0.5, num_bits=1)
+    out = dedup.semantic_decontaminate(c, b, min_similarity=0.5, num_bits=1)
     assert out.count() == 2
 
 
