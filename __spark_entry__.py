@@ -9196,6 +9196,521 @@ FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# round-10 composites: link prediction, journey mining, TWAP, OLS report,
+# Benford, PMI collocations, chi-square feature selection, prefix-filter
+# set-similarity join, frame-level audio DSP, TPC-H Q2 shape
+# ---------------------------------------------------------------------------
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite link prediction over the high-volume customer→supplier
+    purchase graph (the q_basket_rules relation): top supplier pairs by
+    Adamic-Adar, with common-neighbor and Jaccard scores alongside —
+    the "customers who buy from A also buy from B" recommender
+    primitive. Wedges keyed on customers, hubs above degree 64
+    excluded from pair generation (max_df idiom), all-integer scores."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.where(F.col("l_quantity") >= 45)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+    )
+    scored = graph.link_prediction(edges, min_common=2, max_src_degree=64)
+    return scored.orderBy(
+        F.col("adamic_adar_micro").desc(), "node_a", "node_b"
+    ).limit(20)
+
+
+_GRAPH_LINK_PREDICTION_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_quantity >= 45
+),
+sd AS (SELECT s, CAST(count(*) AS BIGINT) AS sd FROM e GROUP BY s),
+dd AS (SELECT d, CAST(count(*) AS BIGINT) AS dd FROM e GROUP BY d),
+w AS (SELECT e.s, e.d, sd.sd FROM e JOIN sd USING (s)
+      WHERE sd.sd BETWEEN 2 AND 64),
+p AS (
+  SELECT a.d AS node_a, b.d AS node_b,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(CAST(floor(1000000.0 / ln(a.sd)) AS BIGINT)) AS BIGINT)
+           AS adamic_adar_micro
+  FROM w a JOIN w b ON a.s = b.s AND a.d < b.d
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT node_a, node_b, common_neighbors,
+       CAST(common_neighbors * 1000000
+            // (da.dd + db.dd - common_neighbors) AS BIGINT) AS jaccard_micro,
+       adamic_adar_micro
+FROM p JOIN dd da ON da.d = p.node_a JOIN dd db ON db.d = p.node_b
+ORDER BY adamic_adar_micro DESC, node_a, node_b
+LIMIT 20
+"""
+
+
+def q_events_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step event journeys: one lead-window pass per user
+    timeline (ties broken by event_id — deterministic), bounded
+    sequence-keyed aggregate, top-25 journeys."""
+    ev = _t(spark, sf_dir, "events")
+    seq = behavior.event_sequences(ev, n=3)
+    return seq.orderBy(
+        F.col("n_occurrences").desc(), "step_1", "step_2", "step_3"
+    ).limit(25)
+
+
+_EVENTS_SEQUENCES_SQL = """
+WITH s AS (
+  SELECT event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_occurrences DESC, step_1, step_2, step_3
+LIMIT 25
+"""
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per type (readings
+    carried forward to the same user's next same-type reading) vs the
+    plain average — LOCF interval weighting, integer micro-units,
+    (user, type)-keyed window so no partition serializes the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    return behavior.time_weighted_avg(ev).orderBy("event_type")
+
+
+_EVENTS_TWAP_SQL = """
+WITH iv AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         CAST(date_diff('second', ts, lead(ts) OVER w) AS BIGINT) AS dur
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT t AS event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS total_seconds,
+       CAST(CASE WHEN sum(dur) = 0 THEN NULL
+                 ELSE sum(CAST(vm AS HUGEINT) * dur) // sum(dur)
+            END AS BIGINT) AS twap_micro,
+       CAST(sum(CAST(vm AS HUGEINT)) // count(*) AS BIGINT) AS plain_avg_micro
+FROM iv WHERE dur IS NOT NULL
+GROUP BY t
+ORDER BY event_type
+"""
+
+
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS of order value on customer balance — slope /
+    intercept as EXACT integer micro-ratios from decimal moment sums
+    (no engine-specific float accumulation), R² from the exact moments
+    cast to double (IEEE-deterministic). The oracle replays the moment
+    algebra in HUGEINT with truncating (not flooring) division to
+    match Spark's decimal ``div``."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_acctbal", "o_totalprice")
+    )
+    rep = validate.linreg_report(j, ["n_name"], "c_acctbal", "o_totalprice")
+    return rep.orderBy("n_name")
+
+
+_ML_LINREG_SQL = """
+WITH j AS (
+  SELECT n_name,
+         CAST(round(c_acctbal * 100) AS HUGEINT) AS xs,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS ys
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal IS NOT NULL AND o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+         sum(xs) AS sx, sum(ys) AS sy, sum(xs * ys) AS sxy,
+         sum(xs * xs) AS sxx, sum(ys * ys) AS syy
+  FROM j GROUP BY n_name
+),
+d AS (
+  SELECT n_name, n,
+         (n * sxy - sx * sy) AS num,
+         (n * sxx - sx * sx) AS den_x,
+         (n * syy - sy * sy) AS den_y,
+         (sy * sxx - sx * sxy) AS inum
+  FROM m
+)
+SELECT n_name, CAST(n AS BIGINT) AS n,
+  CASE WHEN den_x = 0 THEN NULL
+       WHEN num >= 0 THEN CAST(num * 1000000 // den_x AS BIGINT)
+       ELSE CAST(-((-num * 1000000) // den_x) AS BIGINT) END AS slope_micro,
+  CASE WHEN den_x = 0 THEN NULL
+       WHEN inum >= 0 THEN CAST(inum * 1000000 // (den_x * 100) AS BIGINT)
+       ELSE CAST(-((-inum * 1000000) // (den_x * 100)) AS BIGINT)
+  END AS intercept_micro,
+  CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+       ELSE round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6)
+  END AS r2
+FROM d
+ORDER BY n_name
+"""
+
+
+def q_validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) conformance report over order values:
+    observed vs expected shares and integer-scaled chi-square terms
+    per digit. Expected shares are fixed micro literals (identical in
+    engine and oracle — no runtime log10)."""
+    orders = _t(spark, sf_dir, "orders")
+    return validate.benford_report(orders, "o_totalprice")
+
+
+_VALIDATE_BENFORD_SQL = """
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS dg
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+),
+obs AS (SELECT CAST(dg AS INTEGER) AS digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM d GROUP BY 1),
+expd AS (SELECT * FROM (VALUES
+  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+  (6, 66946), (7, 57991), (8, 51152), (9, 45757)
+) AS t(digit, exp_share_micro)),
+j AS (
+  SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+         CAST(e.exp_share_micro AS BIGINT) AS exp_share_micro
+  FROM expd e LEFT JOIN obs o USING (digit)
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM j)
+SELECT CAST(digit AS INTEGER) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       n AS n_rows_considered,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(n_obs * 1000000 // n AS BIGINT) END AS obs_share_micro,
+       exp_share_micro,
+       CASE WHEN n = 0 THEN NULL ELSE CAST(
+         (CAST(n_obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * exp_share_micro)
+         * (CAST(n_obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * exp_share_micro)
+         // (CAST(n AS HUGEINT) * exp_share_micro * 1000000) AS BIGINT)
+       END AS chi2_term_micro
+FROM j CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by pointwise mutual information over the
+    documents corpus (micro-nat integer scores from exact counts; the
+    fixed-shape double expression is IEEE-identical across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    pmi = textstats.pmi_collocations(docs, "text", min_count=25)
+    return pmi.orderBy(F.col("pmi_micro").desc(), "token_a", "token_b").limit(20)
+
+
+_TEXT_PMI_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS tok FROM t2),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+nb AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS n FROM t2),
+bz AS (
+  SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+  FROM t2
+),
+bi AS (
+  SELECT z[1] AS token_a, z[2] AS token_b, CAST(count(*) AS BIGINT) AS pair_count
+  FROM bz GROUP BY 1, 2
+  HAVING count(*) >= 25
+)
+SELECT token_a, token_b, pair_count,
+  CAST(floor(1000000.0 * ln(
+    CAST(pair_count AS DOUBLE) * CAST(nu.n AS DOUBLE) * CAST(nu.n AS DOUBLE)
+    / (CAST(nb.n AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+  )) AS BIGINT) AS pmi_micro
+FROM bi
+JOIN uc ca ON ca.tok = bi.token_a
+JOIN uc cb ON cb.tok = bi.token_b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_micro DESC, token_a, token_b
+LIMIT 20
+"""
+
+
+def q_text_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token↔class association (feature selection for the
+    quality classifier): which tokens separate English documents from
+    the rest. Doc-level presence, exact counts, IEEE-deterministic
+    double chi-square from those counts."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = textstats.chi2_token_association(
+        docs, "text", "lang = 'en'", min_doc_freq=10
+    )
+    return rep.orderBy(F.col("chi2_micro").desc(), "token").limit(25)
+
+
+_TEXT_CHI2_SQL = """
+WITH t AS (
+  SELECT CAST(lang = 'en' AS BOOLEAN) AS pos,
+         list_distinct(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM t
+),
+td AS (SELECT unnest(toks) AS token, pos FROM t),
+c AS (
+  SELECT token,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_docs,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_docs
+  FROM td GROUP BY token
+  HAVING count(*) >= 10
+)
+SELECT token, n_pos_docs, n_neg_docs,
+  CAST(CASE WHEN np = 0 OR nn = 0 OR (np + nn - n_pos_docs - n_neg_docs) = 0
+       THEN NULL ELSE
+  floor(1000000.0 * CAST(np + nn AS DOUBLE)
+  * (CAST(n_pos_docs AS DOUBLE) * CAST(nn - n_neg_docs AS DOUBLE)
+     - CAST(n_neg_docs AS DOUBLE) * CAST(np - n_pos_docs AS DOUBLE))
+  * (CAST(n_pos_docs AS DOUBLE) * CAST(nn - n_neg_docs AS DOUBLE)
+     - CAST(n_neg_docs AS DOUBLE) * CAST(np - n_pos_docs AS DOUBLE))
+  / (CAST(n_pos_docs + n_neg_docs AS DOUBLE)
+     * CAST(np + nn - n_pos_docs - n_neg_docs AS DOUBLE)
+     * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))
+  END AS BIGINT) AS chi2_micro
+FROM c CROSS JOIN tot
+ORDER BY chi2_micro DESC, token
+LIMIT 25
+"""
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall near-dup pairs via prefix filtering (AllPairs/
+    PPJoin): 3-word shingle sets, global rare-first token order,
+    per-doc prefixes sized ``n − ⌈t·n⌉ + 1`` (all-integer ceil), prefix
+    equi-join candidates, exact Jaccard verify at t = 0.5 micro. The
+    deterministic-recall sibling of q_dedup_minhash_lsh on the same
+    shingle relation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filter_join(
+        docs, "doc_id", "text", threshold_micro=500000, shingle_k=3
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+_DEDUP_PREFIX_FILTER_SQL = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       FROM shingles GROUP BY doc_id),
+freq AS (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle),
+ranked AS (
+  SELECT shingle,
+         row_number() OVER (ORDER BY f ASC, shingle ASC) AS rnk
+  FROM freq
+),
+pos AS (
+  SELECT s.doc_id, r.rnk, z.sz,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY r.rnk ASC) AS p
+  FROM shingles s JOIN ranked r USING (shingle) JOIN sz z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, rnk, sz FROM pos
+  WHERE p <= sz - ((500000 * sz + 999999) // 1000000) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sz AS sa, b.sz AS sb
+  FROM prefix a JOIN prefix b ON a.rnk = b.rnk AND a.doc_id < b.doc_id
+  WHERE least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.sa, c.sb, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles ta ON ta.doc_id = c.id_a
+  JOIN shingles tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(i * 1000000 // (sa + sb - i) AS BIGINT) AS jaccard_micro
+FROM inter
+WHERE i * 1000000 // (sa + sb - i) >= 500000
+ORDER BY id_a, id_b
+"""
+
+
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio DSP end-to-end: the q_media_wav_decode
+    closed-form PCM16 clips are ENCODED with the stdlib wave writer,
+    DECODED back to raw sample arrays (Arrow mapInPandas), then framed
+    64 samples per frame with exact integer energy / mean-square /
+    peak / zero-crossings computed IN-ROW JVM-side — and the oracle
+    recomputes every frame from the closed form, so decode + framing
+    + DSP are verified against an independent rendering."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                n = 50 + (i % 7) * 10
+                rate = 8000 + (i % 3) * 4000
+                samples = [
+                    ((i * 31 + k * 17) * 257) % 65536 - 32768 for k in range(n)
+                ]
+                rows.append((i, multimodal.encode_wav_pcm16(samples, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    decoded = multimodal.decode_audio_samples(media)
+    feats = multimodal.audio_frame_features(decoded, frame_size=64)
+    return feats.orderBy("media_id", "frame_idx")
+
+
+_MEDIA_AUDIO_FRAMES_SQL = """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+ks AS (
+  SELECT i, unnest(generate_series(0, 50 + (i % 7) * 10 - 1)) AS k FROM ids
+),
+s AS (
+  SELECT i AS media_id, k,
+         ((i * 31 + k * 17) * 257) % 65536 - 32768 AS smp,
+         CAST(k // 64 AS INTEGER) AS frame_idx
+  FROM ks
+),
+x AS (
+  SELECT media_id, frame_idx, k, smp,
+         lead(smp) OVER w AS nxt,
+         lead(frame_idx) OVER w AS nxt_f
+  FROM s
+  WINDOW w AS (PARTITION BY media_id ORDER BY k)
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(smp * smp) AS BIGINT) AS energy,
+       CAST(sum(smp * smp) // count(*) AS BIGINT) AS mean_square,
+       CAST(max(abs(smp)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN nxt_f = frame_idx AND smp * nxt < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM x
+GROUP BY 1, 2
+ORDER BY media_id, frame_idx
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-less rendering): for every part traded
+    by EUROPE suppliers, the supplier(s) achieving the part's MINIMUM
+    unit cost — a correlated-min over an aggregate view, resolved with
+    a min-join-back instead of a per-row subquery. Unit cost is the
+    exact integer ``cents·10000 div qty``. Top-20 by supplier balance
+    (the Q2 ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "cast(floor(l_extendedprice * 100) as bigint) * 10000 "
+                "div cast(l_quantity as bigint)"
+            ).alias("__uc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__uc").alias("unit_cost_micro"))
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min("unit_cost_micro").alias("__best")
+    )
+    winners = costs.join(best, "l_partkey").where(
+        F.col("unit_cost_micro") == F.col("__best")
+    )
+    return (
+        winners.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost_micro",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT) * 10000
+                  // CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cost_micro
+  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, min(unit_cost_micro) AS b FROM costs GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey, unit_cost_micro
+FROM costs c
+JOIN best ON best.l_partkey = c.l_partkey AND c.unit_cost_micro = best.b
+JOIN eu ON c.l_suppkey = eu.s_suppkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9208,19 +9723,25 @@ FROM (
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- round-10 NEW: link prediction, journey mining, TWAP, OLS,
+    #     Benford, PMI, chi-square selection, prefix-filter join,
+    #     frame-level audio DSP, TPC-H Q2 shape ---
+    "q_graph_link_prediction": (q_graph_link_prediction, _GRAPH_LINK_PREDICTION_SQL),
+    "q_events_sequences": (q_events_sequences, _EVENTS_SEQUENCES_SQL),
+    "q_events_twap": (q_events_twap, _EVENTS_TWAP_SQL),
+    "q_ml_linreg": (q_ml_linreg, _ML_LINREG_SQL),
+    "q_validate_benford": (q_validate_benford, _VALIDATE_BENFORD_SQL),
+    "q_text_pmi": (q_text_pmi, _TEXT_PMI_SQL),
+    "q_text_chi2": (q_text_chi2, _TEXT_CHI2_SQL),
+    "q_dedup_prefix_filter": (q_dedup_prefix_filter, _DEDUP_PREFIX_FILTER_SQL),
+    "q_media_audio_frames": (q_media_audio_frames, _MEDIA_AUDIO_FRAMES_SQL),
+    "q_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SUPPLIER_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
-    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
-    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
-    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
-    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
-    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
     #     fixpoint-proximity receipt variant ---
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
-    "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
-    "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
     # --- round-8 NEW: directed mode with dangling-sink redistribution ---
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     # --- round-8 NEW: strategy-applying join; pure-sketch curation
@@ -9228,15 +9749,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
     #     block-constant fixtures; closed-form oracle); r9 adds the
     #     4:2:0 chroma-subsampled path (the real-photo layout) ---
-    "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
-    "q_media_jpeg_decode_subsampled": (
-        q_media_jpeg_decode_subsampled,
-        _MEDIA_JPEG_420_SQL,
-    ),
-    "q_media_jpeg_decode_progressive": (
-        q_media_jpeg_decode_progressive,
-        _MEDIA_JPEG_PROG_SQL,
-    ),
     "q_media_jpeg_decode_progressive_420": (
         q_media_jpeg_decode_progressive_420,
         _MEDIA_JPEG_PROG_420_SQL,
@@ -9528,6 +10040,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
+    # --- rotated out of the window in round 10 (unchanged; r9 green rows stand) ---
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
+    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
+    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
+    "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
+    "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
+    "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
+    "q_media_jpeg_decode_subsampled": (
+        q_media_jpeg_decode_subsampled,
+        _MEDIA_JPEG_420_SQL,
+    ),
+    "q_media_jpeg_decode_progressive": (
+        q_media_jpeg_decode_progressive,
+        _MEDIA_JPEG_PROG_SQL,
+    ),
 }
 
 

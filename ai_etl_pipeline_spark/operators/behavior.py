@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -193,5 +194,119 @@ def cohort_retention(
             "n_cohort",
             "n_active",
             F.expr("n_active * 1000000 div n_cohort").alias("retention_micro"),
+        )
+    )
+
+
+def event_sequences(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Frequent event SEQUENCES (fixed-length n-gram mining over each
+    user's timeline — the PrefixSpan-lite journey report): order each
+    user's events by (ts, tiebreakers), slide a length-``n`` window via
+    ``lead``, and count every observed sequence corpus-wide. The
+    product question it answers: "what do users actually DO in order?"
+    (view→view→purchase vs view→error→churn).
+
+    Plan shape: ONE window pass partitioned by user (high-cardinality
+    key — no global sort), then a sequence-keyed aggregate whose output
+    is at most |event_types|^n rows (bounded, tiny). Ties inside a
+    user's timeline are broken by ``order_cols`` (default: the event
+    id column if present) so the sequences are deterministic — the
+    hash-gate requirement.
+
+    Returns ``(step_1..step_n, n_occurrences)``.
+    """
+    if n < 2:
+        raise ValueError(f"event_sequences: need n >= 2, got {n}")
+    order_cols = order_cols if order_cols is not None else ["event_id"]
+    order_by = [F.col(ts_col)] + [
+        F.col(c) for c in order_cols if c in events.columns
+    ]
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order_by)
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(F.col(type_col), k).over(w).alias(f"step_{k + 1}")
+        for k in range(1, n)
+    ]
+    seq = events.select(*steps).where(
+        F.col(f"step_{n}").isNotNull()
+    )
+    return seq.groupBy(*[f"step_{k + 1}" for k in range(n)]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP) of a sampled measurement per event
+    type: each reading holds until the SAME user's next same-type
+    reading (last-observation-carried-forward weighting), so a sensor
+    that reports rarely but holds a high value for hours is weighted by
+    those hours, not by its sample count — the difference between
+    ``avg(value)`` and what the value actually WAS over time.
+
+    Plan shape: one ``lead`` window pass partitioned by (user, type) —
+    the high-cardinality entity key, never a global or per-type-only
+    window that would serialize a 100 TB corpus through one partition —
+    then a bounded per-type aggregate of the integer (value·duration)
+    products. Values are floored to micro-units before multiplying
+    (``floor(value * 1e6)`` — an IEEE-deterministic double op, so both
+    engines agree bit-for-bit); durations are whole epoch seconds; the
+    weighted sums run in decimal(38,0).
+
+    Returns ``(event_type, n_intervals, total_seconds, twap_micro,
+    plain_avg_micro)`` — the plain average included so the report shows
+    WHERE time weighting changed the answer.
+    """
+    order_cols = order_cols if order_cols is not None else ["event_id"]
+    tiebreak = [c for c in order_cols if c in events.columns]
+    ev = events.select(
+        F.col(type_col).alias("__t"),
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.expr(f"cast(floor({value_col} * 1000000.0) as bigint)").alias("__vm"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(tiebreak)],
+    )
+    w = Window.partitionBy("__u", "__t").orderBy(
+        F.col("__ts"), *[F.col(f"__o{i}") for i in range(len(tiebreak))]
+    )
+    ev = ev.withColumn("__next_ts", F.lead("__ts").over(w))
+    iv = ev.where(F.col("__next_ts").isNotNull()).select(
+        "__t",
+        "__vm",
+        (
+            F.unix_timestamp("__next_ts") - F.unix_timestamp("__ts")
+        ).alias("__dur"),
+    )
+    return (
+        iv.groupBy("__t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("__dur").cast("bigint").alias("total_seconds"),
+            F.sum(
+                F.expr("cast(__vm as decimal(38, 0)) * __dur")
+            ).alias("__wsum"),
+            F.sum("__vm").alias("__vsum"),
+        )
+        .select(
+            F.col("__t").alias("event_type"),
+            "n_intervals",
+            "total_seconds",
+            F.expr(
+                "cast(CASE WHEN total_seconds = 0 THEN NULL "
+                "ELSE __wsum div total_seconds END as bigint)"
+            ).alias("twap_micro"),
+            F.expr("__vsum div n_intervals").alias("plain_avg_micro"),
         )
     )

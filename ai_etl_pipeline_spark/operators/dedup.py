@@ -1210,3 +1210,118 @@ def semantic_decontaminate(
         .distinct()
     )
     return corpus.join(hits, id_col, "left_anti")
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 600000,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard join via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the third candidate-generation strategy
+    in the near-dup tier, complementary to MinHash bands (probabilistic
+    recall) and the max_df posting join (drops common-token evidence):
+    prefix filtering has BOTH exact recall at the threshold AND bounded
+    candidates.
+
+    The invariant: order every doc's distinct tokens by global
+    rarity (rank tokens by ascending corpus frequency — the canonical
+    total order), keep only each doc's first ``|X| − ⌈t·|X|⌉ + 1``
+    tokens (its PREFIX), and any pair with Jaccard ≥ t must collide on
+    at least one prefix token — because J ≥ t forces an intersection of
+    at least ``⌈t·max(|A|,|B|)⌉`` tokens, which cannot fit entirely in
+    both (shorter) suffixes. Rare tokens lead, so prefix postings are
+    short precisely where a plain posting join explodes.
+
+    All arithmetic is integer (``⌈t·n⌉ = (t_micro·n + 999999) div 1e6``)
+    — no float threshold boundary. A size-ratio pre-filter
+    (``min·1e6 ≥ t_micro·max``, another exact J ≥ t consequence) prunes
+    candidates before verification; verification joins the candidate
+    pairs back to the full token sets for the exact intersection count.
+
+    Plan shape: tokenize scan → vocabulary-sized frequency aggregate
+    (the rank sort is vocab-sized, same cost class as BM25's idf) →
+    per-doc prefix via a doc-keyed window → prefix-token equi-join
+    (candidate-sized) → verify join (candidate×token-sized). No
+    all-pairs product anywhere; skew is bounded because a token's
+    prefix posting only contains docs where that token is RARE-ranked.
+
+    Returns ``(id_a, id_b, jaccard_micro)`` with ``id_a < id_b`` and
+    ``jaccard_micro >= threshold_micro``. Reference parity: extends
+    `/root/reference/preprocess.py`'s exact drop_duplicates toward
+    near-dup at scale (same family as :func:`ngram_jaccard_dedup`).
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        doc_shingles(df, id_col, text_col, k=shingle_k)
+        if shingle_k > 1
+        else doc_tokens(df, id_col, text_col)
+    )
+    item = "shingle" if shingle_k > 1 else "token"
+    toks = base.select(
+        F.col(id_col).alias("__id"), F.col(item).alias("__tok")
+    ).localCheckpoint(eager=False)
+    sizes = toks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__sz")
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+    # canonical total order: ascending corpus frequency, token tiebreak;
+    # vocabulary-sized single sort (the BM25-idf cost class)
+    ranked = freq.select(
+        "__tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("__f").asc(), F.col("__tok").asc()))
+        .alias("__rank"),
+    )
+    ordered = toks.join(ranked, "__tok").join(sizes, "__id")
+    pos = F.row_number().over(
+        Window.partitionBy("__id").orderBy(F.col("__rank").asc())
+    )
+    prefix_len = F.expr(
+        f"__sz - (({threshold_micro} * __sz + 999999) div 1000000) + 1"
+    )
+    prefix = (
+        ordered.withColumn("__pos", pos)
+        .where(F.col("__pos") <= prefix_len)
+        .select("__id", "__rank", "__sz")
+        .localCheckpoint(eager=False)
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"), "__rank", F.col("__sz").alias("__sa")
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"), "__rank", F.col("__sz").alias("__sb")
+    )
+    cand = (
+        a.join(b, "__rank")
+        .where(F.col("id_a") < F.col("id_b"))
+        # size-ratio filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+        .where(
+            F.least("__sa", "__sb") * 1000000
+            >= F.lit(threshold_micro) * F.greatest("__sa", "__sb")
+        )
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("__tok").alias("__t1"))
+    tb = toks.select(F.col("__id").alias("__idb"), F.col("__tok").alias("__t2"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("__idb")) & (F.col("__t1") == F.col("__t2")),
+        )
+        .groupBy("id_a", "id_b", "__sa", "__sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.expr("__inter * 1000000 div (__sa + __sb - __inter)").alias(
+            "jaccard_micro"
+        ),
+    ).where(F.col("jaccard_micro") >= threshold_micro)

@@ -861,3 +861,86 @@ def k_hop_distances(
             .localCheckpoint(eager=False)
         )
     return dist.select(F.col("__node").alias("node"), F.col("__dist").alias("dist"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    max_src_degree: int = 256,
+) -> DataFrame:
+    """Bipartite link prediction: score every RIGHT-node pair (dst)
+    sharing at least ``min_common`` LEFT neighbors (src) with the three
+    classic neighborhood measures — common-neighbor count, Jaccard
+    over dst neighborhoods, and Adamic-Adar (rarer shared neighbors
+    weigh more: ``Σ_z 1/ln(deg(z))`` over shared src ``z``). The
+    recommender primitive over the engine's co-occurrence graphs
+    (customer→supplier, doc→shard, user→item): a high-scoring absent
+    pair is the "customers who buy from A also buy from B" candidate.
+
+    Scores are integers for the hash gate: Adamic-Adar floors each
+    term to micro-units BEFORE summing (an exact integer sum — the two
+    engines only have to agree on floor(1e6/ln(d)) for small-int d),
+    Jaccard is the usual exact micro-ratio.
+
+    Scale contract: pair generation is a self-join keyed on src, so it
+    is quadratic in src degree — src hubs above ``max_src_degree`` are
+    EXCLUDED from wedge generation (the max_df idiom from the n-gram
+    Jaccard tier: a customer connected to every supplier predicts
+    nothing) but still count toward dst degrees, keeping Jaccard
+    denominators honest. Everything else is candidate- or degree-sized;
+    no driver actions. In a bipartite relation a dst-dst edge cannot
+    exist, so no existing-edge exclusion is needed (unipartite callers
+    should anti-join their edge set on (node_a, node_b) afterwards).
+
+    Returns ``(node_a, node_b, common_neighbors, jaccard_micro,
+    adamic_adar_micro)`` with ``node_a < node_b``.
+
+    ABSENT in the reference (no graph surface; SURVEY.md §2.4 joins
+    family — wedge join + bounded aggregates).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sdeg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__sd"))
+    ddeg = e.groupBy("__d").agg(F.count(F.lit(1)).cast("bigint").alias("__dd"))
+    wedge = e.join(sdeg, "__s").where(
+        (F.col("__sd") >= 2) & (F.col("__sd") <= max_src_degree)
+    )
+    a = wedge.select("__s", F.col("__d").alias("node_a"), "__sd")
+    b = wedge.select("__s", F.col("__d").alias("node_b"))
+    scored = (
+        a.join(b, "__s")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                F.expr("cast(floor(1000000.0 / ln(__sd)) as bigint)")
+            ).alias("adamic_adar_micro"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    return (
+        scored.join(
+            ddeg.select(F.col("__d").alias("node_a"), F.col("__dd").alias("__da")),
+            "node_a",
+        )
+        .join(
+            ddeg.select(F.col("__d").alias("node_b"), F.col("__dd").alias("__db")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.expr(
+                "common_neighbors * 1000000 div (__da + __db - common_neighbors)"
+            ).alias("jaccard_micro"),
+            "adamic_adar_micro",
+        )
+    )

@@ -2023,3 +2023,123 @@ def encode_jpeg_progressive_ycbcr420(
     out += _jpeg_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
     out += run(lambda w: _prog_dc_refine(w, seq, 0))
     return bytes(out) + b"\xff\xd9"
+
+
+AUDIO_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("samples", ArrayType(LongType()), True),
+    ]
+)
+
+
+def decode_audio_samples(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """WAV → raw PCM16 sample arrays via ``mapInPandas`` — the decode
+    step that feeds SAMPLE-level DSP (framing, energy, zero-crossing),
+    where :func:`extract_audio_features` only surfaces whole-clip
+    stats. Arrow carries the samples out as ``array<bigint>`` (exact
+    integers — the downstream math stays JVM-side and bit-reproducible);
+    non-WAV / malformed rows are skipped, mirroring the image path's
+    contract. Multi-channel clips come out interleaved exactly as
+    stored — channel splitting is the caller's frame-level concern."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                if not is_wav(content):
+                    continue
+                try:
+                    d = decode_wav_samples(content)
+                except (ValueError, wave.Error, EOFError):
+                    continue
+                rows.append((mid, d["sample_rate"], d["samples"]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SAMPLES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SAMPLES_SCHEMA)
+
+
+def decode_wav_samples(content: bytes) -> dict:
+    """Like :func:`decode_wav` but returns the raw PCM16 samples
+    themselves (plus the header rate) instead of summary statistics."""
+    import array
+
+    if not is_wav(content):
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(bytes(content))) as w:
+        sample_rate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sampwidth != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sampwidth}")
+    samples = array.array("h")
+    samples.frombytes(raw)
+    return {"sample_rate": sample_rate, "samples": [int(s) for s in samples]}
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_size: int = 256,
+    id_col: str = "media_id",
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Frame-level audio features over decoded PCM sample arrays — the
+    VAD/segmentation front-end (silence gating, speech/music split)
+    computed RELATIONALLY after the Arrow decode: non-overlapping
+    ``frame_size``-sample frames, per frame the exact integer energy
+    (Σs²), truncated mean-square (energy div n — the squared-RMS in
+    integer form, hash-exact where a float sqrt never is), peak |s|,
+    and the zero-crossing count (adjacent pairs with ``s[i]·s[i+1] <
+    0``, both endpoints inside the frame, so frames are independent
+    and the count is partition-order-free).
+
+    Plan shape: ALL the frame math happens IN-ROW — a ``transform``
+    over frame indices slices each frame and folds energy / peak /
+    crossings with array lambdas (O(samples) work per clip, JVM-side,
+    whole-stage-codegen) — and only the per-frame STRUCTS are exploded
+    (output-sized, ~samples/frame_size rows per clip). A per-SAMPLE
+    posexplode would ship every sample through the shuffle and
+    (worse) copy any companion array once per sample — the UnsafeRow
+    O(n²) trap the engine's one-row-crossJoin rule exists for.
+
+    Returns ``(media_id, frame_idx, n_samples, energy, mean_square,
+    peak, zero_crossings)``.
+    """
+    if frame_size < 2:
+        raise ValueError(f"audio_frame_features: frame_size >= 2, got {frame_size}")
+    sc = samples_col
+    fs = frame_size
+    frame_struct = (
+        f"transform(sequence(0, cast(ceil(size({sc}) / {fs}.0) as int) - 1), "
+        f"f -> named_struct("
+        f"'frame_idx', cast(f as int), "
+        f"'n_samples', cast(least({fs}, size({sc}) - f * {fs}) as bigint), "
+        f"'energy', aggregate(slice({sc}, f * {fs} + 1, {fs}), "
+        f"cast(0 as bigint), (acc, x) -> acc + x * x), "
+        f"'peak', aggregate(slice({sc}, f * {fs} + 1, {fs}), "
+        f"cast(0 as bigint), (acc, x) -> greatest(acc, abs(x))), "
+        f"'zero_crossings', aggregate(zip_with("
+        f"slice({sc}, f * {fs} + 1, {fs} - 1), "
+        f"slice({sc}, f * {fs} + 2, {fs} - 1), "
+        f"(a, b) -> CASE WHEN a * b < 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+        f"))"
+    )
+    frames = df.where(
+        F.col(sc).isNotNull() & (F.size(sc) > 0)
+    ).select(
+        F.col(id_col).alias("media_id"),
+        F.explode(F.expr(frame_struct)).alias("__f"),
+    )
+    return frames.select(
+        "media_id",
+        F.col("__f.frame_idx").alias("frame_idx"),
+        F.col("__f.n_samples").alias("n_samples"),
+        F.col("__f.energy").alias("energy"),
+        F.expr("__f.energy div __f.n_samples").alias("mean_square"),
+        F.col("__f.peak").alias("peak"),
+        F.col("__f.zero_crossings").alias("zero_crossings"),
+    )

@@ -1413,3 +1413,154 @@ def bpe_apply(
             F.sum("__syms").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram COLLOCATIONS by pointwise mutual information — the
+    phrase-discovery primitive (tokenizer vocab seeding, stopword-free
+    keyphrase extraction): PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with
+    p(a,b) over adjacent-token bigrams and p(·) over unigrams. High
+    PMI = the pair co-occurs far above chance ("new york", not
+    "of the").
+
+    Bigrams are built IN-ROW (``transform`` over an index sequence —
+    array ``element_at`` is O(1), unlike the map gotcha), so the corpus
+    is scanned once for bigrams and once for unigrams; both aggregates
+    are vocabulary-sized. The score is reported in integer micro-nats:
+    the count ratio ``c_ab·N_uni²  / (N_big·c_a·c_b)`` is formed from
+    exact integer counts cast to double in a FIXED expression shape,
+    then ``floor(1e6·ln(ratio))`` — both engines evaluate the identical
+    IEEE expression, and the (sub-1-ulp) libm ln difference can only
+    flip the floor on an exact-integer boundary, which the ratio of
+    coprime-ish counts never sits on.
+
+    Returns ``(token_a, token_b, pair_count, pmi_micro)`` for pairs
+    with ``pair_count >= min_count``.
+    """
+    from ai_etl_pipeline_spark.functions.portable import tokens_col
+
+    toks = df.select(tokens_col(F.col(text_col)).alias("__toks")).where(
+        F.size("__toks") >= 2
+    ).localCheckpoint(eager=False)
+    uni = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(element_at(__toks, i) as a, "
+                    "element_at(__toks, i + 1) as b))"
+                )
+            ).alias("__bg")
+        )
+        .select(F.col("__bg.a").alias("token_a"), F.col("__bg.b").alias("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("__c").cast("bigint").alias("__nu"))
+    n_bi_src = toks.select(
+        (F.size("__toks") - 1).cast("bigint").alias("__nb_row")
+    ).agg(F.sum("__nb_row").alias("__nb"))
+    scored = (
+        bi.join(
+            F.broadcast(uni.select(F.col("tok").alias("token_a"), F.col("__c").alias("__ca"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("token_b"), F.col("__c").alias("__cb"))),
+            "token_b",
+        )
+        # scalar counts only — the one-row crossJoin rule
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_src))
+    )
+    return scored.select(
+        "token_a",
+        "token_b",
+        "pair_count",
+        F.expr(
+            "cast(floor(1000000.0 * ln("
+            "cast(pair_count as double) * cast(__nu as double) * cast(__nu as double) "
+            "/ (cast(__nb as double) * cast(__ca as double) * cast(__cb as double))"
+            ")) as bigint)"
+        ).alias("pmi_micro"),
+    )
+
+
+def chi2_token_association(
+    df: DataFrame,
+    text_col: str,
+    label_col: "Column | str",
+    min_doc_freq: int = 10,
+) -> DataFrame:
+    """Chi-square token↔class association — the classic supervised
+    feature-selection score (which tokens SEPARATE the positive class):
+    for each token, the 2×2 contingency table of (document contains
+    token) × (document label), scored ``χ² = N·(ad − bc)² / ((a+b)(c+d)
+    (a+c)(b+d))`` in micro-units. The (ad−bc)² product overflows even
+    decimal(38,0) past ~1e9 docs, so the EXACT integer counts are cast
+    to double first and the ratio computed in floats — casting the
+    same exact integer to double is IEEE-deterministic, so both
+    engines agree bit-for-bit at any corpus size (the ``linreg_report``
+    R² precedent), and the final ``floor(1e6·χ²)`` is stable away from
+    exact-integer boundaries the count ratio never sits on.
+
+    ``label_col`` is a boolean column or expression over ``df``; token
+    presence is DOC-LEVEL (distinct tokens per doc — multiplicity is
+    TF's job, not association's). Plan: one tokenize+distinct explode
+    (corpus-sized, the unavoidable pass), then a vocabulary-sized
+    aggregate joined to two scalar class counts. ``min_doc_freq``
+    prunes the long tail (a token in 3 docs can't carry signal and
+    bloats the report).
+
+    Returns ``(token, n_pos_docs, n_neg_docs, chi2_micro)``.
+    """
+    from ai_etl_pipeline_spark.functions.portable import tokens_col
+
+    lab = F.expr(label_col) if isinstance(label_col, str) else label_col
+    docs = df.select(
+        tokens_col(F.col(text_col)).alias("__toks"),
+        lab.cast("boolean").alias("__pos"),
+    ).localCheckpoint(eager=False)
+    totals = docs.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("bigint").alias("__np"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("bigint").alias("__nn"),
+    )
+    tok_docs = docs.select(
+        F.explode(F.array_distinct("__toks")).alias("token"), "__pos"
+    )
+    counts = tok_docs.groupBy("token").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("bigint").alias("n_pos_docs"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("bigint").alias("n_neg_docs"),
+    ).where((F.col("n_pos_docs") + F.col("n_neg_docs")) >= min_doc_freq)
+    # a = pos docs WITH token, b = neg WITH, c = pos WITHOUT, d = neg WITHOUT
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "n_pos_docs",
+            "n_neg_docs",
+            F.expr(
+                "cast(CASE WHEN __np = 0 OR __nn = 0 "
+                "OR (__np + __nn - n_pos_docs - n_neg_docs) = 0 THEN NULL ELSE "
+                "floor(1000000.0 * cast(__np + __nn as double) "
+                "* (cast(n_pos_docs as double) * cast(__nn - n_neg_docs as double) "
+                "   - cast(n_neg_docs as double) * cast(__np - n_pos_docs as double)) "
+                "* (cast(n_pos_docs as double) * cast(__nn - n_neg_docs as double) "
+                "   - cast(n_neg_docs as double) * cast(__np - n_pos_docs as double)) "
+                "/ (cast(n_pos_docs + n_neg_docs as double) "
+                "   * cast(__np + __nn - n_pos_docs - n_neg_docs as double) "
+                "   * cast(__np as double) * cast(__nn as double))) "
+                "END as bigint)"
+            ).alias("chi2_micro"),
+        )
+    )

@@ -317,3 +317,146 @@ def auc_report(
             "div (2 * n_pos * n_neg) as bigint)"
         ).alias("auc_micro"),
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law first-digit
+# probabilities as FIXED integer micro-unit literals, identical in the
+# engine and every oracle (computing log10 at runtime risks a 1-ulp
+# libm difference flipping the floor on exactly the wrong value)
+BENFORD_MICRO = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def benford_report(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data smell test for a numeric fact
+    column (real multiplicative processes start with 1 about 6.5× as
+    often as with 9; fabricated or uniformly-generated numbers don't).
+
+    Semantics: rows with value >= 1 contribute the first digit of the
+    integer part (``substr(cast(floor(x) as string)``) — exact for
+    doubles, no log10 per row); rows below 1 / NULL are excluded and
+    reported via ``n_rows_considered``. Per digit d = 1..9: observed
+    count, observed share (micro), Benford's expected share (the
+    ``BENFORD_MICRO`` literals — see above), and the integer-scaled
+    chi-square contribution ``(obs·1e6 − n·exp_micro)² / (n·exp_micro·
+    1e6)`` in micro-units, computed entirely in decimal(38,0). A digit
+    with zero observations still reports a row (its chi-square term is
+    the full expected mass). The total chi-square statistic is the sum
+    of the 9 ``chi2_term_micro`` values (compare against the 15.51 /
+    20.09 critical values for 8 degrees of freedom at 5% / 1%).
+
+    Plan: one filtered corpus aggregate (9 groups) joined to a
+    9-literal expected frame — bounded output, no skew, scan-speed.
+    """
+    digits = df.select(
+        F.expr(
+            f"substr(cast(cast(floor({column}) as bigint) as string), 1, 1)"
+        ).alias("__d")
+    ).where(
+        F.col(column).isNotNull() & (F.col(column) >= 1)
+    )
+    obs = digits.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    expected = [(d + 1, BENFORD_MICRO[d]) for d in range(9)]
+    exp_df = obs.sparkSession.createDataFrame(
+        expected, "digit int, exp_share_micro bigint"
+    )
+    joined = exp_df.join(
+        obs.select(F.col("__d").cast("int").alias("digit"), "n_obs"),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"), "exp_share_micro")
+    total = joined.agg(F.sum("n_obs").cast("bigint").alias("__n"))
+    # 9-row frame × one-row scalar: the one-row crossJoin rule
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.col("__n").alias("n_rows_considered"),
+            F.expr(
+                "CASE WHEN __n = 0 THEN cast(NULL as bigint) "
+                "ELSE n_obs * 1000000 div __n END"
+            ).alias("obs_share_micro"),
+            "exp_share_micro",
+            F.expr(
+                "CASE WHEN __n = 0 THEN cast(NULL as bigint) ELSE cast("
+                "(cast(n_obs as decimal(38, 0)) * 1000000 - cast(__n as decimal(38, 0)) * exp_share_micro) "
+                "* (cast(n_obs as decimal(38, 0)) * 1000000 - cast(__n as decimal(38, 0)) * exp_share_micro) "
+                "div (cast(__n as decimal(38, 0)) * exp_share_micro * 1000000) "
+                "as bigint) END"
+            ).alias("chi2_term_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+def linreg_report(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group simple (ordinary-least-squares) linear regression —
+    slope, intercept and R² of ``y ~ x`` for every group, from EXACT
+    integer moment sums: x and y are scaled to integers first
+    (``round(v · scale)`` — exact for currency-style doubles with
+    ``scale=100``), the five moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate in decimal(38,0) with NO float anywhere, and
+
+        slope  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        icept  = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    are emitted as exact integer micro-ratios (full hash gate — unlike
+    ``regr_slope``, whose float accumulation order is engine-specific).
+    R² = num² / (den_x·den_y) would overflow decimal(38,0) when
+    squared, so the exact integer moments are cast to double FIRST and
+    the ratio computed in floats — casting the SAME exact integer to
+    double is IEEE-deterministic, so both engines still agree bit-for-
+    bit; rounded to 6.
+
+    Degenerate groups (constant x: den_x = 0) report NULL slope /
+    intercept / r2 rather than failing. One corpus scan, group-sized
+    output; at 100 TB this is a partial-aggregate pipeline with no
+    second pass (the moments are one-pass sufficient statistics).
+
+    ABSENT in the reference (no ML-stats surface; §2.5 aggregates
+    family).
+    """
+    xs = f"cast(round({x_col} * {scale}) as decimal(38, 0))"
+    ys = f"cast(round({y_col} * {scale}) as decimal(38, 0))"
+    m = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"sum({xs})").alias("__sx"),
+        F.expr(f"sum({ys})").alias("__sy"),
+        F.expr(f"sum({xs} * {ys})").alias("__sxy"),
+        F.expr(f"sum({xs} * {xs})").alias("__sxx"),
+        F.expr(f"sum({ys} * {ys})").alias("__syy"),
+    )
+    num = "(n * __sxy - __sx * __sy)"
+    den_x = "(n * __sxx - __sx * __sx)"
+    den_y = "(n * __syy - __sy * __sy)"
+    return m.select(
+        *group_cols,
+        "n",
+        F.expr(
+            f"CASE WHEN {den_x} = 0 THEN cast(NULL as bigint) "
+            f"ELSE cast({num} * 1000000 div {den_x} as bigint) END"
+        ).alias("slope_micro"),
+        F.expr(
+            # intercept is in x/y units (the `scale` cancels):
+            # (Σy·Σx² − Σx·Σxy) / (den_x · scale) scaled to micro
+            f"CASE WHEN {den_x} = 0 THEN cast(NULL as bigint) "
+            f"ELSE cast((__sy * __sxx - __sx * __sxy) * 1000000 "
+            f"div ({den_x} * {scale}) as bigint) END"
+        ).alias("intercept_micro"),
+        F.expr(
+            f"CASE WHEN {den_x} = 0 OR {den_y} = 0 THEN cast(NULL as double) "
+            f"ELSE round(cast({num} as double) * cast({num} as double) "
+            f"/ (cast({den_x} as double) * cast({den_y} as double)), 6) END"
+        ).alias("r2"),
+    )

@@ -192,6 +192,17 @@ HEADLINE = [
     "q_basket_rules",
     "q_graph_pagerank_incremental",
     "q_validate_auc",
+    # round 10
+    "q_graph_link_prediction",
+    "q_events_sequences",
+    "q_events_twap",
+    "q_ml_linreg",
+    "q_validate_benford",
+    "q_text_pmi",
+    "q_text_chi2",
+    "q_dedup_prefix_filter",
+    "q_media_audio_frames",
+    "q_min_cost_supplier",
 ]
 
 

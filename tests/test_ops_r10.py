@@ -1,0 +1,257 @@
+"""Round-10 operator tests: link prediction, journey mining, TWAP,
+integer OLS, Benford, PMI, chi-square association, prefix-filter join,
+frame-level audio DSP."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import (
+    behavior,
+    dedup,
+    graph,
+    multimodal,
+    textstats,
+    validate,
+)
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_link_prediction_scores_by_hand(spark):
+    # bipartite: customers 1..3 -> suppliers a,b,c; 4 -> x (isolated)
+    e = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "b"), (3, "c"), (4, "x")],
+        ["src", "dst"],
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in graph.link_prediction(e, min_common=1, max_src_degree=10).collect()
+    }
+    # (a,b): shared custs {1,2}; deg(a)=2, deg(b)=3 -> J = 2/3
+    ab = got[("a", "b")]
+    assert ab["common_neighbors"] == 2
+    assert ab["jaccard_micro"] == 666666
+    # AA = floor(1e6/ln2) + floor(1e6/ln3)
+    assert ab["adamic_adar_micro"] == math.floor(1e6 / math.log(2)) + math.floor(
+        1e6 / math.log(3)
+    )
+    # isolated supplier never appears
+    assert not any("x" in k for k in got)
+
+
+def test_link_prediction_hub_exclusion_keeps_degrees_honest(spark):
+    # hub customer 99 connects to everything; with max_src_degree=2 it
+    # generates no wedges, but dst degrees still count it
+    e = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (99, "a"), (99, "b"), (99, "c")], ["src", "dst"]
+    )
+    rows = graph.link_prediction(e, min_common=1, max_src_degree=2).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in rows}
+    assert set(got) == {("a", "b")}  # hub wedges (a,c),(b,c) excluded
+    # deg(a)=2 (cust 1 + hub), deg(b)=2, cn=1 -> J = 1/3
+    assert got[("a", "b")]["jaccard_micro"] == 333333
+
+
+# ------------------------------------------------------------- behavior
+
+
+def test_event_sequences_orders_by_ts_then_id(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (2, 1, "b", t0),  # same ts as event 1: id breaks the tie
+            (1, 1, "a", t0),
+            (3, 1, "c", t0 + datetime.timedelta(seconds=1)),
+        ],
+        "event_id: bigint, user_id: bigint, event_type: string, ts: timestamp",
+    )
+    rows = behavior.event_sequences(ev, n=3).collect()
+    assert [(r["step_1"], r["step_2"], r["step_3"], r["n_occurrences"]) for r in rows] == [
+        ("a", "b", "c", 1)
+    ]
+
+
+def test_event_sequences_rejects_n1(spark):
+    ev = spark.createDataFrame([], "user_id: bigint, event_type: string, ts: timestamp")
+    with pytest.raises(ValueError):
+        behavior.event_sequences(ev, n=1)
+
+
+def test_time_weighted_avg_locf_weighting(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            # user 1: 1.0 held 10 s, then 3.0 (no next -> excluded)
+            (1, 1, "m", t0, 1.0),
+            (2, 1, "m", t0 + datetime.timedelta(seconds=10), 3.0),
+            # user 2: 5.0 held 30 s
+            (3, 2, "m", t0, 5.0),
+            (4, 2, "m", t0 + datetime.timedelta(seconds=30), 7.0),
+        ],
+        "event_id: bigint, user_id: bigint, event_type: string, ts: timestamp, value: double",
+    )
+    row = behavior.time_weighted_avg(ev).collect()[0]
+    assert row["n_intervals"] == 2 and row["total_seconds"] == 40
+    # twap = (1e6*10 + 5e6*30)/40 = 4_000_000
+    assert row["twap_micro"] == 4_000_000
+    # plain avg over interval starts = (1e6 + 5e6)/2
+    assert row["plain_avg_micro"] == 3_000_000
+
+
+# ------------------------------------------------------------- validate
+
+
+def test_benford_report_digits_and_exclusions(spark):
+    df = spark.createDataFrame(
+        [(19.5,), (120.0,), (0.4,), (None,), (2.0,), (13.0,)], "v: double"
+    )
+    rows = {r["digit"]: r for r in validate.benford_report(df, "v").collect()}
+    assert len(rows) == 9  # zero-observation digits still report
+    assert rows[1]["n_obs"] == 3 and rows[2]["n_obs"] == 1
+    assert rows[9]["n_obs"] == 0
+    # 0.4 and NULL excluded
+    assert rows[1]["n_rows_considered"] == 4
+    assert rows[1]["exp_share_micro"] == validate.BENFORD_MICRO[0]
+    assert rows[9]["chi2_term_micro"] is not None
+
+
+def test_linreg_report_exact_line_and_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0), ("h", 4.0, 1.0), ("h", 4.0, 9.0)],
+        ["grp", "x", "y"],
+    )
+    got = {r["grp"]: r for r in validate.linreg_report(df, ["grp"], "x", "y").collect()}
+    # y = 2x + 1 exactly
+    assert got["g"]["slope_micro"] == 2_000_000
+    assert got["g"]["intercept_micro"] == 1_000_000
+    assert got["g"]["r2"] == 1.0
+    # constant x -> NULLs, not a crash
+    assert got["h"]["slope_micro"] is None and got["h"]["r2"] is None
+
+
+# ------------------------------------------------------------- textstats
+
+
+def test_pmi_collocations_hand_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "new york is big"), (2, "new york new york"), (3, "big data is fun")],
+        ["doc_id", "text"],
+    )
+    rows = textstats.pmi_collocations(docs, "text", min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["token_a"], r["token_b"], r["pair_count"]) == ("new", "york", 3)
+    # c_ab=3, N_uni=12, N_big=9, c_new=3, c_york=3
+    expect = math.floor(1e6 * math.log((3 * 12.0 * 12.0) / (9.0 * 3.0 * 3.0)))
+    assert r["pmi_micro"] == expect
+
+
+def test_chi2_token_association_independent_token_scores_zero(spark):
+    # token 'x' appears in exactly half of each class -> chi2 == 0
+    docs = spark.createDataFrame(
+        [
+            (1, "x a", True),
+            (2, "b c", True),
+            (3, "x d", False),
+            (4, "e f", False),
+        ],
+        ["doc_id", "text", "pos"],
+    )
+    rows = {
+        r["token"]: r
+        for r in textstats.chi2_token_association(
+            docs, "text", "pos", min_doc_freq=1
+        ).collect()
+    }
+    assert rows["x"]["chi2_micro"] == 0
+    # class-exclusive token: chi2 = N * (1*2 - 0)^2 / (1*3*2*2) = 4/3
+    assert rows["a"]["chi2_micro"] == math.floor(1e6 * 4 / 3.0)
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_prefix_filter_join_matches_bruteforce_jaccard(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        docs.append((i, " ".join(rng.sample(vocab, n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    t_micro = 500000
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_micro"]
+        for r in dedup.prefix_filter_join(df, threshold_micro=t_micro).collect()
+    }
+    # brute force over token SETS
+    sets = {i: set(t.split()) for i, t in docs}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        jm = inter * 1000000 // union
+        if jm >= t_micro:
+            expect[(a, b)] = jm
+    assert got == expect  # exact recall AND exact scores
+
+
+def test_prefix_filter_join_shingles_mode(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown fox jumps away"),
+            (3, "a completely different document here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = dedup.prefix_filter_join(
+        df, threshold_micro=400000, shingle_k=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_micro"] for r in rows}
+    # docs 1,2 share 3 of their 4+4 shingles -> J = 3/5
+    assert got == {(1, 2): 600000}
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_decode_audio_samples_roundtrip(spark):
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    wav = multimodal.encode_wav_pcm16(samples, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id: bigint, content: binary")
+    row = multimodal.decode_audio_samples(df).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert list(row["samples"]) == samples
+
+
+def test_audio_frame_features_by_hand(spark):
+    samples = [100, -100, 200, -50, 60, 70, -80, 90, 10]
+    df = spark.createDataFrame([(1, samples)], "media_id: bigint, samples: array<bigint>")
+    rows = {
+        r["frame_idx"]: r
+        for r in multimodal.audio_frame_features(df, frame_size=4).collect()
+    }
+    f0 = rows[0]
+    assert f0["n_samples"] == 4 and f0["energy"] == 62500
+    assert f0["mean_square"] == 15625 and f0["peak"] == 200
+    assert f0["zero_crossings"] == 3
+    f1 = rows[1]
+    assert f1["energy"] == 23000 and f1["zero_crossings"] == 2
+    # the (-50, 60) boundary pair is counted in NEITHER frame
+    # last partial frame: one sample, no pairs
+    f2 = rows[2]
+    assert f2["n_samples"] == 1 and f2["zero_crossings"] == 0 and f2["energy"] == 100
+
+
+def test_audio_frame_features_rejects_tiny_frame(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "media_id: bigint, samples: array<bigint>")
+    with pytest.raises(ValueError):
+        multimodal.audio_frame_features(df, frame_size=1)
