@@ -9711,6 +9711,248 @@ LIMIT 20
 """
 
 
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA (α = 1/2, depth 8) per (user, type) series,
+    rolled up per type: binary weights 2^7..2^0 over the last 8
+    readings, divisor 255, full-history rows only — the float-free
+    smoothing receipt (a float recurrence would accumulate in
+    engine-specific order and never hash-match)."""
+    ev = _t(spark, sf_dir, "events")
+    sm = behavior.ewma_smooth(ev, "value", k=8)
+    return (
+        sm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("ewma_micro").cast("bigint").alias("min_ewma_micro"),
+            F.max("ewma_micro").cast("bigint").alias("max_ewma_micro"),
+            F.expr("sum(ewma_micro) div count(1)").alias("avg_ewma_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_EWMA_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 1) OVER w AS l1,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 2) OVER w AS l2,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 3) OVER w AS l3,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 4) OVER w AS l4,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 5) OVER w AS l5,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 6) OVER w AS l6,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 7) OVER w AS l7
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+sm AS (
+  SELECT event_type,
+         (vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+          + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) // 255 AS ew
+  FROM base WHERE l7 IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(ew) AS BIGINT) AS min_ewma_micro,
+       CAST(max(ew) AS BIGINT) AS max_ewma_micro,
+       CAST(sum(CAST(ew AS HUGEINT)) // count(*) AS BIGINT) AS avg_ewma_micro
+FROM sm GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: quartile scores on
+    recency / frequency / monetary (deterministic ntile — metric then
+    customer id), one row per populated segment."""
+    orders = _t(spark, sf_dir, "orders")
+    seg = behavior.rfm_segments(orders)
+    return seg.orderBy("r_score", "f_score", "m_score")
+
+
+_BEHAVIOR_RFM_SQL = """
+WITH pu AS (
+  SELECT o_custkey AS u,
+         CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                        DATE '1999-01-01') AS BIGINT) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY o_custkey
+),
+sc AS (
+  SELECT mon,
+         ntile(4) OVER (ORDER BY rec DESC, u) AS r_score,
+         ntile(4) OVER (ORDER BY freq ASC, u) AS f_score,
+         ntile(4) OVER (ORDER BY mon ASC, u) AS m_score
+  FROM pu
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon) AS BIGINT) AS monetary_cents
+FROM sc GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def q_validate_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz deciles + exact integer Gini) over
+    customer order totals — the whale report."""
+    orders = _t(spark, sf_dir, "orders")
+    return validate.concentration_report(
+        orders, "o_custkey", "o_totalprice", buckets=10
+    )
+
+
+_VALIDATE_CONCENTRATION_SQL = """
+WITH pk AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, k ASC) AS r,
+         ntile(10) OVER (ORDER BY v ASC, k ASC) AS bucket
+  FROM pk
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS total,
+         sum(CAST(r AS HUGEINT) * v) AS rv
+  FROM rk
+),
+bb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(v) AS BIGINT) AS value_cents
+  FROM rk GROUP BY bucket
+),
+cc AS (
+  SELECT bucket, n_keys, value_cents,
+         CAST(sum(value_cents) OVER (ORDER BY bucket) AS BIGINT)
+           AS cum_value_cents
+  FROM bb
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_keys, value_cents, cum_value_cents,
+  CASE WHEN total = 0 THEN NULL
+       ELSE CAST(CAST(cum_value_cents AS HUGEINT) * 1000000 // total AS BIGINT)
+  END AS cum_share_micro,
+  CASE WHEN total = 0 THEN NULL
+       ELSE CAST((2 * rv - (n + 1) * total) * 1000000 // (n * total) AS BIGINT)
+  END AS gini_micro
+FROM cc CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS (exact
+    integer component sums; the mean's 1/n cancels in cosine) — the
+    embedding-distribution drift/separation report."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rep = similarity.centroid_drift_report(emb, "label", "embedding")
+    return rep.orderBy("label_a", "label_b")
+
+
+_EMBED_CENTROID_DRIFT_SQL = """
+WITH comp AS (
+  -- explicit DOUBLE cast: DuckDB evaluates FLOAT * 1000000.0 in FLOAT
+  -- (typeof = FLOAT), flooring a single-precision product; Spark
+  -- promotes to DOUBLE — 103 of 640 centroid cells differed without it
+  SELECT label AS lab, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+  FROM (SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+cent AS (SELECT lab, i, CAST(sum(xm) AS BIGINT) AS s FROM comp GROUP BY 1, 2),
+sizes AS (SELECT label AS lab, CAST(count(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY 1),
+norms AS (SELECT lab, sum(CAST(s AS HUGEINT) * s) AS n2 FROM cent GROUP BY lab),
+dots AS (
+  SELECT a.lab AS label_a, b.lab AS label_b,
+         sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+  FROM cent a JOIN cent b ON a.i = b.i AND a.lab < b.lab
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+       ELSE round(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+  END AS cosine
+FROM dots
+JOIN norms na ON na.lab = label_a
+JOIN norms nb ON nb.lab = label_b
+JOIN sizes ca ON ca.lab = label_a
+JOIN sizes cb ON cb.lab = label_b
+ORDER BY label_a, label_b
+"""
+
+
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round-trip + partition-PRUNED read: the
+    lineitem fact is written partitioned by return flag, read back with
+    a partition-key filter (the scan must touch only the 'R'
+    directory — asserted in tests/test_plans.py), and aggregated; the
+    oracle replays the logical filter over the unpartitioned table —
+    layout must be invisible to results."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = _scratch_dir("partitioned", sf_dir)
+    from ai_etl_pipeline_spark.sources.writers import write_parquet
+
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(floor(l_extendedprice * 100) as bigint)) as bigint)"
+            ).alias("revenue_cents"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_SOURCE_PARTITIONED_SQL = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group (most frequent order
+    priority per order status, ties to the lexically smallest value —
+    Spark's built-in ``mode()`` documents ties as non-deterministic,
+    which would fail the hash gate)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = distinct.group_mode(orders, ["o_orderstatus"], "o_orderpriority")
+    return m.orderBy("o_orderstatus")
+
+
+_AGG_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_value,
+         CAST(count(*) AS BIGINT) AS mode_count
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY mode_count DESC, mode_value ASC) AS rn
+  FROM c
+)
+SELECT o_orderstatus, mode_value, mode_count FROM r WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9736,6 +9978,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_prefix_filter": (q_dedup_prefix_filter, _DEDUP_PREFIX_FILTER_SQL),
     "q_media_audio_frames": (q_media_audio_frames, _MEDIA_AUDIO_FRAMES_SQL),
     "q_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SUPPLIER_SQL),
+    "q_events_ewma": (q_events_ewma, _EVENTS_EWMA_SQL),
+    "q_behavior_rfm": (q_behavior_rfm, _BEHAVIOR_RFM_SQL),
+    "q_validate_concentration": (q_validate_concentration, _VALIDATE_CONCENTRATION_SQL),
+    "q_embed_centroid_drift": (q_embed_centroid_drift, _EMBED_CENTROID_DRIFT_SQL),
+    "q_source_partitioned": (q_source_partitioned, _SOURCE_PARTITIONED_SQL),
+    "q_agg_mode": (q_agg_mode, _AGG_MODE_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),

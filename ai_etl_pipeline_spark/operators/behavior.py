@@ -310,3 +310,116 @@ def time_weighted_avg(
             F.expr("__vsum div n_intervals").alias("plain_avg_micro"),
         )
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    value_col: str = "value",
+    k: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 over the last
+    ``k`` readings of each (user, type) series — the trend-vs-noise
+    smoother, rendered EXACTLY in integers: reading ``j`` steps back
+    weighs ``2^(k-1-j)``, the divisor is ``2^k − 1``, so the weights
+    are the binary EWMA truncated at depth ``k`` and every value is a
+    micro-unit bigint (full hash gate; a float recurrence would
+    accumulate in engine-specific order). Only rows with a full
+    ``k``-deep history emit (a partial window would silently change
+    the effective α). The division truncates toward zero (Spark
+    ``div``) — identical to floor for the non-negative measurements
+    this models; document if feeding signed series.
+
+    One window pass partitioned by (user, type) — the entity key, so
+    no partition serializes a 100 TB corpus — with ``k`` fixed lags
+    folded in-row; no self-joins, no recurrence.
+
+    Returns ``(user_id, event_type, ts, value_micro, ewma_micro)``.
+    """
+    if not 2 <= k <= 30:
+        raise ValueError(f"ewma_smooth: need 2 <= k <= 30, got {k}")
+    order_cols = order_cols if order_cols is not None else ["event_id"]
+    tiebreak = [c for c in order_cols if c in events.columns]
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.expr(f"cast(floor({value_col} * 1000000.0) as bigint)").alias(
+            "value_micro"
+        ),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(tiebreak)],
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), *[F.col(f"__o{i}") for i in range(len(tiebreak))]
+    )
+    lags = [F.lag("value_micro", j).over(w).alias(f"__l{j}") for j in range(1, k)]
+    num = " + ".join(
+        ["value_micro * " + str(1 << (k - 1))]
+        + [f"__l{j} * {1 << (k - 1 - j)}" for j in range(1, k)]
+    )
+    den = (1 << k) - 1
+    return (
+        ev.select("user_id", "event_type", "ts", "value_micro", *lags)
+        .where(F.col(f"__l{k - 1}").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "value_micro",
+            F.expr(f"cast(({num}) div {den} as bigint)").alias("ewma_micro"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    user_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    ref_date: str = "1999-01-01",
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-base report: each customer's three metrics are quartile-
+    scored 1..``buckets`` (higher = better on every axis) with
+    ``ntile`` over a TOTAL order (metric, then customer id — ties are
+    deterministic, the hash-gate requirement), and the output is one
+    row per (r, f, m) segment with its population and revenue.
+
+    Plan shape: one user-keyed aggregate (corpus → customer-sized),
+    three window passes over the CUSTOMER-sized frame (global ntile =
+    one sort of an already-aggregated relation — the vocab-sort cost
+    class, not a corpus sort), one bounded segment aggregate. Money is
+    exact cents.
+
+    Returns ``(r_score, f_score, m_score, n_customers,
+    monetary_cents)`` — at most ``buckets³`` rows.
+    """
+    per_user = orders.groupBy(F.col(user_col).alias("__u")).agg(
+        F.expr(f"cast(datediff(to_date('{ref_date}'), max(to_date({ts_col}))) as bigint)").alias(
+            "__recency_days"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("__frequency"),
+        F.expr(f"cast(sum(cast(floor({amount_col} * 100) as bigint)) as bigint)").alias(
+            "__monetary_cents"
+        ),
+    )
+    # higher score = better: most-recent / most-frequent / biggest-spend
+    # land in the top ntile because the orderBy puts them LAST
+    r_w = Window.orderBy(F.col("__recency_days").desc(), F.col("__u"))
+    f_w = Window.orderBy(F.col("__frequency").asc(), F.col("__u"))
+    m_w = Window.orderBy(F.col("__monetary_cents").asc(), F.col("__u"))
+    scored = per_user.select(
+        "__u",
+        "__monetary_cents",
+        F.ntile(buckets).over(r_w).alias("r_score"),
+        F.ntile(buckets).over(f_w).alias("f_score"),
+        F.ntile(buckets).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("__monetary_cents").cast("bigint").alias("monetary_cents"),
+    )

@@ -540,3 +540,28 @@ def hll_overlap_report(
             ),
         ),
     )
+
+
+def group_mode(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Deterministic statistical MODE per group — the most frequent
+    value, ties broken by the value's natural order (Spark's ``mode()``
+    aggregate documents ties as non-deterministic, which fails the
+    hash gate; this rendering never does). One count aggregate + one
+    row_number over the (group, value)-count frame, which is at most
+    |groups|·|distinct values| — report-sized for categorical columns.
+    Returns ``(group_cols..., mode_value, mode_count)``."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        *group_cols, F.col(value_col).alias("mode_value")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("mode_count"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("mode_count").desc(), F.col("mode_value").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1249,3 +1249,79 @@ def mean_pool_embeddings(
             F.expr("transform(__ps, p -> p.__s div n_chunks)").alias("pooled"),
         )
     )
+
+
+def centroid_drift_report(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift / separation report: the pairwise cosine
+    between per-label CENTROIDS — the governance check on an embedding
+    column (did this week's batch drift from last week's? are two
+    sources' embedding distributions collapsing together?). Vectors
+    are floored to micro-int components, summed exactly per (label,
+    dim); the cosine uses the SUM vectors directly (the 1/n of a mean
+    cancels in cosine, so no division — and no truncate-vs-floor
+    hazard on signed components). Dot products and norms are exact
+    decimal integers; only the final ratio runs in doubles cast from
+    those exact integers (IEEE-deterministic — the linreg R²
+    precedent), rounded to 6.
+
+    Plan shape: one posexplode scan (corpus × dims — the unavoidable
+    vector fan-out), one (label, dim)-keyed aggregate (bounded:
+    labels × dims rows), then label-pair joins over the BOUNDED
+    centroid frame. Returns ``(label_a, label_b, n_a, n_b, cosine)``
+    with ``label_a < label_b``.
+    """
+    comp = df.select(
+        F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+    ).select(
+        "__lab",
+        "__d",
+        F.expr("cast(floor(__x * 1000000.0) as bigint)").alias("__xm"),
+    )
+    cent = comp.groupBy("__lab", "__d").agg(
+        F.sum("__xm").cast("bigint").alias("__s")
+    )
+    sizes = df.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    norms = cent.groupBy("__lab").agg(
+        F.sum(F.expr("cast(__s as decimal(38, 0)) * __s")).alias("__n2")
+    )
+    a = cent.select(
+        F.col("__lab").alias("label_a"), "__d", F.col("__s").alias("__sa")
+    )
+    b = cent.select(
+        F.col("__lab").alias("label_b"), "__d", F.col("__s").alias("__sb")
+    )
+    dots = (
+        a.join(b, "__d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.expr("cast(__sa as decimal(38, 0)) * __sb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__lab").alias("label_a"), F.col("__n2").alias("__na2"))
+    nb = norms.select(F.col("__lab").alias("label_b"), F.col("__n2").alias("__nb2"))
+    ca = sizes.select(F.col("__lab").alias("label_a"), F.col("__n").alias("n_a"))
+    cb = sizes.select(F.col("__lab").alias("label_b"), F.col("__n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CASE WHEN __na2 = 0 OR __nb2 = 0 THEN cast(NULL as double) "
+                "ELSE round(cast(__dot as double) "
+                "/ (sqrt(cast(__na2 as double)) * sqrt(cast(__nb2 as double))), 6) "
+                "END"
+            ).alias("cosine"),
+        )
+    )

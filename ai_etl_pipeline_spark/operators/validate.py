@@ -21,6 +21,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -459,4 +460,77 @@ def linreg_report(
             f"ELSE round(cast({num} as double) * cast({num} as double) "
             f"/ (cast({den_x} as double) * cast({den_y} as double)), 6) END"
         ).alias("r2"),
+    )
+
+
+def concentration_report(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Value-concentration (Lorenz / Gini) report: how much of a fact
+    column's total the top key groups own — the whale-detection /
+    fairness question ("do 10% of customers carry 60% of revenue?",
+    "do 1% of domains dominate the corpus?"). Keys are aggregated to
+    exact cents, ranked ascending (value, then key — total order for
+    the hash gate), cut into ``buckets`` ntiles, and each bucket
+    reports its population, value, cumulative value, and cumulative
+    share (micro). The Gini coefficient rides along as an exact
+    integer micro ratio from the grouped formula ``(2·Σ(rank·v) −
+    (n+1)·Σv) / (n·Σv)`` — decimal(38,0) products, truncating div.
+
+    Plan shape: one corpus aggregate (→ key-sized), one sort of the
+    KEY-sized frame (the vocab-sort cost class), one bucket aggregate,
+    window cumsum over ``buckets`` rows. All values non-negative by
+    construction of a revenue-style fact column — the truncating div
+    equals floor; signed measures need a guard.
+
+    Returns ``(bucket, n_keys, value_cents, cum_value_cents,
+    cum_share_micro, gini_micro)``.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.expr(f"cast(sum(cast(floor({value_col} * 100) as bigint)) as bigint)").alias(
+            "__v"
+        )
+    )
+    w = Window.orderBy(F.col("__v").asc(), F.col("__k").asc())
+    ranked = per_key.select(
+        "__v",
+        F.row_number().over(w).alias("__r"),
+        F.ntile(buckets).over(w).alias("bucket"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__v").cast("bigint").alias("__total"),
+        F.sum(F.expr("cast(__r as decimal(38, 0)) * __v")).alias("__rv"),
+    )
+    by_bucket = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__v").cast("bigint").alias("value_cents"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        by_bucket.withColumn(
+            "cum_value_cents", F.sum("value_cents").over(cum).cast("bigint")
+        )
+        # buckets-sized frame × one-row scalar: the one-row crossJoin rule
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_keys",
+            "value_cents",
+            "cum_value_cents",
+            F.expr(
+                "CASE WHEN __total = 0 THEN cast(NULL as bigint) "
+                "ELSE cum_value_cents * 1000000 div __total END"
+            ).alias("cum_share_micro"),
+            F.expr(
+                "CASE WHEN __total = 0 THEN cast(NULL as bigint) ELSE "
+                "cast((2 * __rv - (cast(__n as decimal(38, 0)) + 1) * __total) "
+                "* 1000000 div (cast(__n as decimal(38, 0)) * __total) "
+                "as bigint) END"
+            ).alias("gini_micro"),
+        )
+        .orderBy("bucket")
     )

@@ -203,6 +203,12 @@ HEADLINE = [
     "q_dedup_prefix_filter",
     "q_media_audio_frames",
     "q_min_cost_supplier",
+    "q_events_ewma",
+    "q_behavior_rfm",
+    "q_validate_concentration",
+    "q_embed_centroid_drift",
+    "q_source_partitioned",
+    "q_agg_mode",
 ]
 
 

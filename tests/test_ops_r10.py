@@ -255,3 +255,103 @@ def test_audio_frame_features_rejects_tiny_frame(spark):
     df = spark.createDataFrame([(1, [1, 2])], "media_id: bigint, samples: array<bigint>")
     with pytest.raises(ValueError):
         multimodal.audio_frame_features(df, frame_size=1)
+
+
+# --------------------------------------------------------------- wave C
+
+
+def test_ewma_smooth_binary_weights(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (j + 1, 1, "m", t0 + datetime.timedelta(seconds=j), float(j + 1))
+        for j in range(9)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id: bigint, user_id: bigint, event_type: string, ts: timestamp, value: double",
+    )
+    out = behavior.ewma_smooth(ev, "value", k=8).orderBy("ts").collect()
+    # only rows 8 and 9 have full 8-history
+    assert len(out) == 2
+    # row 8: values 8..1 weighted 128,64,...,1
+    num = sum((8 - j) * (1 << (7 - j)) for j in range(8)) * 1_000_000
+    assert out[0]["ewma_micro"] == num // 255
+    with pytest.raises(ValueError):
+        behavior.ewma_smooth(ev, "value", k=1)
+
+
+def test_rfm_segments_partitions_and_scores(spark):
+    import datetime
+
+    rows = []
+    for u in range(8):
+        for o in range(u + 1):  # frequency strictly increases with u
+            rows.append(
+                (u, datetime.datetime(1998, 1 + u, 1), 100.0 * (u + 1))
+            )
+    orders = spark.createDataFrame(
+        rows, "o_custkey: bigint, o_orderdate: timestamp, o_totalprice: double"
+    )
+    seg = behavior.rfm_segments(orders, buckets=4).collect()
+    assert sum(r["n_customers"] for r in seg) == 8
+    # customer 7: most recent, most frequent, biggest spend -> 4/4/4
+    top = [r for r in seg if (r["r_score"], r["f_score"], r["m_score"]) == (4, 4, 4)]
+    assert len(top) == 1 and top[0]["n_customers"] >= 1
+
+
+def test_concentration_report_uniform_is_gini_near_zero(spark):
+    df = spark.createDataFrame(
+        [(k, 10.0) for k in range(100)], "k: bigint, v: double"
+    )
+    rows = validate.concentration_report(df, "k", "v", buckets=10).collect()
+    assert len(rows) == 10
+    assert all(r["gini_micro"] == 0 for r in rows)  # perfectly equal
+    assert rows[-1]["cum_share_micro"] == 1_000_000
+    # each decile owns exactly 10%
+    assert rows[0]["cum_share_micro"] == 100_000
+
+
+def test_concentration_report_whale(spark):
+    # one key owns ~all the value -> gini near 1
+    df = spark.createDataFrame(
+        [(0, 1_000_000.0)] + [(k, 0.01) for k in range(1, 100)],
+        "k: bigint, v: double",
+    )
+    rows = validate.concentration_report(df, "k", "v", buckets=10).collect()
+    assert rows[0]["gini_micro"] > 900_000
+
+
+def test_centroid_drift_identical_labels_cosine_one(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]),
+            (0, [1.0, 2.0, 3.0]),
+            (1, [2.0, 4.0, 6.0]),  # same direction, scaled
+            (2, [-3.0, 0.0, 1.0]),
+        ],
+        "label: int, embedding: array<double>",
+    )
+    rows = {
+        (r["label_a"], r["label_b"]): r
+        for r in similarity.centroid_drift_report(df).collect()
+    }
+    assert rows[(0, 1)]["cosine"] == 1.0
+    assert rows[(0, 1)]["n_a"] == 2 and rows[(0, 1)]["n_b"] == 1
+    assert abs(rows[(0, 2)]["cosine"]) < 1.0
+
+
+def test_group_mode_deterministic_ties(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dst
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "b"), ("g", "a"), ("h", "z")],
+        ["grp", "v"],
+    )
+    got = {r["grp"]: r for r in dst.group_mode(df, ["grp"], "v").collect()}
+    # tie between a and b at 2 -> lexically smallest wins
+    assert got["g"]["mode_value"] == "a" and got["g"]["mode_count"] == 2
+    assert got["h"]["mode_value"] == "z"

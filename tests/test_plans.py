@@ -470,3 +470,26 @@ def test_curation_scale_plan_has_no_exact_percentile(spark, sf_dir):
     assert "percentile(" not in cleaned.lower()
     assert "<gk>" in cleaned  # the sketch path is actually in the plan
     assert "hllsketchagg" in plan.lower() or "hll_sketch_agg" in plan.lower()
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    # q_source_partitioned writes lineitem hive-partitioned by
+    # l_returnflag and reads back WHERE l_returnflag = 'R': the filter
+    # must land in PartitionFilters (directory pruning), not as a data
+    # filter over all partitions
+    plan = _plan(spark, sf_dir, "q_source_partitioned")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1)
+
+
+def test_link_prediction_wedges_are_filtered_before_selfjoin(spark, sf_dir):
+    # the hub cap (sd <= max_src_degree) must apply BEFORE the wedge
+    # self-join, not after: a post-join filter would materialize the
+    # quadratic hub pairs it exists to prevent
+    plan = _optimized(spark, sf_dir, "q_graph_link_prediction")
+    join_pos = plan.find("Join")
+    filt = plan.rfind("64")
+    assert join_pos != -1 and filt != -1
