@@ -9525,24 +9525,20 @@ WITH {_SHINGLES_CTE},
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
        FROM shingles GROUP BY doc_id),
 freq AS (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle),
-ranked AS (
-  SELECT shingle,
-         row_number() OVER (ORDER BY f ASC, shingle ASC) AS rnk
-  FROM freq
-),
 pos AS (
-  SELECT s.doc_id, r.rnk, z.sz,
-         row_number() OVER (PARTITION BY s.doc_id ORDER BY r.rnk ASC) AS p
-  FROM shingles s JOIN ranked r USING (shingle) JOIN sz z USING (doc_id)
+  SELECT s.doc_id, s.shingle, z.sz,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.f ASC, s.shingle ASC) AS p
+  FROM shingles s JOIN freq f USING (shingle) JOIN sz z USING (doc_id)
 ),
 prefix AS (
-  SELECT doc_id, rnk, sz FROM pos
+  SELECT doc_id, shingle, sz FROM pos
   WHERE p <= sz - ((500000 * sz + 999999) // 1000000) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sz AS sa, b.sz AS sb
-  FROM prefix a JOIN prefix b ON a.rnk = b.rnk AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   WHERE least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz)
 ),
 inter AS (
@@ -9953,6 +9949,151 @@ ORDER BY o_orderstatus
 """
 
 
+
+def q_events_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: new users (first touch), active users,
+    cumulative users — first-touch aggregate + day-sized cumsum, never
+    an expanding distinct window."""
+    ev = _t(spark, sf_dir, "events")
+    return behavior.adoption_curve(ev).orderBy("day")
+
+
+_EVENTS_ADOPTION_SQL = """
+WITH ev AS (SELECT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+firstd AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+  FROM (SELECT u, min(day) AS day FROM ev GROUP BY u) GROUP BY day
+),
+act AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_active_users
+  FROM (SELECT DISTINCT u, day FROM ev) GROUP BY day
+)
+SELECT day,
+       CAST(COALESCE(n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(COALESCE(n_active_users, 0) AS BIGINT) AS n_active_users,
+       CAST(sum(COALESCE(n_new_users, 0)) OVER (ORDER BY day) AS BIGINT)
+         AS cum_users
+FROM act FULL OUTER JOIN firstd USING (day)
+ORDER BY day
+"""
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the exact
+    weighted-percentile pick (smallest value whose cumulative weight
+    reaches half the total, all-integer condition), which a row-median
+    gets wrong whenever weights vary."""
+    li = _t(spark, sf_dir, "lineitem")
+    rep = distinct.weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", p_micro=500000
+    )
+    return rep.orderBy("l_returnflag")
+
+
+_AGG_WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM base
+)
+SELECT l_returnflag,
+       CAST(min(v) AS BIGINT) AS pctl_value_cents,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 1000000 >= 500000 * tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed degree histogram of the customer↔supplier trade
+    graph — the skew X-ray (heavy tail ⇒ salt joins / cap wedges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return graph.degree_distribution(edges).orderBy("bucket")
+
+
+_GRAPH_DEGREE_DIST_SQL = """
+WITH e AS (
+  SELECT DISTINCT least('c' || CAST(o_custkey AS VARCHAR),
+                        's' || CAST(l_suppkey AS VARCHAR)) AS a,
+                  greatest('c' || CAST(o_custkey AS VARCHAR),
+                           's' || CAST(l_suppkey AS VARCHAR)) AS b
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+)
+SELECT CAST(floor(log2(CAST(d AS DOUBLE))) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan parity (S1/S5 end-to-end as a driver-gated row):
+    integer/flag columns round-trip through the text format exactly
+    (doubles deliberately excluded — CSV float serialization is the
+    documented lossy path; parquet is the scale sink), then aggregate.
+    The oracle replays the aggregate over the logical table — the
+    format hop must be invisible."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+    )
+    out = _scratch_dir("csv_roundtrip", sf_dir)
+    from ai_etl_pipeline_spark.sources.writers import write_csv
+
+    write_csv(li, out)
+    back = spark.read.csv(
+        out,
+        header=True,
+        schema="l_orderkey bigint, l_suppkey bigint, l_returnflag string, qty bigint",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SOURCE_CSV_ROUNDTRIP_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9984,14 +10125,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_centroid_drift": (q_embed_centroid_drift, _EMBED_CENTROID_DRIFT_SQL),
     "q_source_partitioned": (q_source_partitioned, _SOURCE_PARTITIONED_SQL),
     "q_agg_mode": (q_agg_mode, _AGG_MODE_SQL),
+    "q_events_adoption": (q_events_adoption, _EVENTS_ADOPTION_SQL),
+    "q_agg_weighted_median": (q_agg_weighted_median, _AGG_WEIGHTED_MEDIAN_SQL),
+    "q_graph_degree_dist": (q_graph_degree_dist, _GRAPH_DEGREE_DIST_SQL),
+    "q_source_csv_roundtrip": (q_source_csv_roundtrip, _SOURCE_CSV_ROUNDTRIP_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
-    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
     #     fixpoint-proximity receipt variant ---
-    "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     # --- round-8 NEW: directed mode with dangling-sink redistribution ---
-    "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     # --- round-8 NEW: strategy-applying join; pure-sketch curation
     #     pipeline (no exact one-reducer aggregate in its plan) ---
     # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
@@ -10002,7 +10144,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _MEDIA_JPEG_PROG_420_SQL,
     ),
     # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
-    "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
     # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
     #     co-purchase projection ---
@@ -10289,6 +10430,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     # --- rotated out of the window in round 10 (unchanged; r9 green rows stand) ---
+    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
+    "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
+    "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
+    "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
     "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
     "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),

@@ -423,3 +423,50 @@ def rfm_segments(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("__monetary_cents").cast("bigint").alias("monetary_cents"),
     )
+
+
+def adoption_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily adoption report: new users (first-ever activity that day),
+    active users (any activity), and the cumulative user count — the
+    growth-accounting backbone. "New" is an exact first-touch
+    aggregate (min day per user — one user-keyed corpus pass), NOT a
+    windowed distinct-count over an expanding frame (which would
+    re-scan history per day); the cumulative sum then runs over the
+    DAY-sized frame only.
+
+    Plan shape: two corpus scans (first-day aggregate; distinct
+    user-day activity), a day-keyed outer join of two day-sized
+    frames, one window cumsum over ~365 rows/year. Exact integers.
+
+    Returns ``(day, n_new_users, n_active_users, cum_users)``.
+    """
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.expr(f"to_date({ts_col})").alias("__day"),
+    )
+    first = (
+        ev.groupBy("__u")
+        .agg(F.min("__day").alias("__day"))
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_users"))
+    )
+    active = (
+        ev.distinct()
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+    )
+    joined = active.join(first, "__day", "full_outer").select(
+        F.col("__day").alias("day"),
+        F.coalesce("n_new_users", F.lit(0)).cast("bigint").alias("n_new_users"),
+        F.coalesce("n_active_users", F.lit(0))
+        .cast("bigint")
+        .alias("n_active_users"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_users", F.sum("n_new_users").over(cum).cast("bigint")
+    )

@@ -1241,12 +1241,14 @@ def prefix_filter_join(
     candidates before verification; verification joins the candidate
     pairs back to the full token sets for the exact intersection count.
 
-    Plan shape: tokenize scan → vocabulary-sized frequency aggregate
-    (the rank sort is vocab-sized, same cost class as BM25's idf) →
-    per-doc prefix via a doc-keyed window → prefix-token equi-join
-    (candidate-sized) → verify join (candidate×token-sized). No
-    all-pairs product anywhere; skew is bounded because a token's
-    prefix posting only contains docs where that token is RARE-ranked.
+    Plan shape: tokenize scan → vocabulary-sized frequency aggregate →
+    per-doc prefix via a DOC-keyed window (the global order is never
+    materialized — no vocab-wide rank sort; candidates join on the
+    token itself, which is rank-equivalent and stays hash-partitioned)
+    → prefix-token equi-join (candidate-sized) → verify join
+    (candidate×token-sized). No all-pairs product anywhere; skew is
+    bounded because a token's prefix posting only contains docs where
+    that token is RARE-ranked.
 
     Returns ``(id_a, id_b, jaccard_micro)`` with ``id_a < id_b`` and
     ``jaccard_micro >= threshold_micro``. Reference parity: extends
@@ -1268,17 +1270,18 @@ def prefix_filter_join(
         F.count(F.lit(1)).cast("bigint").alias("__sz")
     )
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
-    # canonical total order: ascending corpus frequency, token tiebreak;
-    # vocabulary-sized single sort (the BM25-idf cost class)
-    ranked = freq.select(
-        "__tok",
-        F.row_number()
-        .over(Window.orderBy(F.col("__f").asc(), F.col("__tok").asc()))
-        .alias("__rank"),
-    )
-    ordered = toks.join(ranked, "__tok").join(sizes, "__id")
+    # canonical total order = (ascending corpus frequency, token) — but
+    # NEVER materialized as a global dense rank: a vocab-wide
+    # row_number would serialize the whole vocabulary through one
+    # reducer (and on low-diversity corpora vocab ~ corpus). The order
+    # is only ever applied PER DOC (doc-keyed window below), and the
+    # candidate join keys on the token itself — same token ⟺ same
+    # rank, so the join is equivalent and stays hash-partitioned.
+    ordered = toks.join(freq, "__tok").join(sizes, "__id")
     pos = F.row_number().over(
-        Window.partitionBy("__id").orderBy(F.col("__rank").asc())
+        Window.partitionBy("__id").orderBy(
+            F.col("__f").asc(), F.col("__tok").asc()
+        )
     )
     prefix_len = F.expr(
         f"__sz - (({threshold_micro} * __sz + 999999) div 1000000) + 1"
@@ -1286,17 +1289,17 @@ def prefix_filter_join(
     prefix = (
         ordered.withColumn("__pos", pos)
         .where(F.col("__pos") <= prefix_len)
-        .select("__id", "__rank", "__sz")
+        .select("__id", "__tok", "__sz")
         .localCheckpoint(eager=False)
     )
     a = prefix.select(
-        F.col("__id").alias("id_a"), "__rank", F.col("__sz").alias("__sa")
+        F.col("__id").alias("id_a"), "__tok", F.col("__sz").alias("__sa")
     )
     b = prefix.select(
-        F.col("__id").alias("id_b"), "__rank", F.col("__sz").alias("__sb")
+        F.col("__id").alias("id_b"), "__tok", F.col("__sz").alias("__sb")
     )
     cand = (
-        a.join(b, "__rank")
+        a.join(b, "__tok")
         .where(F.col("id_a") < F.col("id_b"))
         # size-ratio filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
         .where(

@@ -565,3 +565,58 @@ def group_mode(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    p_micro: int = 500000,
+) -> DataFrame:
+    """Exact WEIGHTED percentile per group (lower/left-continuous
+    rendering): the smallest value whose cumulative weight reaches
+    ``p_micro`` of the group's total — "the median unit price weighted
+    by quantity", which a plain percentile over rows gets wrong
+    whenever weights vary. Values are exact cents; the pick condition
+    is the all-integer ``cum_w · 1e6 >= p · total_w`` (no float
+    threshold).
+
+    Plan shape: one (group, value) aggregate collapses duplicate
+    values map-side, then a cumulative window over the per-group
+    DISTINCT-value frame and a min-aggregate pick. The window
+    partitions by group — per-group distinct-value cardinality is the
+    partition bound; for open-domain doubles at 100 TB prefer the GK
+    sketch twin (``approx_*`` family), this is the exact/auditable
+    path.
+
+    Returns ``(group_cols..., pctl_value_cents, total_weight)``.
+    """
+    if not 0 < p_micro <= 1000000:
+        raise ValueError(f"weighted_percentile: p_micro in (0, 1e6], got {p_micro}")
+    from pyspark.sql.window import Window
+
+    base = df.groupBy(
+        *group_cols,
+        F.expr(f"cast(floor({value_col} * 100) as bigint)").alias("__v"),
+    ).agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = base.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cw"),
+        F.sum("__w").over(w_tot).alias("__tw"),
+    )
+    return (
+        cum.where(F.expr(f"__cw * 1000000 >= {p_micro} * __tw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").cast("bigint").alias("pctl_value_cents"),
+            F.first("__tw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -944,3 +944,44 @@ def link_prediction(
             "adamic_adar_micro",
         )
     )
+
+
+def degree_distribution(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Log₂-bucketed degree histogram of the undirected graph — the
+    skew X-ray every graph operator's cost model starts from (a heavy
+    tail says: salt the joins, cap the wedges). Bucket =
+    ``floor(log2(degree))`` — log2 of a positive integer is exact at
+    powers of two in IEEE, so the floor is engine-stable. One edge
+    normalization, one node-sized degree aggregate, one bounded
+    (≤ ~63-row) histogram aggregate.
+
+    Returns ``(bucket, n_nodes, min_degree, max_degree)`` where bucket
+    b covers degrees in [2^b, 2^(b+1))."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    return (
+        deg.select(
+            F.expr("cast(floor(log2(cast(d as double))) as int)").alias("bucket"),
+            "d",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+    )

@@ -209,6 +209,10 @@ HEADLINE = [
     "q_embed_centroid_drift",
     "q_source_partitioned",
     "q_agg_mode",
+    "q_events_adoption",
+    "q_agg_weighted_median",
+    "q_graph_degree_dist",
+    "q_source_csv_roundtrip",
 ]
 
 

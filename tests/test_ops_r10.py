@@ -355,3 +355,48 @@ def test_group_mode_deterministic_ties(spark):
     # tie between a and b at 2 -> lexically smallest wins
     assert got["g"]["mode_value"] == "a" and got["g"]["mode_count"] == 2
     assert got["h"]["mode_value"] == "z"
+
+
+# --------------------------------------------------------------- wave D
+
+
+def test_adoption_curve_first_touch_and_cumsum(spark):
+    import datetime
+
+    d = lambda day: datetime.datetime(2024, 1, day, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, d(1)), (1, d(2)), (2, d(2)), (2, d(2)), (3, d(4))],
+        "user_id: bigint, ts: timestamp",
+    )
+    rows = behavior.adoption_curve(ev).orderBy("day").collect()
+    got = [(str(r["day"]), r["n_new_users"], r["n_active_users"], r["cum_users"]) for r in rows]
+    assert got == [
+        ("2024-01-01", 1, 1, 1),
+        ("2024-01-02", 1, 2, 2),  # user 1 active but not new
+        ("2024-01-04", 1, 1, 3),
+    ]
+
+
+def test_weighted_percentile_vs_row_median(spark):
+    from ai_etl_pipeline_spark.operators import distinct as dst
+
+    # value 1.00 carries weight 9, value 100.00 weight 1:
+    # weighted median = 1.00; a row median would say 50.5
+    df = spark.createDataFrame(
+        [("g", 1.0, 9), ("g", 100.0, 1)], ["grp", "v", "w"]
+    )
+    row = dst.weighted_percentile(df, ["grp"], "v", "w").collect()[0]
+    assert row["pctl_value_cents"] == 100 and row["total_weight"] == 10
+    # p=1.0 -> max value
+    row = dst.weighted_percentile(df, ["grp"], "v", "w", p_micro=1000000).collect()[0]
+    assert row["pctl_value_cents"] == 10000
+    with pytest.raises(ValueError):
+        dst.weighted_percentile(df, ["grp"], "v", "w", p_micro=0)
+
+
+def test_degree_distribution_buckets(spark):
+    # star: hub degree 8 (bucket 3), leaves degree 1 (bucket 0)
+    e = spark.createDataFrame([("h", f"l{i}") for i in range(8)], ["src", "dst"])
+    rows = {r["bucket"]: r for r in graph.degree_distribution(e).collect()}
+    assert rows[3]["n_nodes"] == 1 and rows[3]["min_degree"] == 8
+    assert rows[0]["n_nodes"] == 8 and rows[0]["max_degree"] == 1

@@ -127,6 +127,8 @@ ALL_OPS = (
     # round-9: weighted PageRank + fixed-round label propagation
     # (components / majority-vote communities) growth curves
     "wpagerank", "labelprop", "lpa_comm", "hits", "khop",
+    # round-10: exact-recall prefix-filter join growth curve
+    "prefix",
 )
 
 
@@ -210,6 +212,21 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         out["index_build_sec"] = t_index
         out["bucketed_probe_sec"], out["bucketed_probe_pairs"] = t_probe, n_probe
+
+    if "prefix" in ops:
+        # exact-recall prefix filtering over the same 3-shingle relation
+        # as minhash: the injected 10% dup layer sits at Jaccard >= ~0.85,
+        # chance overlap ~0 (doc-unique fillers), so verified pairs track
+        # the dup layer and the measurement covers freq aggregate +
+        # per-doc prefix window + prefix equi-join + exact verify
+        t_pf, n_pf = timed(
+            lambda: dedup.prefix_filter_join(
+                docs, "doc_id", "text",
+                threshold_micro=800000, shingle_k=3,
+            ).count()
+        )
+        release_shuffles(spark)
+        out["prefix_sec"], out["prefix_pairs"] = t_pf, n_pf
 
     if "containment" in ops:
         # asymmetric containment over 3-word shingles: the injected dup
