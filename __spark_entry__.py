@@ -10094,6 +10094,169 @@ ORDER BY 1
 """
 
 
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL RECEIPT: MinHash-LSH's verified pairs measured against
+    the EXACT ground truth from the prefix-filter join at the same
+    threshold (0.5) and shingling (k=3) — the tuning receipt a 100 TB
+    user needs before trusting the probabilistic tier (the band
+    S-curve's missed pairs are invisible without exact recall to
+    compare against; the kNN analog is q_knn_recall_report). Verified
+    LSH pairs are necessarily a SUBSET of the exact set (both gates
+    test true Jaccard >= 1/2, integer and float renderings agree away
+    from sub-ulp boundaries), so the receipt also asserts
+    ``n_common == n_lsh_pairs``. One row, exact integer recall."""
+    docs = _t(spark, sf_dir, "documents")
+    # each tier's pair set is referenced twice (its count + the common
+    # semi-join) — lazy checkpoints keep the two pipelines from
+    # re-executing per reference
+    exact = (
+        dedup.prefix_filter_join(
+            docs, "doc_id", "text", threshold_micro=500000, shingle_k=3
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        dedup.minhash_lsh_near_duplicates(
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    nc = (
+        lsh.join(exact, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    # three one-row scalars: the one-row crossJoin rule
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_common",
+            F.expr(
+                "CASE WHEN n_exact_pairs = 0 THEN cast(NULL as bigint) "
+                "ELSE n_common * 1000000 div n_exact_pairs END"
+            ).alias("recall_micro"),
+            (F.col("n_common") == F.col("n_lsh_pairs")).alias("lsh_subset_of_exact"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    """Oracle: replay BOTH tiers (prefix-filter exact set + the full
+    MinHash pipeline bit-for-bit) and compute the same counts."""
+    mh_cols = ",\n         ".join(
+        f"{_mh_expr(i, 'shingle')} AS mh{i}" for i in range(16)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b, sig=md5_i64_sql(f"concat_ws('_', mh{2 * b}, mh{2 * b + 1})")
+        )
+        for b in range(8)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       FROM shingles GROUP BY doc_id),
+freq AS (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle),
+pos AS (
+  SELECT s.doc_id, s.shingle, z.sz,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.f ASC, s.shingle ASC) AS p
+  FROM shingles s JOIN freq f USING (shingle) JOIN sz z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, shingle, sz FROM pos
+  WHERE p <= sz - ((500000 * sz + 999999) // 1000000) + 1
+),
+candp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sz AS sa, b.sz AS sb
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz)
+),
+interp AS (
+  SELECT c.id_a, c.id_b, c.sa, c.sb, CAST(count(*) AS BIGINT) AS i
+  FROM candp c
+  JOIN shingles ta ON ta.doc_id = c.id_a
+  JOIN shingles tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2, 3, 4
+),
+exact_pairs AS (
+  SELECT id_a, id_b FROM interp
+  WHERE i * 1000000 // (sa + sb - i) >= 500000
+),
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+interm AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+lsh_pairs AS (
+  SELECT interm.id_a, interm.id_b
+  FROM interm JOIN sz za ON za.doc_id = interm.id_a
+  JOIN sz zb ON zb.doc_id = interm.id_b
+  WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM exact_pairs),
+nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs FROM lsh_pairs),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+       FROM lsh_pairs l SEMI JOIN exact_pairs e
+         ON l.id_a = e.id_a AND l.id_b = e.id_b)
+SELECT n_exact_pairs, n_lsh_pairs, n_common,
+       CASE WHEN n_exact_pairs = 0 THEN NULL
+            ELSE CAST(n_common * 1000000 // n_exact_pairs AS BIGINT)
+       END AS recall_micro,
+       n_common = n_lsh_pairs AS lsh_subset_of_exact
+FROM ne CROSS JOIN nl CROSS JOIN nc
+"""
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed token-frequency histogram — the Zipf X-ray that
+    separates real text's heavy head / long tail from flat synthetic
+    vocabularies."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_frequency_histogram(docs, "text").orderBy("bucket")
+
+
+_TEXT_ZIPF_SQL = """
+WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+)
+SELECT CAST(floor(log2(CAST(f AS DOUBLE))) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(min(f) AS BIGINT) AS min_freq,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       CAST(sum(f) AS BIGINT) AS total_occurrences
+FROM freq GROUP BY 1
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10129,6 +10292,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_weighted_median": (q_agg_weighted_median, _AGG_WEIGHTED_MEDIAN_SQL),
     "q_graph_degree_dist": (q_graph_degree_dist, _GRAPH_DEGREE_DIST_SQL),
     "q_source_csv_roundtrip": (q_source_csv_roundtrip, _SOURCE_CSV_ROUNDTRIP_SQL),
+    "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
+    "q_text_zipf": (q_text_zipf, _TEXT_ZIPF_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the

@@ -1564,3 +1564,36 @@ def chi2_token_association(
             ).alias("chi2_micro"),
         )
     )
+
+
+def token_frequency_histogram(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Log₂-bucketed token-frequency histogram — the Zipf X-ray of a
+    corpus (real text shows the heavy head / long tail; synthetic or
+    template-generated corpora show a flat histogram): one tokenize
+    scan, one vocabulary-sized frequency aggregate, one bounded
+    (≤ ~63-row) histogram. ``floor(log2(f))`` is exact at powers of
+    two in IEEE, so the bucketing is engine-stable. Returns ``(bucket,
+    n_tokens, min_freq, max_freq, total_occurrences)`` where bucket b
+    covers frequencies in [2^b, 2^(b+1))."""
+    from ai_etl_pipeline_spark.functions.portable import tokens_col
+
+    freq = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return (
+        freq.select(
+            F.expr("cast(floor(log2(cast(f as double))) as int)").alias("bucket"),
+            "f",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.min("f").cast("bigint").alias("min_freq"),
+            F.max("f").cast("bigint").alias("max_freq"),
+            F.sum("f").cast("bigint").alias("total_occurrences"),
+        )
+    )

@@ -213,6 +213,8 @@ HEADLINE = [
     "q_agg_weighted_median",
     "q_graph_degree_dist",
     "q_source_csv_roundtrip",
+    "q_dedup_lsh_recall",
+    "q_text_zipf",
 ]
 
 

@@ -400,3 +400,31 @@ def test_degree_distribution_buckets(spark):
     rows = {r["bucket"]: r for r in graph.degree_distribution(e).collect()}
     assert rows[3]["n_nodes"] == 1 and rows[3]["min_degree"] == 8
     assert rows[0]["n_nodes"] == 8 and rows[0]["max_degree"] == 1
+
+
+# --------------------------------------------------------------- wave E
+
+
+def test_token_frequency_histogram_buckets(spark):
+    # 'a' x8 (bucket 3), 'b' x2 (bucket 1), c,d singletons (bucket 0)
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a a b b c d")], ["doc_id", "text"]
+    )
+    rows = {
+        r["bucket"]: r
+        for r in textstats.token_frequency_histogram(docs).collect()
+    }
+    assert rows[3]["n_tokens"] == 1 and rows[3]["min_freq"] == 8
+    assert rows[1]["n_tokens"] == 1 and rows[1]["min_freq"] == 2
+    assert rows[0]["n_tokens"] == 2 and rows[0]["total_occurrences"] == 2
+
+
+def test_lsh_recall_receipt_subset_invariant(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["q_dedup_lsh_recall"](spark, sf_dir).collect()[0]
+    # verified LSH pairs are a subset of the exact ground truth by
+    # construction; recall is a valid micro-ratio
+    assert row["lsh_subset_of_exact"] is True
+    assert row["n_common"] <= row["n_exact_pairs"]
+    assert row["recall_micro"] is None or 0 <= row["recall_micro"] <= 1000000
