@@ -10257,6 +10257,141 @@ ORDER BY bucket
 """
 
 
+
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (time-to-resolution): every error event
+    matched to the same user's NEXT purchase at-or-after it — the
+    look-ahead twin of q_events_last_error_asof's backward mode, same
+    union+window idiom (one keyed shuffle, no range explosion).
+    Bounded report: match rate + exact integer gap stats."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_at_ts"))
+    )
+    m = relational.asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["n_at_ts"],
+        direction="forward",
+    )
+    gap = F.unix_timestamp("__asof_ts") - F.unix_timestamp("ts")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        F.count("__asof_ts").cast("bigint").alias("n_matched"),
+        F.sum(gap).cast("bigint").alias("total_gap_seconds"),
+        F.expr(
+            "CASE WHEN count(__asof_ts) = 0 THEN cast(NULL as bigint) "
+            "ELSE sum(unix_timestamp(__asof_ts) - unix_timestamp(ts)) "
+            "div count(__asof_ts) END"
+        ).alias("avg_gap_seconds"),
+    )
+
+
+_EVENTS_ASOF_FORWARD_SQL = """
+WITH e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT e.user_id, e.ts, min(p.ts) AS nts
+  FROM e LEFT JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts
+  GROUP BY e.user_id, e.ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_errors,
+       CAST(count(nts) AS BIGINT) AS n_matched,
+       CAST(sum(date_diff('second', ts, nts)) AS BIGINT) AS total_gap_seconds,
+       CASE WHEN count(nts) = 0 THEN NULL
+            ELSE CAST(sum(date_diff('second', ts, nts)) // count(nts) AS BIGINT)
+       END AS avg_gap_seconds
+FROM m
+"""
+
+
+def q_clean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean NULL imputation receipt: a deterministic 1-in-7 slice
+    of event values is nulled out, then imputed with the per-type mean
+    in exact integer micro-units; the report proves the imputed total
+    reconstructs (n_imputed × group mean lands where NULLs were)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    imputed = clean.impute_with_group_mean(ev, "value", ["event_type"])
+    return (
+        imputed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("was_imputed").cast("bigint")).cast("bigint").alias("n_imputed"),
+            F.sum("value_imputed_micro").cast("bigint").alias("sum_imputed_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CLEAN_IMPUTE_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+vm AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v
+  FROM ev
+),
+means AS (
+  SELECT event_type,
+         CAST(sum(v) // count(v) AS BIGINT) AS grp_mean
+  FROM vm WHERE v IS NOT NULL GROUP BY event_type
+)
+SELECT vm.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN vm.v IS NULL AND m.grp_mean IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(sum(COALESCE(vm.v, m.grp_mean)) AS BIGINT) AS sum_imputed_micro
+FROM vm LEFT JOIN means m USING (event_type)
+GROUP BY vm.event_type
+ORDER BY vm.event_type
+"""
+
+
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor of the
+    order keys per status) — the bitmap/flag-mask reduction surface."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bit_and(o_orderkey)").cast("bigint").alias("key_bit_and"),
+            F.expr("bit_or(o_orderkey)").cast("bigint").alias("key_bit_or"),
+            F.expr("bit_xor(o_orderkey)").cast("bigint").alias("key_bit_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_AGG_BITWISE_SQL = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+       CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10294,6 +10429,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_source_csv_roundtrip": (q_source_csv_roundtrip, _SOURCE_CSV_ROUNDTRIP_SQL),
     "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
     "q_text_zipf": (q_text_zipf, _TEXT_ZIPF_SQL),
+    "q_events_asof_forward": (q_events_asof_forward, _EVENTS_ASOF_FORWARD_SQL),
+    "q_clean_impute": (q_clean_impute, _CLEAN_IMPUTE_SQL),
+    "q_agg_bitwise": (q_agg_bitwise, _AGG_BITWISE_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
@@ -10313,13 +10451,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
     #     co-purchase projection ---
     # --- round-9 NEW: HLL cross-source overlap estimate ---
-    "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
-    "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
-    "q_graph_pagerank_personalized": (
-        q_graph_pagerank_personalized,
-        _pagerank_personalized_sql(),
-    ),
     # --- round-9 NEW: directed PPR (seed-directed dangling handling);
     #     integer ANN recall receipt over the LSH/IVF/PQ tiers ---
     "q_graph_pagerank_directed_personalized": (
@@ -10595,6 +10727,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     # --- rotated out of the window in round 10 (unchanged; r9 green rows stand) ---
+    "q_graph_pagerank_personalized": (
+        q_graph_pagerank_personalized,
+        _pagerank_personalized_sql(),
+    ),
+    "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
+    "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
     "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),

@@ -437,3 +437,41 @@ def mad_outliers(
     return out.drop(
         *[n for c in cols for n in (f"__med_{c}", f"__mad_{c}")]
     )
+
+
+def impute_with_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str | None = None,
+    flag_col: str = "was_imputed",
+) -> DataFrame:
+    """NULL imputation with the GROUP mean — the standard
+    feature-preparation fill, computed in exact integer micro-units
+    (``sum(floor(v·1e6)) div count`` over the group's non-null rows) so
+    the imputed value is bit-reproducible, unlike a float ``avg`` whose
+    accumulation order is engine-specific. Groups with NO observed
+    value keep their NULLs (flagged false — nothing to impute from).
+    The division truncates toward zero (Spark ``div``) — equal to
+    floor for non-negative measures; signed series need a caveat.
+
+    Plan shape: one group-sized aggregate, one broadcast-eligible join
+    back, one in-row coalesce — two corpus scans total, no window.
+
+    Returns all input columns plus ``out_col`` (default
+    ``{value_col}_imputed_micro``, bigint micro-units) and
+    ``flag_col``.
+    """
+    out_col = out_col or f"{value_col}_imputed_micro"
+    vm = f"cast(floor({value_col} * 1000000.0) as bigint)"
+    means = df.where(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+        F.expr(f"sum({vm}) div count(1)").alias("__grp_mean_micro")
+    )
+    joined = df.join(F.broadcast(means), group_cols, "left")
+    return joined.select(
+        *df.columns,
+        F.expr(f"coalesce({vm}, __grp_mean_micro)").alias(out_col),
+        (
+            F.col(value_col).isNull() & F.col("__grp_mean_micro").isNotNull()
+        ).alias(flag_col),
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     "q_source_csv_roundtrip",
     "q_dedup_lsh_recall",
     "q_text_zipf",
+    "q_events_asof_forward",
+    "q_clean_impute",
+    "q_agg_bitwise",
 ]
 
 

@@ -428,3 +428,46 @@ def test_lsh_recall_receipt_subset_invariant(spark, sf_dir):
     assert row["lsh_subset_of_exact"] is True
     assert row["n_common"] <= row["n_exact_pairs"]
     assert row["recall_micro"] is None or 0 <= row["recall_micro"] <= 1000000
+
+
+# --------------------------------------------------------------- wave F
+
+
+def test_impute_with_group_mean(spark):
+    from ai_etl_pipeline_spark.operators import clean
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None)],
+        "grp: string, v: double",
+    )
+    rows = {
+        (r["grp"], r["v"]): r
+        for r in clean.impute_with_group_mean(df, "v", ["grp"]).collect()
+    }
+    assert rows[("a", None)]["v_imputed_micro"] == 2_000_000
+    assert rows[("a", None)]["was_imputed"] is True
+    assert rows[("a", 1.0)]["was_imputed"] is False
+    # group with no observations keeps NULL, flagged false
+    assert rows[("b", None)]["v_imputed_micro"] is None
+    assert rows[("b", None)]["was_imputed"] is False
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    import datetime
+
+    from ai_etl_pipeline_spark.operators import relational
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30))], "user_id: bigint, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 7), (1, t(20), 8)], "user_id: bigint, ts: timestamp, x: int"
+    )
+    m = relational.asof_join(
+        left, right, on="user_id", right_cols=["x"], direction="forward"
+    ).collect()
+    got = {r["ts"].second: (r["__asof_ts"].second if r["__asof_ts"] else None, r["x"])
+           for r in m}
+    assert got[10] == (10, 7)  # tie matches (>=)
+    assert got[30] == (None, None)  # nothing after
