@@ -10392,6 +10392,48 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming EWMA (applyInPandasWithState): per
+    (user, type) depth-8 integer EWMA maintained in a fixed-width
+    ring-buffer state across micro-batches. The single-file source
+    yields one batch, so the emitted rows equal the batch operator's
+    last-row-per-group — the oracle unrolls the same 8 lags and picks
+    each group's final row."""
+    from ai_etl_pipeline_spark.streaming.stateful import running_user_ewma
+
+    stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = stream_windows.run_stream_to_memory(running_user_ewma(stream), "update")
+    return out.orderBy("user_id", "event_type")
+
+
+_EVENTS_STREAM_EWMA_SQL = """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 1) OVER w AS l1,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 2) OVER w AS l2,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 3) OVER w AS l3,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 4) OVER w AS l4,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 5) OVER w AS l5,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 6) OVER w AS l6,
+         lag(CAST(floor(value * 1000000.0) AS BIGINT), 7) OVER w AS l7,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS ng
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, CAST(ng AS BIGINT) AS n_events,
+       CASE WHEN l7 IS NULL THEN NULL
+            ELSE CAST((vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                       + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) // 255 AS BIGINT)
+       END AS ewma_micro
+FROM base WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10432,6 +10474,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_asof_forward": (q_events_asof_forward, _EVENTS_ASOF_FORWARD_SQL),
     "q_clean_impute": (q_clean_impute, _CLEAN_IMPUTE_SQL),
     "q_agg_bitwise": (q_agg_bitwise, _AGG_BITWISE_SQL),
+    "q_events_stream_ewma": (q_events_stream_ewma, _EVENTS_STREAM_EWMA_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the

@@ -218,6 +218,7 @@ HEADLINE = [
     "q_events_asof_forward",
     "q_clean_impute",
     "q_agg_bitwise",
+    "q_events_stream_ewma",
 ]
 
 

@@ -471,3 +471,51 @@ def test_asof_forward_picks_next_at_or_after(spark):
            for r in m}
     assert got[10] == (10, 7)  # tie matches (>=)
     assert got[30] == (None, None)  # nothing after
+
+
+def test_streaming_ewma_multi_batch_ring_state(spark, tmp_path):
+    # two micro-batches: the ring must carry the first batch's readings
+    # into the second, and emit NULL until 8 readings exist
+    import datetime
+
+    from ai_etl_pipeline_spark.streaming.stateful import running_user_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows1 = [
+        (j + 1, 1, "m", t0 + datetime.timedelta(seconds=j), float(j + 1))
+        for j in range(5)
+    ]
+    rows2 = [
+        (j + 6, 1, "m", t0 + datetime.timedelta(seconds=j + 5), float(j + 6))
+        for j in range(4)
+    ]
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = spark.sql("select * from ewma_t").collect()
+    assert first[0]["n_events"] == 5 and first[0]["ewma_micro"] is None
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    q2 = (
+        running_user_ewma(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("ewma_t2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from ewma_t2").collect()
+    # fresh checkpoint -> one batch over all 9 rows: values 9..2 weighted
+    num = sum((9 - j) * (1 << (7 - j)) for j in range(8)) * 1_000_000
+    assert rows[-1]["n_events"] == 9
+    assert rows[-1]["ewma_micro"] == num // 255
