@@ -10434,6 +10434,109 @@ ORDER BY user_id, event_type
 """
 
 
+
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape report (mean / variance / skewness / excess
+    kurtosis) per order status from EXACT integer power sums — the
+    hash-matchable rendering of statistics whose built-in aggregates
+    differ across engines in both accumulation order and sample-vs-
+    population convention."""
+    orders = _t(spark, sf_dir, "orders")
+    rep = validate.moment_report(orders, ["o_orderstatus"], "o_totalprice")
+    return rep.orderBy("o_orderstatus")
+
+
+_AGG_MOMENTS_SQL = """
+WITH m AS (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s1,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s2,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s3,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s4
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderstatus
+),
+d AS (
+  SELECT o_orderstatus, n,
+         (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS mean,
+         (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS m2,
+         (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+          - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS m3,
+         (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+          - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+          + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS m4
+  FROM m
+)
+SELECT o_orderstatus, n,
+       round(mean / 100.0, 6) AS mean,
+       round(m2 / (100.0 * 100.0), 6) AS variance,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE round(m3 / pow(m2, 1.5), 6) END AS skewness,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+FROM d
+ORDER BY o_orderstatus
+"""
+
+
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + percent_rank over a TOTAL per-nation order (balance,
+    then key — deterministic): each nation's top-3 customers by
+    cumulative balance position."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("__n"),
+    )
+    return (
+        ranked.where(F.col("__rn") > F.col("__n") - 3)
+        .select("c_nationkey", "c_custkey", "cum_dist", "pct_rank")
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+_WINDOW_CUME_DIST_SQL = """
+WITH r AS (
+  SELECT c_nationkey, c_custkey,
+         round(cume_dist() OVER w, 6) AS cum_dist,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+)
+SELECT c_nationkey, c_custkey, cum_dist, pct_rank
+FROM r WHERE rn > n - 3
+ORDER BY c_nationkey, c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10475,6 +10578,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_clean_impute": (q_clean_impute, _CLEAN_IMPUTE_SQL),
     "q_agg_bitwise": (q_agg_bitwise, _AGG_BITWISE_SQL),
     "q_events_stream_ewma": (q_events_stream_ewma, _EVENTS_STREAM_EWMA_SQL),
+    "q_agg_moments": (q_agg_moments, _AGG_MOMENTS_SQL),
+    "q_window_cume_dist": (q_window_cume_dist, _WINDOW_CUME_DIST_SQL),
     # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
     #     refactor (same literals, AST changed) — rotated INTO the window ---
     # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
@@ -10501,10 +10606,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_graph_pagerank_directed_personalized,
         _pagerank_directed_personalized_sql(),
     ),
-    "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
     # --- round-9 NEW: relational BPE tokenizer training + tokenization;
     #     end-to-end pretraining-pipeline capstone ---
-    "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
     "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
     "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
     # --- round-9 NEW: data-derived temperature mixture ---
@@ -10770,6 +10873,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     # --- rotated out of the window in round 10 (unchanged; r9 green rows stand) ---
+    "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
+    "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
     "q_graph_pagerank_personalized": (
         q_graph_pagerank_personalized,
         _pagerank_personalized_sql(),

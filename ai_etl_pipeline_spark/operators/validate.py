@@ -534,3 +534,67 @@ def concentration_report(
         )
         .orderBy("bucket")
     )
+
+
+def moment_report(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group distribution-shape report — mean, population variance,
+    skewness, and EXCESS kurtosis — from EXACT integer power sums
+    (Σx, Σx², Σx³, Σx⁴ over scaled integers in decimal(38,0)), with the
+    shape statistics derived in doubles cast from those exact integers:
+    both engines see identical IEEE inputs and an identical expression
+    tree, so the report hash-matches, where the built-in ``skewness`` /
+    ``kurtosis`` aggregates never can (engine-specific accumulation
+    order AND differing sample-vs-population conventions — DuckDB's are
+    bias-corrected sample statistics, Spark's are population).
+
+    Overflow bound (documented, not silent): rows·(scale·max|x|)⁴ must
+    stay under 1e38 — ~1e35 at the engine's bench scale; petabyte-row
+    facts should pre-aggregate or rescale.
+
+    One corpus scan (partial-aggregate pipeline), group-sized output:
+    ``(group_cols..., n, mean, variance, skewness, kurtosis_excess)``
+    — moments in the ORIGINAL units (the ``scale`` divides out), NULL
+    shape stats for degenerate (constant / singleton) groups.
+    """
+    xs = f"cast(round({value_col} * {scale}) as decimal(38, 0))"
+    m = df.where(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"sum({xs})").alias("__s1"),
+        F.expr(f"sum({xs} * {xs})").alias("__s2"),
+        F.expr(f"sum({xs} * {xs} * {xs})").alias("__s3"),
+        F.expr(f"sum({xs} * {xs} * {xs} * {xs})").alias("__s4"),
+    )
+    # doubles derived from exact integers — fixed expression shape
+    mean = f"(cast(__s1 as double) / cast(n as double))"
+    m2 = f"(cast(__s2 as double) / cast(n as double) - {mean} * {mean})"
+    m3 = (
+        f"(cast(__s3 as double) / cast(n as double) "
+        f"- 3.0 * {mean} * (cast(__s2 as double) / cast(n as double)) "
+        f"+ 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"(cast(__s4 as double) / cast(n as double) "
+        f"- 4.0 * {mean} * (cast(__s3 as double) / cast(n as double)) "
+        f"+ 6.0 * {mean} * {mean} * (cast(__s2 as double) / cast(n as double)) "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    sc = float(scale)
+    return m.select(
+        *group_cols,
+        "n",
+        F.expr(f"round({mean} / {sc}, 6)").alias("mean"),
+        F.expr(f"round({m2} / ({sc} * {sc}), 6)").alias("variance"),
+        F.expr(
+            f"CASE WHEN {m2} <= 0 THEN cast(NULL as double) "
+            f"ELSE round({m3} / pow({m2}, 1.5), 6) END"
+        ).alias("skewness"),
+        F.expr(
+            f"CASE WHEN {m2} <= 0 THEN cast(NULL as double) "
+            f"ELSE round({m4} / ({m2} * {m2}) - 3.0, 6) END"
+        ).alias("kurtosis_excess"),
+    )

@@ -219,6 +219,8 @@ HEADLINE = [
     "q_clean_impute",
     "q_agg_bitwise",
     "q_events_stream_ewma",
+    "q_agg_moments",
+    "q_window_cume_dist",
 ]
 
 

@@ -519,3 +519,16 @@ def test_streaming_ewma_multi_batch_ring_state(spark, tmp_path):
     num = sum((9 - j) * (1 << (7 - j)) for j in range(8)) * 1_000_000
     assert rows[-1]["n_events"] == 9
     assert rows[-1]["ewma_micro"] == num // 255
+
+
+def test_moment_report_known_distribution(spark):
+    # symmetric {1,2,3}: skew 0, excess kurtosis -1.5; constant group NULL
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 5.0), ("h", 5.0)],
+        ["grp", "v"],
+    )
+    got = {r["grp"]: r for r in validate.moment_report(df, ["grp"], "v").collect()}
+    g = got["g"]
+    assert g["mean"] == 2.0 and abs(g["variance"] - 2.0 / 3.0) < 1e-6
+    assert g["skewness"] == 0.0 and g["kurtosis_excess"] == -1.5
+    assert got["h"]["skewness"] is None and got["h"]["variance"] == 0.0
