@@ -2062,7 +2062,19 @@ def _knn_pq_sql(m: int = 4, dim: int = 64, k_codes: int = 16) -> str:
     book_joins = " ".join(
         f"JOIN c1{j} b{j} ON b{j}.cluster = k{j}.code" for j in range(m)
     )
-    concat = " || ".join(f"b{j}.c" for j in range(m))
+    # ADC in lockstep with pq_knn (r11): cosine = Σ_j q_j·c_j(code) /
+    # (‖q‖ · √(Σ_j ‖c_j(code)‖²)), sub-dots summed left-to-right in
+    # subspace order — the same grouping the engine's lookup sum uses
+    # (a full-vector list_dot_product over the concat would regroup the
+    # float additions)
+    book_cols = ", ".join(f"b{j}.c AS c{j}" for j in range(m))
+    dot_terms = " + ".join(
+        f"list_dot_product(q.vv[{j * sub + 1}:{(j + 1) * sub}], r.c{j})"
+        for j in range(m)
+    )
+    rr_terms = " + ".join(
+        f"list_dot_product(r.c{j}, r.c{j})" for j in range(m)
+    )
     return f"""
 WITH {chains},
 vq AS (
@@ -2070,14 +2082,14 @@ vq AS (
   FROM embeddings
 ),
 recon AS (
-  SELECT k0.vec_id, {concat} AS rv
+  SELECT k0.vec_id, {book_cols}
   FROM k0 {code_joins} {book_joins}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         round(list_dot_product(q.vv, r.rv)
+         round(({dot_terms})
                / (sqrt(list_dot_product(q.vv, q.vv))
-                  * sqrt(list_dot_product(r.rv, r.rv))), 6) AS cosine
+                  * sqrt({rr_terms})), 6) AS cosine
   FROM vq q JOIN recon r ON q.vec_id <> r.vec_id
   WHERE q.vec_id < 5
 )
@@ -2093,16 +2105,31 @@ FROM (
 def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall receipt (r8 verdict task #5): recall@5 of the three
     approximate tiers (sign-LSH, trained IVF, PQ/ADC) against
-    brute-force ground truth on a HASH-SAMPLED query set (~1/20 of the
-    corpus by md5 — the receipt a 100 TB user runs before trusting an
-    approximate index; the brute-force side is |sample| × corpus).
-    Exact integer ratios (``recall_micro = hits·1e6 div n_truth``), so
-    an approximate-index quality report sits under the FULL hash gate.
-    The oracle replays all four tiers (each already SQL-replayable) on
-    the same sampled query set and re-derives the same integers."""
+    brute-force ground truth on a FIXED-SIZE hash-ranked query panel
+    (the 64 vectors with the smallest md5 rank — the receipt a 100 TB
+    user runs before trusting an approximate index). A fixed panel
+    bounds the brute-force ground-truth side at O(k·n) — k constant —
+    where the previous fraction-of-corpus sample (md5 % 20) made it
+    O(n²/20), 10,000× the work at 100× the data (r10 verdict #1).
+    The panel selection is a top-k (TakeOrderedAndProject), never a
+    global sort. Exact integer ratios (``recall_micro = hits·1e6 div
+    n_truth``), so an approximate-index quality report sits under the
+    FULL hash gate. The oracle replays all four tiers (each already
+    SQL-replayable) on the same hash-ranked panel and re-derives the
+    same integers."""
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.where(
-        md5_i64(F.concat(F.lit("rq|"), F.col("vec_id").cast("string"))) % 20 == 0
+    qs = (
+        emb.withColumn(
+            "__h",
+            md5_i64(F.concat(F.lit("rq|"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(64)
+        .drop("__h")
+        # materialize the k-row panel ONCE — four tiers reference it,
+        # and each would otherwise re-run the corpus top-k (k rows by
+        # contract, so the checkpoint is panel-sized, never corpus-sized)
+        .localCheckpoint()
     )
     exact = similarity.brute_force_knn(emb, qs, k=5)
     tiers = {
@@ -2118,11 +2145,14 @@ def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_recall_report_sql() -> str:
     """Splice the four existing KNN oracles (exact/LSH/IVF/PQ) as CTEs
     with the query predicate swapped from the fixed ``vec_id < 5`` set
-    to the report's hash sample, then compute the integer recall rows
-    the way :func:`similarity.recall_report` does."""
+    to the report's fixed-size hash-ranked panel (top-64 by md5 rank,
+    vec_id tiebreak — in lockstep with the engine side), then compute
+    the integer recall rows the way :func:`similarity.recall_report`
+    does."""
     pred = (
-        "CAST('0x' || substr(md5('rq|' || CAST(q.vec_id AS VARCHAR)), 1, 15)"
-        " AS BIGINT) % 20 = 0"
+        "q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY"
+        " CAST('0x' || substr(md5('rq|' || CAST(vec_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT), vec_id LIMIT 64)"
     )
 
     def sub(sql: str) -> str:
@@ -9152,7 +9182,16 @@ def _knn_pq_rerank_sql(
     book_joins = " ".join(
         f"JOIN c1{j} b{j} ON b{j}.cluster = k{j}.code" for j in range(m)
     )
-    concat = " || ".join(f"b{j}.c" for j in range(m))
+    # ADC tier in lockstep with pq_knn's lookup-sum grouping (r11 —
+    # see _knn_pq_sql)
+    book_cols = ", ".join(f"b{j}.c AS c{j}" for j in range(m))
+    dot_terms = " + ".join(
+        f"list_dot_product(q.vv[{j * sub + 1}:{(j + 1) * sub}], r.c{j})"
+        for j in range(m)
+    )
+    rr_terms = " + ".join(
+        f"list_dot_product(r.c{j}, r.c{j})" for j in range(m)
+    )
     return f"""
 WITH {chains},
 vq AS (
@@ -9160,14 +9199,14 @@ vq AS (
   FROM embeddings
 ),
 recon AS (
-  SELECT k0.vec_id, {concat} AS rv
+  SELECT k0.vec_id, {book_cols}
   FROM k0 {code_joins} {book_joins}
 ),
 adc AS (
   SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         round(list_dot_product(q.vv, r.rv)
+         round(({dot_terms})
                / (sqrt(list_dot_product(q.vv, q.vv))
-                  * sqrt(list_dot_product(r.rv, r.rv))), 6) AS cosine
+                  * sqrt({rr_terms})), 6) AS cosine
   FROM vq q JOIN recon r ON q.vec_id <> r.vec_id
   WHERE q.vec_id < {query_bound}
 ),
@@ -9303,9 +9342,14 @@ SELECT t AS event_type,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(dur) AS BIGINT) AS total_seconds,
        CAST(CASE WHEN sum(dur) = 0 THEN NULL
-                 ELSE sum(CAST(vm AS HUGEINT) * dur) // sum(dur)
+                 WHEN sum(CAST(vm AS HUGEINT) * dur) >= 0
+                   THEN sum(CAST(vm AS HUGEINT) * dur) // sum(dur)
+                 ELSE -((-sum(CAST(vm AS HUGEINT) * dur)) // sum(dur))
             END AS BIGINT) AS twap_micro,
-       CAST(sum(CAST(vm AS HUGEINT)) // count(*) AS BIGINT) AS plain_avg_micro
+       CAST(CASE WHEN sum(CAST(vm AS HUGEINT)) >= 0
+                 THEN sum(CAST(vm AS HUGEINT)) // count(*)
+                 ELSE -((-sum(CAST(vm AS HUGEINT))) // count(*))
+            END AS BIGINT) AS plain_avg_micro
 FROM iv WHERE dur IS NOT NULL
 GROUP BY t
 ORDER BY event_type
@@ -9743,16 +9787,26 @@ WITH base AS (
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ),
 sm AS (
+  -- sign-exact trunc division (Spark `div` truncates toward zero;
+  -- DuckDB `//` floors — diverges by 1 on any negative reading)
   SELECT event_type,
-         (vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
-          + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) // 255 AS ew
+         CASE WHEN (vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                    + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) >= 0
+              THEN (vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                    + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) // 255
+              ELSE -((-(vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                        + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1)) // 255)
+         END AS ew
   FROM base WHERE l7 IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_points,
        CAST(min(ew) AS BIGINT) AS min_ewma_micro,
        CAST(max(ew) AS BIGINT) AS max_ewma_micro,
-       CAST(sum(CAST(ew AS HUGEINT)) // count(*) AS BIGINT) AS avg_ewma_micro
+       CAST(CASE WHEN sum(CAST(ew AS HUGEINT)) >= 0
+                 THEN sum(CAST(ew AS HUGEINT)) // count(*)
+                 ELSE -((-sum(CAST(ew AS HUGEINT))) // count(*))
+            END AS BIGINT) AS avg_ewma_micro
 FROM sm GROUP BY event_type
 ORDER BY event_type
 """
@@ -10297,15 +10351,17 @@ def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_ASOF_FORWARD_SQL = """
 WITH e AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'error'
+  -- event_id carried so two error events sharing (user, ts) stay two
+  -- rows, mirroring the engine side (asof_join keys each error row)
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 ),
 p AS (
   SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
 ),
 m AS (
-  SELECT e.user_id, e.ts, min(p.ts) AS nts
+  SELECT e.event_id, e.user_id, e.ts, min(p.ts) AS nts
   FROM e LEFT JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts
-  GROUP BY e.user_id, e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
 )
 SELECT CAST(count(*) AS BIGINT) AS n_errors,
        CAST(count(nts) AS BIGINT) AS n_matched,
@@ -10353,8 +10409,11 @@ vm AS (
   FROM ev
 ),
 means AS (
+  -- sign-exact trunc division (Spark `div` vs DuckDB `//` on a
+  -- hypothetically-negative reading sum)
   SELECT event_type,
-         CAST(sum(v) // count(v) AS BIGINT) AS grp_mean
+         CAST(CASE WHEN sum(v) >= 0 THEN sum(v) // count(v)
+                   ELSE -((-sum(v)) // count(v)) END AS BIGINT) AS grp_mean
   FROM vm WHERE v IS NOT NULL GROUP BY event_type
 )
 SELECT vm.event_type,
@@ -10426,8 +10485,13 @@ WITH base AS (
 )
 SELECT user_id, event_type, CAST(ng AS BIGINT) AS n_events,
        CASE WHEN l7 IS NULL THEN NULL
-            ELSE CAST((vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+            WHEN (vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                  + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) >= 0
+            THEN CAST((vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
                        + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1) // 255 AS BIGINT)
+            ELSE CAST(-((-(vm * 128 + l1 * 64 + l2 * 32 + l3 * 16
+                           + l4 * 8 + l5 * 4 + l6 * 2 + l7 * 1)) // 255)
+                      AS BIGINT)
        END AS ewma_micro
 FROM base WHERE rn = 1
 ORDER BY user_id, event_type

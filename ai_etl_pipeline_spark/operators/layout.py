@@ -59,28 +59,41 @@ def zorder_key(
     bounds = df.agg(*aggs)
     keyed = df.crossJoin(F.broadcast(bounds))
     top = (1 << bits) - 1
-    norm_exprs = []
-    for c in cols:
+    # Project each column's decimal-widened normalization ONCE
+    # (r10 verdict: splicing it into every interleave term put 32
+    # copies of a decimal multiply+div in one F.expr — 16× the
+    # arithmetic per row). Catalyst's CollapseProject keeps a non-cheap
+    # alias referenced `bits` times as its own projection, so the
+    # decimal cost stays at 2 ops/row; the interleave below works on
+    # plain bigint attributes.
+    norm_cols = []
+    for i, c in enumerate(cols):
         lo, hi = f"__min_{c}", f"__max_{c}"
         # `<=>` (null-safe equal): an all-NULL column gives NULL min/max
         # and must take the constant-0 branch, not NULL-poison every key
         # (r9 ADVICE); the (x - min) * top product is widened to decimal
         # so ranges beyond ~1.4e14 can't overflow bigint.
-        norm_exprs.append(
-            f"CASE WHEN {hi} <=> {lo} THEN cast(0 as bigint) "
-            f"ELSE cast(cast(coalesce(cast({c} as bigint), {lo}) - {lo} "
-            f"as decimal(38, 0)) * {top} "
-            f"div ({hi} - {lo}) as bigint) END"
+        keyed = keyed.withColumn(
+            f"__norm_{i}",
+            F.expr(
+                f"CASE WHEN {hi} <=> {lo} THEN cast(0 as bigint) "
+                f"ELSE cast(cast(coalesce(cast({c} as bigint), {lo}) - {lo} "
+                f"as decimal(38, 0)) * {top} "
+                f"div ({hi} - {lo}) as bigint) END"
+            ),
         )
+        norm_cols.append(f"__norm_{i}")
     terms = []
-    for i, n in enumerate(norm_exprs):
+    for i, n in enumerate(norm_cols):
         for b in range(bits):
             # fully parenthesized: `+` binds TIGHTER than `<<`, so an
             # unwrapped `x << 0 + y << 1` parses as `x << (0 + y) << 1`
             terms.append(
-                f"(((({n}) >> {b}) & 1) << {b * len(cols) + i})"
+                f"((({n} >> {b}) & 1) << {b * len(cols) + i})"
             )
     key = " + ".join(terms)
     return keyed.withColumn(key_col, F.expr(f"cast({key} as bigint)")).drop(
-        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+        *norm_cols,
+        *[f"__min_{c}" for c in cols],
+        *[f"__max_{c}" for c in cols],
     )

@@ -598,25 +598,105 @@ def pq_train(
     doubles on the driver — dimension-sized by contract, like every
     centroid table in this module.
 
-    Scale: training cost is m × (iterations-1) corpus aggregates at
-    index-build time; at 100 TB train on a deterministic sample (e.g.
-    ``corpus.where(md5_i64(id) % N == 0)``) — the codebook quality
-    needs density, not the full corpus."""
+    Scale: training cost is (iterations-1) corpus aggregates at
+    index-build time — ONE pass per Lloyd round covers all m subspaces
+    (r11: the old shape ran m independent kmeans loops = m × the corpus
+    scans for the same codebooks); at 100 TB train on a deterministic
+    sample (e.g. ``corpus.where(md5_i64(id) % N == 0)``) — the codebook
+    quality needs density, not the full corpus."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    dim = len(corpus.select(F.expr(_dbl(vec_col)).alias("__v")).first()["__v"])
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from ..functions.portable import md5_i64_py
+
+    # ONE init job for all m subspaces: the codebook_k vectors with the
+    # smallest (md5(id), id). Slicing doesn't change row identity and
+    # cast-to-double commutes with F.slice, so slicing the full init
+    # vectors driver-side is bit-identical to the old per-subspace
+    # ivf_centroids(sliced) init at 1/m the corpus scans.
+    init = ivf_centroids(corpus, id_col, vec_col, codebook_k).collect()
+    ordered = sorted(
+        (md5_i64_py(str(r["centroid_id"])), r["centroid_id"], r["centroid_vec"])
+        for r in init
+    )
+    dim = len(ordered[0][2])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m} sub-vectors")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.expr(_dbl(vec_col)), j * sub + 1, sub).alias("__subv"),
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (pos, [float(x) for x in vec[j * sub : (j + 1) * sub]])
+            for pos, (_, _, vec) in enumerate(ordered)
+        ]
+        for j in range(m)
+    ]
+    # Lloyd rounds, ONE corpus aggregate per round covering every
+    # subspace. Per subspace the arithmetic is unchanged vs
+    # kmeans_centroids: the same _argmin_code literal assignment over
+    # the slice (each code gets its own projection — lambda-inlining
+    # rule), the same round(avg, 6) update keyed by (sub, cluster,
+    # pos), and an empty cluster keeps its previous centroid.
+    for _ in range(iterations - 1):
+        frame = corpus.select(
+            *[
+                F.slice(F.expr(_dbl(vec_col)), j * sub + 1, sub).alias(f"__v{j}")
+                for j in range(m)
+            ]
         )
-        books.append(
-            kmeans_centroids(sliced, id_col, "__subv", codebook_k, iterations)
+        for j in range(m):
+            frame = frame.withColumn(f"__c{j}", _argmin_code(f"__v{j}", books[j]))
+        # the flattened (sub, pos, x) structs carry NO cluster label —
+        # attaching __c{j} inside the transform lambda would let
+        # CollapseProject inline the argmin into a per-element body
+        # (re-evaluated per dimension); instead the scalar codes ride
+        # alongside the generator (evaluated once per input row, cheap
+        # scalar copy per output row) and a CASE picks the right one
+        # after the explode.
+        flat = F.flatten(
+            F.array(
+                *[
+                    F.expr(
+                        f"transform(__v{j}, (x, i) -> "
+                        f"struct({j} as sub, i as pos, x as x))"
+                    )
+                    for j in range(m)
+                ]
+            )
         )
+        pick = "CASE " + " ".join(
+            f"WHEN e.sub = {j} THEN __c{j}" for j in range(m)
+        ) + " END"
+        exploded = frame.select(
+            *[F.col(f"__c{j}") for j in range(m)], F.explode(flat).alias("e")
+        ).select(
+            F.col("e.sub").alias("sub"),
+            F.expr(pick).alias("cluster"),
+            F.col("e.pos").alias("pos"),
+            F.col("e.x").alias("x"),
+        )
+        means = (
+            exploded.groupBy("sub", "cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        by_sub: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            by_sub.setdefault(r["sub"], {}).setdefault(r["cluster"], {})[
+                r["pos"]
+            ] = r["m"]
+        books = [
+            [
+                (
+                    label,
+                    [by_sub[j][label][p] for p in range(sub)]
+                    if label in by_sub.get(j, {})
+                    else vec,
+                )
+                for label, vec in books[j]
+            ]
+            for j in range(m)
+        ]
     return books
 
 
@@ -683,38 +763,91 @@ def pq_knn(
     iterations: int = 2,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
-    """Compressed-tier ANN via asymmetric distance (ADC): the corpus is
-    scanned as PQ codes, the QUERY stays exact, and each candidate is
-    scored as cosine(query, reconstructed(codes)) — algebraically the
-    table-lookup ADC scan, rendered as a reconstruct-then-score
-    projection so the whole plan stays codegen + one top-k window.
+    """Compressed-tier ANN via asymmetric distance (ADC), the REAL
+    table-lookup rendering (r11; Jégou et al. 2011 §IV): per query the
+    m × codebook_k dot products ``q_j · c`` are computed ONCE into a
+    lookup table (a query-panel-sized crossJoin with the codebooks as
+    broadcast DATA — the codebooks never ride the corpus), and each
+    corpus vector is scored with m table lookups on its codes plus a
+    precomputed ``‖recon‖²`` (m literal-array lookups at encode time):
+
+        cosine = Σ_j qd[j][code_j] / (√(q·q) · √(Σ_j cc_j[code_j]))
+
+    The previous shape reconstructed the full d-dim vector per pair
+    and re-folded a d-term cosine — d/m× more per-pair arithmetic and
+    a ~m·k·(d/m)-literal codegen'd plan. Per-pair payload is the
+    query's m×k table (same bytes as the exact query vector), per-pair
+    compute is 2m lookups + 3 scalar ops.
 
     Scale story: the scan side carries m bytes per vector instead of
-    4·d (the 100 TB memory tier under int8); queries broadcast; the
-    corpus never shuffles (same shape as brute_force_knn's exact tier,
-    but over the compressed representation). Recall is bounded by
+    4·d (the 100 TB memory tier under int8); query ADC tables
+    broadcast; the corpus never shuffles. Recall is bounded by
     quantization error — re-rank the top candidates against the exact
-    float column when precision matters."""
+    float column when precision matters. Deterministic and
+    SQL-replayable: sub-space dots are the same sequential fold the
+    oracle's ``list_dot_product`` does, summed left-to-right in
+    subspace order on both engines, 6-dp round on the final cosine."""
     books = codebooks if codebooks is not None else pq_train(
         corpus, id_col, vec_col, m, codebook_k, iterations
     )
     from pyspark.sql import Window
 
+    m_eff = len(books)
+    sub = len(books[0][0][1])
     enc = pq_encode(corpus, books, id_col, vec_col)
+    # ‖recon‖² per corpus row: m code lookups over m·k literal doubles
+    # (‖c‖² per centroid in label order — _seq_dot, the same driver-side
+    # precompute the assignment paths use), summed in subspace order
+    rr_terms = []
+    for j, book in enumerate(books):
+        ccs = ",".join(
+            f"cast({_seq_dot(vec, vec)!r} as double)" for _, vec in sorted(book)
+        )
+        rr_terms.append(
+            f"element_at(array({ccs}), element_at(pq_codes, {j + 1}) + 1)"
+        )
     recon = enc.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_reconstruct_expr(books).alias("cv"),
+        F.col("pq_codes"),
+        F.expr(" + ".join(rr_terms)).alias("__rr"),
     )
     # same repartition guard as brute_force_knn: a few-file corpus would
     # otherwise score every pair on as many cores as it has files
     recon = recon.repartition(F.col("neighbor_id"))
+    # ADC tables: codebooks travel once as broadcast DATA onto the
+    # query panel only (m·k·(d/m) doubles per panel row, never per
+    # corpus row); qd[j][label] = q_j · c, the sequential zip_with fold
+    spark = corpus.sparkSession
+    packed = spark.createDataFrame(
+        [([[(label, vec) for label, vec in sorted(book)] for book in books],)],
+        f"books array<array<struct<c:int,v:array<double>>>>",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
     )
+    qtab = q.crossJoin(F.broadcast(packed)).select(
+        "query_id",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        ).alias("__qq"),
+        F.expr(
+            f"transform(books, (bk, j) -> transform(bk, s -> "
+            f"aggregate(zip_with(slice(qv, j * {sub} + 1, {sub}), s.v,"
+            " (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)))"
+        ).alias("__qd"),
+    )
+    adc_dot = " + ".join(
+        f"element_at(element_at(__qd, {j + 1}), element_at(pq_codes, {j + 1}) + 1)"
+        for j in range(m_eff)
+    )
     scored = (
-        recon.crossJoin(F.broadcast(q))
+        recon.crossJoin(F.broadcast(qtab))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(f"({adc_dot}) / (sqrt(__qq) * sqrt(__rr))"), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

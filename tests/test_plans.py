@@ -488,8 +488,26 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
 def test_link_prediction_wedges_are_filtered_before_selfjoin(spark, sf_dir):
     # the hub cap (sd <= max_src_degree) must apply BEFORE the wedge
     # self-join, not after: a post-join filter would materialize the
-    # quadratic hub pairs it exists to prevent
+    # quadratic hub pairs it exists to prevent. In the optimized-plan
+    # tree, children print BELOW their parent — so the cap Filter must
+    # appear on a line AFTER the wedge self-join line (it is a
+    # descendant = evaluated first), and no cap Filter may sit above it
+    # (which would mean the hub pairs were joined, then filtered).
     plan = _optimized(spark, sf_dir, "q_graph_link_prediction")
-    join_pos = plan.find("Join")
-    filt = plan.rfind("64")
-    assert join_pos != -1 and filt != -1
+    lines = plan.splitlines()
+    wedge = [
+        i
+        for i, ln in enumerate(lines)
+        if "Join Inner" in ln and "node_a" in ln and "node_b" in ln and "__s" in ln
+    ]
+    cap = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and "__sd" in ln and "<= 64" in ln
+    ]
+    assert wedge, f"wedge self-join not found in plan:\n{plan}"
+    assert cap, f"degree-cap filter (__sd <= 64) not found in plan:\n{plan}"
+    # every cap filter is a descendant of (prints below) the wedge join
+    assert all(c > wedge[0] for c in cap), (
+        f"cap filter above the wedge self-join (post-join filtering):\n{plan}"
+    )
