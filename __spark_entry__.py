@@ -4387,6 +4387,81 @@ FROM cells GROUP BY media_id, wb, hb
 """
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path (r10 verdict #7 — ``decode_stub`` is no longer
+    the only one): an MJPEG container (concatenated baseline-JPEG
+    frames — the motion-JPEG payload layout) is split by a marker walk
+    (``split_mjpeg_frames``) and every 2nd frame is decoded through the
+    full stdlib JPEG pipeline into per-frame channel means. Fixtures
+    are block-constant gray frames (the q_media_jpeg_decode closed
+    form with the frame index folded in: value = (id·7 + f·11 + bx·13
+    + by·31) % 256, all-ones quant ⇒ bit-exact decode), 2–6 frames per
+    media row. The oracle recomputes the sampled frames' means from
+    the closed form."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                wb, hb = 1 + (i % 3), 1 + (i % 2)
+                frames = []
+                for f in range(2 + i % 5):
+                    px = [
+                        [
+                            (i * 7 + f * 11 + (x // 8) * 13 + (y // 8) * 31)
+                            % 256
+                            for x in range(8 * wb)
+                        ]
+                        for y in range(8 * hb)
+                    ]
+                    frames.append(
+                        multimodal.encode_jpeg_gray8(
+                            8 * wb, 8 * hb, px, restart_interval=2
+                        )
+                    )
+                rows.append((i, b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    out = multimodal.extract_video_frames(media, every_n=2)
+    return out.orderBy("media_id", "frame_no")
+
+
+_MEDIA_VIDEO_FRAMES_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+         2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id < 30
+),
+cells AS (
+  SELECT media_id, nf, f.range AS frame_no, wb, hb,
+         (media_id * 7 + f.range * 11 + gx.range * 13 + gy.range * 31) % 256 AS v
+  FROM ids, range(0, 6) f, range(0, 3) gx, range(0, 2) gy
+  WHERE f.range < nf AND f.range % 2 = 0
+    AND gx.range < wb AND gy.range < hb
+)
+SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(wb * 8 AS INTEGER) AS width, CAST(hb * 8 AS INTEGER) AS height,
+       round(avg(v), 3) AS mean_r, round(avg(v), 3) AS mean_g,
+       round(avg(v), 3) AS mean_b
+FROM cells GROUP BY media_id, nf, frame_no, wb, hb
+ORDER BY media_id, frame_no
+"""
+
+
 def q_media_jpeg_decode_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 chroma-subsampled JPEG decode end-to-end (r8 verdict task
     #4) — the layout nearly every camera/web photo uses: 16x16 MCUs of
@@ -10499,6 +10574,100 @@ ORDER BY user_id, event_type
 
 
 
+def q_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, actually exercised (r10 verdict
+    #4): a three-batch file stream (``maxFilesPerTrigger=1``,
+    mtime-ordered) drives ``withWatermark('ts', 30 min)`` + tumbling
+    windows in APPEND mode —
+
+    - batch 1: the full events table (advances the watermark to
+      ``max(ts) - 30 min`` for the next batch);
+    - batch 2: one advancer row at ``max(ts) + 1 min`` (its
+      end-of-batch eviction finalizes every window older than the
+      operative watermark);
+    - batch 3: REPLAYS of every event older than ``max(ts) - 60 min``
+      (negated ids — distinct rows aimed at already-evicted windows)
+      plus a second advancer at ``max(ts) + 2 min``.
+
+    The streaming aggregation must DROP all replayed rows
+    (numRowsDroppedByWatermark) and append-emit exactly the windows
+    with ``end <= final watermark``. The oracle aggregates the
+    ORIGINAL rows only and applies the same cutoff — a single leaked
+    late row (or a window emitted past the watermark) breaks the
+    hash."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    # modulo-on-key cohort (nonempty at every SF by construction) — the
+    # receipt needs watermark SEMANTICS, not the full corpus volume
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    mx = ev.agg(F.max("ts")).first()[0]  # scalar — bounded driver action
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    advancers = spark.createDataFrame(
+        [
+            (-1, mx + timedelta(minutes=1), -1, "wm_advance", 0.0, ""),
+            (-2, mx + timedelta(minutes=2), -1, "wm_advance", 0.0, ""),
+        ],
+        schema,
+    )
+    late = ev.where(
+        F.col("ts") < F.lit(mx) - F.expr("interval 60 minutes")
+    ).select(
+        (-F.col("event_id") - F.lit(10)).cast("long").alias("event_id"),
+        *cols[1:],
+    )
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        batches = [
+            ("a", ev.select(*cols)),
+            ("b", advancers.where(F.col("event_id") == -1).select(*cols)),
+            ("c", late.unionByName(
+                advancers.where(F.col("event_id") == -2).select(*cols)
+            )),
+        ]
+        for i, (name, df) in enumerate(batches):
+            tmp = os.path.join(base, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+            dst = os.path.join(base, f"{name}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            # FileStreamSource orders by modification time — pin it so
+            # the three files are three ordered micro-batches
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        stream = stream_windows.read_events_stream(spark, base)
+        agg = stream_windows.tumbling_window_agg(
+            stream_windows.with_watermark(stream, "30 minutes"), "10 minutes"
+        )
+        out = stream_windows.run_stream_to_memory(agg, "append")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("window_start", "event_type")
+
+
+_EVENTS_STREAM_LATE_SQL = """
+WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM e),
+agg AS (
+  SELECT CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+         CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS TIMESTAMP) AS window_end,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n_events, sum_value
+FROM agg, m
+WHERE window_end <= mx + INTERVAL '2 minutes' - INTERVAL '30 minutes'
+ORDER BY window_start, event_type
+"""
+
+
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report (mean / variance / skewness / excess
     kurtosis) per order status from EXACT integer power sums — the
@@ -10613,6 +10782,9 @@ ORDER BY c_nationkey, c_custkey
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- round-11 NEW ---
+    "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
+    "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
     # --- round-10 NEW: link prediction, journey mining, TWAP, OLS,
     #     Benford, PMI, chi-square selection, prefix-filter join,
     #     frame-level audio DSP, TPC-H Q2 shape ---
