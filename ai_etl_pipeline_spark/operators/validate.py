@@ -598,3 +598,49 @@ def moment_report(
             f"ELSE round({m4} / ({m2} * {m2}) - 3.0, 6) END"
         ).alias("kurtosis_excess"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_expr: str,
+    bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Score-calibration report (the reliability-diagram table): rank
+    rows by ``(score, tiebreak)``, cut into ``bins`` equal-count
+    buckets (ntile), and per bucket report size, mean score and the
+    observed positive rate — the evidence that a score is (or is not)
+    probability-calibrated, binned the way every quality-classifier
+    threshold is tuned.
+
+    Deterministic + hash-exact: the ntile ordering carries an explicit
+    tiebreak, the mean score is an exact integer ratio over cents
+    (``round(score·100)`` like every money column here), and the rate
+    is ``positives·1e6 div n``. One window pass + one bounded
+    aggregate; at 100 TB swap the exact ntile for the GK-sketch
+    quantile bins (clean.quantile_bins) — the report shape is
+    unchanged.
+
+    Returns (bin, n_rows, mean_score_cents, positive_rate_micro)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    tb = [F.col("__tb")] if tiebreak_col else []
+    binned = df.select(
+        F.expr(f"cast(round({score_col} * 100) as bigint)").alias("__cents"),
+        F.expr(f"cast(({label_expr}) as int)").alias("__pos"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    ).withColumn(
+        "__bin", F.ntile(bins).over(Window.orderBy(F.col("__cents"), *tb))
+    )
+    return (
+        binned.groupBy(F.col("__bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("sum(__cents) div count(1)").alias("mean_score_cents"),
+            F.expr("sum(__pos) * 1000000 div count(1)").alias(
+                "positive_rate_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
