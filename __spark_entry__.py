@@ -10792,14 +10792,16 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     locality-better sibling of the Morton/Z-order key; Delta Liquid
     Clustering's curve) verified VALUE-BY-VALUE: the full 16×16 grid of
     (l_partkey % 16, l_suppkey % 16) cells is folded to Hilbert
-    distances (normalization is the identity on a dense 0..15 grid)
-    and the oracle replays all 4 xy2d rounds — quadrant rank, d
-    accumulation, reflect+swap rotation — as chained CTEs in the same
+    distances and the oracle replays BOTH halves — the min/max
+    normalization (replicated, not assumed away: sf0.001 has too few
+    suppliers for a dense mod-16 grid, which is exactly the case the
+    normalization exists for) and all 4 xy2d rounds (quadrant rank, d
+    accumulation, reflect+swap rotation) — as chained CTEs in the same
     bigint arithmetic. The unit-step adjacency property is asserted in
     pytest."""
     li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_partkey") % 16).cast("bigint").alias("x"),
-        (F.col("l_suppkey") % 16).cast("bigint").alias("y"),
+        (F.col("l_orderkey") % 16).cast("bigint").alias("x"),
+        (F.col("l_partkey") % 16).cast("bigint").alias("y"),
     ).distinct()
     keyed = layout.hilbert_key(li, ["x", "y"], bits=4, key_col="hilbert_key")
     return keyed.select("x", "y", "hilbert_key").orderBy("x", "y")
@@ -10833,13 +10835,25 @@ def _hilbert_sql(bits: int = 4) -> str:
         )
         prev = cur
     chain = ",\n".join(rounds)
+    top = n_side - 1
     return f"""
 WITH g AS (
-  SELECT DISTINCT CAST(l_partkey % 16 AS BIGINT) AS x,
-                  CAST(l_suppkey % 16 AS BIGINT) AS y
+  SELECT DISTINCT CAST(l_orderkey % 16 AS BIGINT) AS x,
+                  CAST(l_partkey % 16 AS BIGINT) AS y
   FROM lineitem
 ),
-r0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS d FROM g),
+bounds AS (
+  SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy FROM g
+),
+r0 AS (
+  SELECT x, y,
+         CASE WHEN mxx = mnx THEN 0
+              ELSE (x - mnx) * {top} // (mxx - mnx) END AS hx,
+         CASE WHEN mxy = mny THEN 0
+              ELSE (y - mny) * {top} // (mxy - mny) END AS hy,
+         CAST(0 AS BIGINT) AS d
+  FROM g, bounds
+),
 {chain}
 SELECT x, y, CAST(d AS BIGINT) AS hilbert_key FROM {prev} ORDER BY x, y
 """
