@@ -11073,7 +11073,9 @@ FROM b GROUP BY bin ORDER BY bin
 
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-11 NEW ---
+    # --- round-11 driver window: every query whose code changed since
+    #     the r10 verdict commit (tools/window_audit.py) sits in the
+    #     first 50 positions; unchanged driver-green entries rotated back ---
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
     "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
     "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
@@ -11082,9 +11084,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_image_resize": (q_media_image_resize, _MEDIA_IMAGE_RESIZE_SQL),
     "q_events_attribution": (q_events_attribution, _EVENTS_ATTRIBUTION_SQL),
     "q_validate_calibration": (q_validate_calibration, _VALIDATE_CALIBRATION_SQL),
-    # --- round-10 NEW: link prediction, journey mining, TWAP, OLS,
-    #     Benford, PMI, chi-square selection, prefix-filter join,
-    #     frame-level audio DSP, TPC-H Q2 shape ---
+    "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
+    "q_graph_components": (q_graph_components, _graph_components_sql()),
+    "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
+    "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
+    "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
+    "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
+    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
+    "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
+    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
+    "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
+    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
+    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
+    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
+    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
+    # --- unchanged driver-green entries (prior-round evidence stands) ---
     "q_graph_link_prediction": (q_graph_link_prediction, _GRAPH_LINK_PREDICTION_SQL),
     "q_events_sequences": (q_events_sequences, _EVENTS_SEQUENCES_SQL),
     "q_events_twap": (q_events_twap, _EVENTS_TWAP_SQL),
@@ -11105,7 +11121,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_weighted_median": (q_agg_weighted_median, _AGG_WEIGHTED_MEDIAN_SQL),
     "q_graph_degree_dist": (q_graph_degree_dist, _GRAPH_DEGREE_DIST_SQL),
     "q_source_csv_roundtrip": (q_source_csv_roundtrip, _SOURCE_CSV_ROUNDTRIP_SQL),
-    "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
     "q_text_zipf": (q_text_zipf, _TEXT_ZIPF_SQL),
     "q_events_asof_forward": (q_events_asof_forward, _EVENTS_ASOF_FORWARD_SQL),
     "q_clean_impute": (q_clean_impute, _CLEAN_IMPUTE_SQL),
@@ -11113,91 +11128,42 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_stream_ewma": (q_events_stream_ewma, _EVENTS_STREAM_EWMA_SQL),
     "q_agg_moments": (q_agg_moments, _AGG_MOMENTS_SQL),
     "q_window_cume_dist": (q_window_cume_dist, _WINDOW_CUME_DIST_SQL),
-    # --- round-9 AFFECTED by the minhash_coefficients -> cw_coefficients
-    #     refactor (same literals, AST changed) — rotated INTO the window ---
-    # --- round-7 NEW wave 3: bit-exact iterative PageRank; r9 adds the
-    #     fixpoint-proximity receipt variant ---
-    # --- round-8 NEW: directed mode with dangling-sink redistribution ---
-    # --- round-8 NEW: strategy-applying join; pure-sketch curation
-    #     pipeline (no exact one-reducer aggregate in its plan) ---
-    # --- round-8 NEW: real stdlib baseline-JPEG decode (bit-exact on
-    #     block-constant fixtures; closed-form oracle); r9 adds the
-    #     4:2:0 chroma-subsampled path (the real-photo layout) ---
     "q_media_jpeg_decode_progressive_420": (
         q_media_jpeg_decode_progressive_420,
         _MEDIA_JPEG_PROG_420_SQL,
     ),
-    # --- round-8 NEW: k-core peeling + count-min heavy hitters ---
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
-    # --- round-8 NEW: PSI drift monitor, CMS-priced join, bipartite
-    #     co-purchase projection ---
-    # --- round-9 NEW: HLL cross-source overlap estimate ---
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
-    # --- round-9 NEW: directed PPR (seed-directed dangling handling);
-    #     integer ANN recall receipt over the LSH/IVF/PQ tiers ---
     "q_graph_pagerank_directed_personalized": (
         q_graph_pagerank_directed_personalized,
         _pagerank_directed_personalized_sql(),
     ),
-    # --- round-9 NEW: relational BPE tokenizer training + tokenization;
-    #     end-to-end pretraining-pipeline capstone ---
     "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
     "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
-    # --- round-9 NEW: data-derived temperature mixture ---
     "q_sample_temperature": (q_sample_temperature, _SAMPLE_TEMPERATURE_SQL),
-    # --- round-9 NEW: fixed-round label propagation — min-label
-    #     components w/ convergence receipt, majority-vote communities ---
-    "q_graph_components": (q_graph_components, _graph_components_sql()),
     "q_graph_communities": (q_graph_communities, _graph_communities_sql()),
-    # --- round-9 NEW: HITS hubs/authorities (integer coupled power
-    #     iteration; oracle unrolls the L1-renormalized half-steps) ---
     "q_graph_hits": (q_graph_hits, _graph_hits_sql()),
-    # --- round-9 NEW: behavioral analytics — sequential funnel and
-    #     weekly cohort retention, exact integer micro-ratios ---
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
-    # --- round-9 NEW: fixed-depth multi-source BFS (k-hop distances);
-    #     warm-start PageRank (oracle = the straight 8-iteration unroll,
-    #     so the hash match proves 4+4 warm == 8 cold) ---
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
     "q_graph_pagerank_incremental": (q_graph_pagerank_incremental, _pagerank_sql()),
-    # --- round-9 NEW: Z-order clustering + two-dimension zone-map skip ---
-    "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
-    # --- round-9 NEW: k-anonymity / l-diversity privacy audit ---
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
-    # --- round-9 NEW: embedding-space benchmark decontamination;
-    #     leakage-safe leave-fold-out target encoding ---
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
-    # --- round-9 NEW: multi-probe LSH (Hamming-1 recall lever); the
-    #     base LSH query rotates back in (lsh_knn gained the param);
-    #     integer-micro-unit chunk->doc mean pooling ---
     "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_embed_mean_pool": (q_embed_mean_pool, _EMBED_MEAN_POOL_SQL),
-    # --- round-9 NEW: pairwise association rules (support/conf/lift);
-    #     integer tie-corrected ROC-AUC receipt ---
     "q_basket_rules": (q_basket_rules, _BASKET_RULES_SQL),
     "q_validate_auc": (q_validate_auc, _VALIDATE_AUC_SQL),
-    # --- round-9 NEW: Johnson-Lindenstrauss ±1 projection receipt ---
     "q_embed_random_projection": (
         q_embed_random_projection,
         _embed_random_projection_sql(),
     ),
-    # --- round-8 AFFECTED by the JPEG dispatch added to
-    #     extract_image_features / decode_media — stay in-window ---
     "q_media_bmp_decode": (q_media_bmp_decode, _MEDIA_BMP_SQL),
     "q_media_png_decode": (q_media_png_decode, _MEDIA_BMP_SQL),
     "q_media_gif_decode": (q_media_gif_decode, _MEDIA_BMP_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
-    # --- round-7 NEW wave 4: langid margin, MAD outliers, cross-source
-    #     duplication matrix, Matryoshka truncation ---
-    "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
-    "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
-    # --- round-6 NEW: bloom-pruned join, weighted/budget/split sampling,
-    #     entity resolution (ordering contract: 1-50) ---
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    # rotated out of the window in r9 (r8-green, code unchanged this round)
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
@@ -11240,33 +11206,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
     "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
-    # --- round-6 NEW: PQ compressed ANN tier ---
-    "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
-    # rotated out of the window in r8 (r7-green, code unchanged)
     "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
     "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
-    # --- driver-unverified in r1: events / streaming ---
     "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
     "q_events_stream_enrich": (q_events_stream_enrich, _EVENTS_STREAM_ENRICH_SQL),
     "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
     "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
     "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
-    # --- round-5 NEW: real stdlib WAV + BMP decode ---
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
-    # --- round-6 NEW: real stdlib PNG decode (same oracle closed form,
-    #     filter type rotates through all five unfilter paths) ---
-    # --- round-5 NEW: URL/domain curation filter ---
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
-    # --- round-5 NEW: data-quality expectations + profiler ---
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
-    # rotated out of the window to make room (green r4/r5, code unchanged)
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
-    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
@@ -11295,7 +11250,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pack_chunks": (q_pack_chunks, _PACK_CHUNKS_SQL),
     "q_pack_sequences": (q_pack_sequences, _PACK_SEQUENCES_SQL),
     "q_promo_revenue_share": (q_promo_revenue_share, _PROMO_REVENUE_SHARE_SQL),
-    # rotated out of the window in r7 (r6-green, code unchanged)
     "q_sample_token_budget": (q_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL),
     "q_text_boilerplate": (q_text_boilerplate, _TEXT_BOILERPLATE_SQL),
     "q_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
@@ -11312,10 +11266,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_substring_stats": (q_dedup_substring_stats, _DEDUP_SUBSTRING_STATS_SQL),
     "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
     "q_text_oov_rate": (q_text_oov_rate, _TEXT_OOV_RATE_SQL),
-    "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
     "q_sample_weighted": (q_sample_weighted, _SAMPLE_WEIGHTED_SQL),
     "q_split_group_holdout": (q_split_group_holdout, _SPLIT_GROUP_SQL),
-    # --- driver-unverified in r1: end-to-end pipelines ---
     "q_pipeline_translation": (q_pipeline_translation, _PIPELINE_TRANSLATION_SQL),
     "q_pipeline_translation_golden": (
         q_pipeline_translation_golden,
@@ -11323,15 +11275,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "q_translate_distributed": (q_translate_distributed, _translate_distributed_sql()),
     "q_pipeline_mapping": (q_pipeline_mapping, _PIPELINE_MAPPING_SQL),
-    # --- round-3 changed/new (ordering contract: must sit in 1-50) ---
-    # tolerance-flag sketch oracle (was rows-only), Python DataSource
-    # driver row (new), split-tables (its operator gained the keep-first
-    # duplicate-destination rule this round)
     "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
     "q_source_synthetic_docs": (q_source_synthetic_docs, _synthetic_docs_sql()),
     "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
-    # --- representative re-confirmations (green in r1) moved below: the
-    # first-50 window is now fully occupied by queries needing rows ---
     "q_local_supplier_volume": (q_local_supplier_volume, _LOCAL_SUPPLIER_SQL),
     "q_join_salted": (q_join_salted, _JOIN_SALTED_SQL),
     "q_pivot_status": (q_pivot_status, _PIVOT_SQL),
@@ -11339,7 +11285,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pandas_udaf_weighted": (q_pandas_udaf_weighted, _PANDAS_UDAF_SQL),
     "q_cogroup_stats": (q_cogroup_stats, _COGROUP_STATS_SQL),
     "q_lateral_topk": (q_lateral_topk, _LATERAL_TOPK_SQL),
-    # ---------------- position >50: green r1 evidence stands ----------------
     "q_pricing_summary": (q_pricing_summary, _PRICING_SQL),
     "q_shipping_priority": (q_shipping_priority, _SHIPPING_SQL),
     "q_udtf_tokens": (q_udtf_tokens, _UDTF_TOKENS_SQL),
@@ -11377,7 +11322,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_null_counts": (q_null_counts, _null_counts_sql()),
     "q_set_except_all": (q_set_except_all, _SET_EXCEPT_ALL_SQL),
     "q_scalar_dates": (q_scalar_dates, _SCALAR_DATES_SQL),
-    # rotated out of the window (r2-green, unchanged):
     "q_events_tumbling": (q_events_tumbling, _EVENTS_TUMBLING_SQL),
     "q_events_sessionize": (q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "q_events_last_error_asof": (q_events_last_error_asof, _EVENTS_ASOF_SQL),
@@ -11405,8 +11349,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_logical": (q_agg_logical, _AGG_LOGICAL_SQL),
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
-    # --- rotated out of the window in round 10 (unchanged; r9 green rows stand) ---
-    "q_knn_recall_report": (q_knn_recall_report, _knn_recall_report_sql()),
     "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
     "q_graph_pagerank_personalized": (
         q_graph_pagerank_personalized,
@@ -11414,15 +11356,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
-    "q_pipeline_curation_v2": (q_pipeline_curation_v2, _PIPELINE_CURATION2_SQL),
     "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
-    "q_graph_kcore": (q_graph_kcore, _kcore_sql()),
-    "q_dedup_incremental": (q_dedup_incremental, _incremental_sql()),
-    "q_dedup_incremental_bucketed": (q_dedup_incremental_bucketed, _incremental_sql()),
-    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
-    "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
-    "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
     "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
     "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
     "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),

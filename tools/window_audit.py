@@ -65,9 +65,15 @@ def default_base() -> str:
     log = subprocess.run(
         ["git", "log", "--format=%H %s"], cwd=REPO, capture_output=True, text=True, check=True,
     ).stdout.splitlines()
+    import re
+
     for line in log:
         sha, _, msg = line.partition(" ")
-        if "verdict" in msg.lower():
+        # ONLY the driver's round-final commit shape ("round N: verdict
+        # ...") — a work commit merely MENTIONING the word 'verdict'
+        # must not become the baseline (r11: 'Fix r10 verdict items'
+        # silently shrank the audit to an 8-query diff)
+        if re.match(r"^round \d+: verdict", msg.lower()):
             return sha
     return log[-1].split()[0]  # fall back to the root commit
 
