@@ -11072,10 +11072,304 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection via banded perceptual hash
+    (multimodal.average_hash_bmp + phash_near_duplicates — the
+    multimodal sibling of MinHash banding: 4 × 16-bit bands generate
+    candidates by pigeonhole, exact bit_count(xor) verifies
+    Hamming ≤ 3). Fixtures: 16×16 gray-gradient BMPs; every 3rd image
+    also ships a near-dup copy (one sampled cell +128) at id + 1000.
+    The oracle recomputes the 8×8 luma grid, both hash halves, the
+    band join and the Hamming verify from the closed form."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        def img(i, dup):
+            px = []
+            for y in range(16):
+                row = []
+                for x in range(16):
+                    v = (i * 5 + 11 * x + 13 * y) % 256
+                    if dup and x == 0 and y == 0:
+                        v = (v + 128) % 256
+                    row.append((v, v, v))
+                px.append(row)
+            return multimodal.encode_bmp_rgb24(16, 16, px)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                rows.append((i, img(i, False)))
+                if i % 3 == 0:
+                    rows.append((i + 1000, img(i, True)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    hashes = multimodal.phash_features(media)
+    pairs = multimodal.phash_near_duplicates(hashes, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+_MEDIA_PHASH_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS i, 0 AS dup
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000, doc_id, 1
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+),
+cells AS (
+  SELECT media_id,
+         ty.range * 8 + tx.range AS idx,
+         3 * (((i * 5 + 11 * (2 * tx.range) + 13 * (2 * ty.range)) % 256
+               + CASE WHEN dup = 1 AND tx.range = 0 AND ty.range = 0
+                      THEN 128 ELSE 0 END) % 256) AS gray
+  FROM ids, range(0, 8) tx, range(0, 8) ty
+),
+tot AS (SELECT media_id, sum(gray) AS total FROM cells GROUP BY media_id),
+h AS (
+  SELECT c.media_id,
+         CAST(sum(CASE WHEN 64 * gray > total AND idx < 32
+                       THEN (CAST(1 AS BIGINT) << CAST(idx AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS phash_lo,
+         CAST(sum(CASE WHEN 64 * gray > total AND idx >= 32
+                       THEN (CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS phash_hi
+  FROM cells c JOIN tot USING (media_id)
+  GROUP BY c.media_id
+),
+bands AS (
+  SELECT media_id, phash_lo, phash_hi, b.range AS band,
+         CASE b.range
+           WHEN 0 THEN phash_lo & 65535
+           WHEN 1 THEN (phash_lo >> 16) & 65535
+           WHEN 2 THEN phash_hi & 65535
+           ELSE (phash_hi >> 16) & 65535
+         END AS val
+  FROM h, range(0, 4) b
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+              + bit_count(xor(a.phash_hi, b.phash_hi)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def q_media_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim over REAL decoded WAV clips
+    (multimodal.trim_silence — in-row transform/filter/slice, no
+    per-sample explode): fixtures carry ``i % 5`` leading and
+    ``i % 3`` trailing zero samples around a closed-form loud body;
+    the oracle recomputes first/last loud index, trimmed length and
+    trimmed peak from the formula."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    payload_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                n = 60 + (i % 5) * 10
+                lead, tail = i % 5, i % 3
+                samples = [
+                    0
+                    if (k < lead or k >= n - tail)
+                    else 100 + ((i * 13 + k * 7) % 1000)
+                    for k in range(n)
+                ]
+                rows.append((i, multimodal.encode_wav_pcm16(samples, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
+    decoded = multimodal.decode_audio_samples(media)
+    return multimodal.trim_silence(decoded, threshold=0).orderBy("media_id")
+
+
+_MEDIA_AUDIO_TRIM_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         60 + (doc_id % 5) * 10 AS n,
+         doc_id % 5 AS lead_n, doc_id % 3 AS tail_n
+  FROM documents WHERE doc_id < 40
+),
+ks AS (
+  SELECT media_id, n, lead_n, tail_n, k.range AS k,
+         100 + ((i * 13 + k.range * 7) % 1000) AS v
+  FROM ids, range(0, 100) k
+  WHERE k.range < n
+)
+SELECT media_id,
+       CAST(max(n) AS INTEGER) AS n_samples,
+       CAST(min(k) FILTER (WHERE k >= lead_n AND k < n - tail_n) AS INTEGER) AS first_loud,
+       CAST(max(k) FILTER (WHERE k >= lead_n AND k < n - tail_n) AS INTEGER) AS last_loud,
+       CAST(max(n) - max(lead_n) - max(tail_n) AS INTEGER) AS n_trimmed,
+       CAST(max(v) FILTER (WHERE k >= lead_n AND k < n - tail_n) AS INTEGER) AS peak
+FROM ks GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+def q_knn_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality receipt for the ANN tiers — nDCG@5 + MRR@5 vs
+    brute-force ground truth (similarity.retrieval_eval_report; the
+    ORDER-sensitive companion of q_knn_recall_report's set-overlap).
+    Graded relevance = 6 − exact rank; log2 discounts enter as
+    precomputed float literals in a fixed unrolled order, per-query
+    nDCG is immediately integerized (micro), averages are integer
+    divs — the whole report sits under the full hash gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_knn(emb, qs, k=5)
+    tiers = {
+        "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
+        "ivf": similarity.ivf_knn(
+            emb, qs, k=5, num_centroids=8, nprobe=2, train_iterations=2
+        ),
+        "pq": similarity.pq_knn(emb, qs, k=5, m=4, codebook_k=16, iterations=2),
+    }
+    return similarity.retrieval_eval_report(exact, tiers, k=5)
+
+
+def _knn_rank_eval_sql(k: int = 5) -> str:
+    """Splice the four KNN oracles (default ``vec_id < 5`` panel),
+    then replay retrieval_eval_report's integer algebra: graded rel
+    from the exact list, per-query rel-at-rank pivots, DCG with the
+    SAME precomputed float literals in the same order, micro-int nDCG,
+    integer-div averages."""
+    import math
+
+    ctes = ",\n".join(
+        f"res_{name} AS (\n{sql.strip()}\n)"
+        for name, sql in [
+            ("exact", _KNN_BF_SQL),
+            ("ivf", _knn_ivf_sql()),
+            ("lsh", _KNN_LSH_SQL),
+            ("pq", _knn_pq_sql()),
+        ]
+    )
+    idcg = sum((k + 1 - i) * (1.0 / math.log2(i + 1)) for i in range(1, k + 1))
+    dcg_terms = " + ".join(
+        f"cast(coalesce(rel{r}, 0) as double) * {1.0 / math.log2(r + 1)!r}"
+        for r in range(1, k + 1)
+    )
+    rel_pivots = ",\n         ".join(
+        f"max(CASE WHEN rn = {r} THEN rel END) AS rel{r}"
+        for r in range(1, k + 1)
+    )
+    tier_rows = []
+    for name in ["ivf", "lsh", "pq"]:
+        tier_rows.append(
+            f"""SELECT '{name}' AS tier,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN first_rel IS NULL THEN 0
+                     ELSE 1000000 // first_rel END) // count(*) AS BIGINT) AS mrr_micro,
+       CAST(sum(coalesce(ndcg_micro, 0)) // count(*) AS BIGINT) AS ndcg_micro
+FROM (
+  SELECT q.query_id, p.first_rel,
+         CAST(round((({dcg_terms}) / {idcg!r}) * 1000000) AS BIGINT) AS ndcg_micro
+  FROM (SELECT DISTINCT query_id FROM res_exact) q
+  LEFT JOIN (
+    SELECT query_id,
+         {rel_pivots},
+         min(CASE WHEN rel > 0 THEN rn END) AS first_rel
+    FROM (
+      SELECT t.query_id, t.rn, COALESCE({k + 1} - e.rn, 0) AS rel
+      FROM res_{name} t
+      LEFT JOIN res_exact e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+    ) GROUP BY query_id
+  ) p ON p.query_id = q.query_id
+)"""
+        )
+    rows = "\nUNION ALL\n".join(tier_rows)
+    return f"""
+WITH {ctes}
+SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
+{rows}
+) ORDER BY tier
+"""
+
+
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization stats over the embedding
+    corpus (similarity.standardize_report): exact integer micro power
+    sums per dimension, mean/std/z-range as doubles cast from those
+    ints with mirrored shape. z bounds come from the per-dim min/max
+    (z is monotone in the raw value — no second pass)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.standardize_report(emb)
+
+
+_EMBED_STANDARDIZE_SQL = """
+WITH parts AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM embeddings
+),
+a AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(vm AS HUGEINT)) AS s1,
+         sum(CAST(vm AS HUGEINT) * vm) AS s2,
+         min(vm) AS mn, max(vm) AS mx
+  FROM parts GROUP BY pos
+)
+SELECT CAST(pos AS INTEGER) AS pos, n,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6) AS mean,
+       round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0, 6) AS std,
+       CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) = 0.0 THEN NULL
+            ELSE round((CAST(mn AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 4) END AS z_min,
+       CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) = 0.0 THEN NULL
+            ELSE round((CAST(mx AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 4) END AS z_max
+FROM a ORDER BY pos
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
+    "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
+    "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),
+    "q_embed_standardize": (q_embed_standardize, _EMBED_STANDARDIZE_SQL),
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
     "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
     "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),

@@ -2368,3 +2368,168 @@ def resize_image_features(
             )
 
     return df.mapInPandas(run, schema=RESIZE_FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash_lo", LongType(), True),
+        StructField("phash_hi", LongType(), True),
+    ]
+)
+
+
+def average_hash_bmp(content: bytes) -> tuple[int, int]:
+    """64-bit perceptual AVERAGE HASH (aHash) of a BMP payload — the
+    classic near-duplicate-image fingerprint: nearest-neighbor-sample
+    an 8×8 luma grid (luma = r+g+b, integer), bit ``ty·8+tx`` is 1 iff
+    the cell is strictly brighter than the grid mean (rendered
+    division-free: ``64·gray > total``). Returned as TWO 32-bit halves
+    (bits 0–31, 32–63) so downstream SQL arithmetic never left-shifts
+    into the sign bit (DuckDB overflow-checks ``1 << 63``)."""
+    import struct
+
+    if not is_bmp(content):
+        raise ValueError("not a BMP payload")
+    raw = bytes(content)
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiihhI", raw, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(height)
+    top_down = height < 0
+    stride = (3 * width + 3) // 4 * 4
+    if width <= 0 or h == 0 or len(raw) < data_offset + stride * h:
+        raise ValueError("truncated BMP payload")
+    grays = []
+    for ty in range(8):
+        sy = ty * h // 8
+        base = data_offset + (sy if top_down else h - 1 - sy) * stride
+        for tx in range(8):
+            o = base + 3 * (tx * width // 8)
+            grays.append(raw[o] + raw[o + 1] + raw[o + 2])
+    total = sum(grays)
+    lo = hi = 0
+    for idx, g in enumerate(grays):
+        if 64 * g > total:
+            if idx < 32:
+                lo |= 1 << idx
+            else:
+                hi |= 1 << (idx - 32)
+    return lo, hi
+
+
+def phash_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-image aHash over binary payloads — Arrow-batched
+    ``mapInPandas``, map-only (each 100 TB image fingerprints where it
+    is scanned; only the 16-byte hash ever shuffles). Non-BMP rows are
+    skipped like every decoder dispatch here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                if not is_bmp(content):
+                    continue
+                try:
+                    lo, hi = average_hash_bmp(content)
+                except ValueError:
+                    continue
+                rows.append((mid, lo, hi))
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate IMAGES via banded aHash — the multimodal sibling
+    of MinHash-LSH banding: the 64-bit hash splits into 4 × 16-bit
+    bands; two hashes within Hamming distance ``max_hamming ≤ 3``
+    differ in at most 3 bands, so by pigeonhole they COLLIDE on at
+    least one band — the band self-join generates candidates (never
+    the O(n²) cross join), and an exact ``bit_count(xor)`` verifies.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4-band pigeonhole), got {max_hamming}"
+        )
+    bands = hashes.select(
+        F.col(id_col),
+        "phash_lo",
+        "phash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(phash_{'lo' if b < 2 else 'hi'} >> {16 * (b % 2)})"
+                            " & 65535"
+                        ).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "phash_lo", "phash_hi", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(
+                "bit_count(a.phash_lo ^ b.phash_lo)"
+                " + bit_count(a.phash_hi ^ b.phash_hi)"
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.where(F.col("hamming") <= max_hamming)
+
+
+def trim_silence(
+    decoded: DataFrame, threshold: int = 0, samples_col: str = "samples"
+) -> DataFrame:
+    """Leading/trailing silence trim over decoded PCM sample arrays —
+    the standard audio-pipeline cleanup — computed entirely IN-ROW
+    (transform/filter/slice over the sample array; the r10 lesson:
+    exploding samples alongside the array copies it per row). Loud =
+    ``abs(sample) > threshold``. Returns per clip: total samples,
+    first/last loud index (NULL for all-silence), trimmed length and
+    the trimmed segment's integer peak."""
+    loud_idx = F.expr(
+        f"filter(transform({samples_col}, (x, i) -> "
+        f"CASE WHEN abs(x) > {int(threshold)} THEN i END), v -> v IS NOT NULL)"
+    )
+    out = decoded.withColumn("__loud", loud_idx)
+    first = F.expr("array_min(__loud)")
+    last = F.expr("array_max(__loud)")
+    return out.select(
+        "media_id",
+        F.size(samples_col).cast("int").alias("n_samples"),
+        first.cast("int").alias("first_loud"),
+        last.cast("int").alias("last_loud"),
+        F.when(first.isNull(), F.lit(0))
+        .otherwise(last - first + 1)
+        .cast("int")
+        .alias("n_trimmed"),
+        F.when(first.isNull(), F.lit(None).cast("int"))
+        .otherwise(
+            F.expr(
+                f"array_max(transform(slice({samples_col},"
+                " array_min(__loud) + 1,"
+                " array_max(__loud) - array_min(__loud) + 1), x -> abs(x)))"
+            ).cast("int")
+        )
+        .alias("peak"),
+    )

@@ -1458,3 +1458,164 @@ def centroid_drift_report(
             ).alias("cosine"),
         )
     )
+
+
+def retrieval_eval_report(
+    exact: DataFrame,
+    tiers: dict[str, DataFrame],
+    k: int = 5,
+) -> DataFrame:
+    """Ranking-quality receipt for ANN tiers — nDCG@k and MRR@k against
+    brute-force ground truth (the companion of :func:`recall_report`,
+    which only scores SET overlap; this one scores ORDER). Graded
+    relevance of a returned neighbor = ``k + 1 − its exact rank`` (top
+    exact neighbor worth k, …, absent worth 0).
+
+    Hash-exact by construction: per query the k relevance grades are
+    integer aggregates; the DCG's log2 discounts enter as PRECOMPUTED
+    float literals multiplied in a FIXED unrolled order (the
+    moment_report IEEE-determinism precedent — no engine-varying
+    accumulation), the per-query nDCG is immediately rounded to an
+    integer micro value, and the tier averages are integer ``div``s.
+    Queries a tier missed entirely count as nDCG 0 / no reciprocal
+    rank. Everything is top-k-list-sized — the expensive part is the
+    tiers themselves, not this report.
+
+    Returns (tier, n_queries, mrr_micro, ndcg_micro) — one row per
+    tier, mrr/ndcg averaged over ALL ground-truth queries."""
+    import math
+
+    if not tiers:
+        raise ValueError("retrieval_eval_report: need at least one tier")
+    truth = exact.select(
+        F.col("query_id").alias("__q"),
+        F.col("neighbor_id").alias("__n"),
+        F.col("rn").alias("__er"),
+    ).localCheckpoint(eager=False)
+    qset = truth.select("__q").distinct()
+    idcg = sum((k + 1 - i) * (1.0 / math.log2(i + 1)) for i in range(1, k + 1))
+    dcg_terms = " + ".join(
+        f"cast(coalesce(__rel{r}, 0) as double) * {1.0 / math.log2(r + 1)!r}"
+        for r in range(1, k + 1)
+    )
+    reports = []
+    for name, t in sorted(tiers.items()):
+        scored = (
+            t.select("query_id", "neighbor_id", "rn")
+            .join(
+                truth,
+                (F.col("query_id") == F.col("__q"))
+                & (F.col("neighbor_id") == F.col("__n")),
+                "left",
+            )
+            .select(
+                "query_id",
+                "rn",
+                F.coalesce(F.lit(k + 1) - F.col("__er"), F.lit(0)).alias("__rel"),
+            )
+        )
+        per_q = scored.groupBy("query_id").agg(
+            *[
+                F.max(F.when(F.col("rn") == r, F.col("__rel"))).alias(f"__rel{r}")
+                for r in range(1, k + 1)
+            ],
+            F.min(F.when(F.col("__rel") > 0, F.col("rn"))).alias("__first"),
+        )
+        per_q = qset.join(
+            per_q, qset["__q"] == per_q["query_id"], "left"
+        ).withColumn(
+            "__ndcg_micro",
+            F.expr(
+                f"cast(round((({dcg_terms}) / {idcg!r}) * 1000000) as bigint)"
+            ),
+        )
+        reports.append(
+            per_q.agg(
+                F.lit(name).alias("tier"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.expr(
+                    "sum(CASE WHEN __first IS NULL THEN 0 "
+                    "ELSE 1000000 div __first END) div count(1)"
+                ).alias("mrr_micro"),
+                F.expr("sum(coalesce(__ndcg_micro, 0)) div count(1)").alias(
+                    "ndcg_micro"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def standardize_report(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension standardization statistics for an embedding column
+    — the feature-prep step before k-means / PQ training or drift
+    monitoring: one posexplode pass aggregates exact integer micro
+    sums per dimension (``vm = floor(x·1e6)``), and mean / population
+    std / the standardized range come out as doubles CAST FROM those
+    exact integers with mirrored expression shape (IEEE-deterministic —
+    the moment_report precedent). The z bounds need NO second pass:
+    z is monotone in the raw value, so ``z_min = (min(vm) − mean)/std``.
+
+    Returns (pos, n, mean, std, z_min, z_max) — pos is 1-based like
+    every posexplode report here; constant dimensions get NULL z
+    bounds (std 0)."""
+    base = df.select(
+        F.posexplode(F.expr(_dbl(vec_col))).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("pos"),
+        F.expr("cast(floor(x * 1000000.0) as bigint)").alias("vm"),
+    )
+    agg = base.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(vm as decimal(38, 0))")).alias("__s1"),
+        F.sum(F.expr("cast(vm as decimal(38, 0)) * vm")).alias("__s2"),
+        F.min("vm").alias("__mn"),
+        F.max("vm").alias("__mx"),
+    )
+    mean = "(cast(__s1 as double) / cast(n as double))"
+    var = f"(cast(__s2 as double) / cast(n as double) - {mean} * {mean})"
+    std = f"sqrt({var})"
+    z = "(cast({v} as double) - " + mean + ") / " + std
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        F.expr(f"round({mean} / 1000000.0, 6)").alias("mean"),
+        F.expr(f"round({std} / 1000000.0, 6)").alias("std"),
+        F.expr(
+            f"CASE WHEN {std} = 0.0 THEN NULL"
+            f" ELSE round({z.format(v='__mn')}, 4) END"
+        ).alias("z_min"),
+        F.expr(
+            f"CASE WHEN {std} = 0.0 THEN NULL"
+            f" ELSE round({z.format(v='__mx')}, 4) END"
+        ).alias("z_max"),
+    ).orderBy("pos")
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    means: list[float],
+    stds: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "z_vec",
+) -> DataFrame:
+    """Apply per-dimension z-scoring in-row from driver-side stat
+    tables (dimension-sized by contract, like every centroid table in
+    this module): ``z_i = (x_i − mean_i)/std_i`` via two zip_with folds
+    over literal arrays — no join, no shuffle, map-only. Constant
+    dimensions (std 0) pass through as 0."""
+    if len(means) != len(stds):
+        raise ValueError("means/stds length mismatch")
+    m = "array({})".format(",".join(f"cast({v!r} as double)" for v in means))
+    s = "array({})".format(",".join(f"cast({v!r} as double)" for v in stds))
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"zip_with(zip_with({_dbl(vec_col)}, {m}, (x, mu) -> x - mu), {s},"
+            " (d, sd) -> CASE WHEN sd = 0.0 THEN 0.0 ELSE d / sd END)"
+        ),
+    )

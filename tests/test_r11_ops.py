@@ -149,3 +149,86 @@ def test_calibration_report_bins_and_rates(spark):
     assert rep[0]["mean_score_cents"] == 450
     with pytest.raises(ValueError, match="bins"):
         validate.calibration_report(df, "score", "label = 1", bins=1)
+
+
+def test_average_hash_and_banded_near_dups(spark):
+    def img(v0):
+        # 16x16: left half dark, right half bright, one corner tweak v0
+        px = [
+            [((v0 if (x == 0 and y == 0) else (0 if x < 8 else 255)),) * 3
+             for x in range(16)]
+            for y in range(16)
+        ]
+        return multimodal.encode_bmp_rgb24(16, 16, px)
+
+    lo_a, hi_a = multimodal.average_hash_bmp(img(0))
+    lo_b, hi_b = multimodal.average_hash_bmp(img(255))  # corner flipped bright
+    ham = bin((lo_a ^ lo_b)).count("1") + bin((hi_a ^ hi_b)).count("1")
+    assert 1 <= ham <= 3  # one sampled cell changed -> tiny hamming
+    media = spark.createDataFrame(
+        [(1, bytearray(img(0))), (2, bytearray(img(255))),
+         (3, bytearray(multimodal.encode_bmp_rgb24(
+             16, 16, [[(y * 16, y * 16, y * 16)] * 16 for y in range(16)])))],
+        "media_id long, content binary",
+    )
+    hashes = multimodal.phash_features(media)
+    pairs = multimodal.phash_near_duplicates(hashes, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.phash_near_duplicates(hashes, max_hamming=4)
+
+
+def test_trim_silence_in_row(spark):
+    blob = multimodal.encode_wav_pcm16([0, 0, 5, -9, 0, 7, 0], 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    decoded = multimodal.decode_audio_samples(media)
+    r = multimodal.trim_silence(decoded, threshold=0).collect()[0]
+    assert (r["n_samples"], r["first_loud"], r["last_loud"]) == (7, 2, 5)
+    assert r["n_trimmed"] == 4  # interior zero kept
+    assert r["peak"] == 9
+    silent = spark.createDataFrame(
+        [(2, bytearray(multimodal.encode_wav_pcm16([0, 0, 0], 8000)))],
+        "media_id long, content binary",
+    )
+    r2 = multimodal.trim_silence(
+        multimodal.decode_audio_samples(silent), threshold=0
+    ).collect()[0]
+    assert r2["first_loud"] is None and r2["n_trimmed"] == 0 and r2["peak"] is None
+
+
+def test_retrieval_eval_perfect_tier_scores_one(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3)
+    exact = similarity.brute_force_knn(emb, qs, k=5)
+    rep = {
+        r["tier"]: r
+        for r in similarity.retrieval_eval_report(
+            exact, {"self": exact}, k=5
+        ).collect()
+    }
+    # a tier identical to ground truth has nDCG 1 and MRR 1 exactly
+    assert rep["self"]["ndcg_micro"] == 1_000_000
+    assert rep["self"]["mrr_micro"] == 1_000_000
+    assert rep["self"]["n_queries"] == 3
+
+
+def test_standardize_embeddings_roundtrip(spark):
+    from ai_etl_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [2.0, 10.0]), (3, [4.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    stats = {r["pos"]: r for r in similarity.standardize_report(df).collect()}
+    assert stats[1]["mean"] == 2.0 and stats[1]["std"] == round((8 / 3) ** 0.5, 6)
+    assert stats[2]["std"] == 0.0 and stats[2]["z_min"] is None  # constant dim
+    z = similarity.standardize_embeddings(
+        df, means=[2.0, 10.0], stds=[(8 / 3) ** 0.5, 0.0]
+    ).collect()
+    zmap = {r["vec_id"]: r["z_vec"] for r in z}
+    assert zmap[2][0] == 0.0 and zmap[2][1] == 0.0  # centered + constant->0
+    assert zmap[3][0] > 0 and abs(zmap[1][0] + zmap[3][0]) < 1e-12
