@@ -634,12 +634,20 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate would fail ~1/3 of fresh groups by design — the gate is 15%;
     GK at accuracy 10000 is well within 1% on a median."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.groupBy("l_returnflag").agg(
+    # two aggregates joined on the 3-row group key: a single agg mixing
+    # countDistinct with the sketch/median aggregates planned an Expand
+    # that replayed every row twice and ran the percentile buffers on
+    # the doubled relation (6.6 s -> ~2.5 s; the numeric_profile r11
+    # finding)
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
         F.median("l_extendedprice").alias("exact_med"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    a = sketches.join(F.broadcast(exact), "l_returnflag")
     return a.select(
         "l_returnflag",
         (
@@ -11316,6 +11324,49 @@ SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
 """
 
 
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negatives): sign-LSH candidates (15 per query),
+    labels joined, SAME-label pairs dropped (those are positives),
+    exact-cosine top-5 re-rank. The oracle replays the bucket join,
+    the 15-candidate cut, the label filter and the re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 5), k=5, candidates=15, num_bits=4
+    ).orderBy("query_id", "hn_rank")
+
+
+_EMBED_HARD_NEG_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, label, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS ql, c.label AS nl,
+         round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')}) *
+                sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 15
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ql AS INTEGER) AS query_label,
+       CAST(nl AS INTEGER) AS neighbor_label,
+       CAST(hn_rank AS INTEGER) AS hn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS hn_rank
+  FROM cand WHERE ql <> nl
+) WHERE hn_rank <= 5
+ORDER BY query_id, hn_rank
+"""
+
+
 def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension z-score standardization stats over the embedding
     corpus (similarity.standardize_report): exact integer micro power
@@ -11366,6 +11417,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
     "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
     "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),

@@ -1619,3 +1619,58 @@ def standardize_embeddings(
             " (d, sd) -> CASE WHEN sd = 0.0 THEN 0.0 ELSE d / sd END)"
         ),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 15,
+    num_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive / embedding training — the
+    pairs that actually teach a model: for each query, its nearest
+    neighbors (by the bucketed sign-LSH tier, so candidate generation
+    never goes O(n²)) that carry a DIFFERENT label. Same-label
+    neighbors are positives and are dropped; the remaining candidates
+    re-rank by exact cosine, top ``k`` kept.
+
+    Scale shape: tier-1 candidates are |Q| × ``candidates`` rows (mine
+    ~3k per query so the label filter has slack); the two label joins
+    run with that candidate-sized frame as the small side; the re-rank
+    window is per-query. Returns (query_id, neighbor_id, cosine,
+    query_label, neighbor_label, hn_rank)."""
+    if candidates < k:
+        raise ValueError(
+            f"hard_negatives: candidates ({candidates}) must be >= k ({k})"
+        )
+    from pyspark.sql import Window
+
+    cand = lsh_knn(corpus, queries, k=candidates, num_bits=num_bits)
+    ql = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    nl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neighbor_label")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(ql, "query_id")
+        .join(nl, "neighbor_id")
+        .where(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn("hn_rank", F.row_number().over(w))
+        .where(F.col("hn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("query_label").cast("int").alias("query_label"),
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            F.col("hn_rank").cast("int").alias("hn_rank"),
+        )
+    )
