@@ -11324,6 +11324,46 @@ SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
 """
 
 
+def q_layout_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM index point lookup (readers.bloom_index_manifest /
+    bloom_index_pruned_scan — Delta's bloomFilterIndex): lineitem is
+    hash-partitioned into 8 files on l_orderkey (every file's min/max
+    covers the whole key range, so zone maps CANNOT prune here), the
+    per-file Bloom words are built in one manifest-sized aggregate,
+    and a point lookup consults the index to drop non-matching files
+    at planning time. The equality predicate re-applies on the
+    survivors, so the oracle is the plain logical-table lookup —
+    skipping must be invisible to results (the file-count assertion
+    lives in pytest)."""
+    from ai_etl_pipeline_spark.sources.readers import (
+        bloom_index_manifest,
+        bloom_index_pruned_scan,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = _scratch_dir("bloomidx", sf_dir)
+    li.repartition(8, "l_orderkey").write.mode("overwrite").parquet(out)
+    man = bloom_index_manifest(spark, out, "l_orderkey")
+    key = int(li.agg(F.min("l_orderkey")).first()[0])  # scalar action
+    scan = bloom_index_pruned_scan(spark, out, man, "l_orderkey", key)
+    return scan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+
+
+_LAYOUT_BLOOM_INDEX_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+"""
+
+
 def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training
     (similarity.hard_negatives): sign-LSH candidates (15 per query),
@@ -11417,6 +11457,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
+    "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
+    "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
     "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
     "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
@@ -11563,7 +11606,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
-    "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     "q_text_ngram_repetition": (q_text_ngram_repetition, _TEXT_NGRAM_REP_SQL),
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
@@ -11621,7 +11663,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "q_translate_distributed": (q_translate_distributed, _translate_distributed_sql()),
     "q_pipeline_mapping": (q_pipeline_mapping, _PIPELINE_MAPPING_SQL),
-    "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
     "q_source_synthetic_docs": (q_source_synthetic_docs, _synthetic_docs_sql()),
     "q_map_split_tables": (q_map_split_tables, _MAP_SPLIT_SQL),
     "q_local_supplier_volume": (q_local_supplier_volume, _LOCAL_SUPPLIER_SQL),

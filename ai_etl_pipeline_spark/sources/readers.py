@@ -180,6 +180,109 @@ def zone_map_pruned_scan(
     return spark.read.parquet(*files).where(pred)
 
 
+def bloom_index_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Per-FILE Bloom index over a high-cardinality column — the
+    data-skipping index for EQUALITY lookups where min/max zones never
+    prune (a hash-partitioned layout interleaves key ranges, so every
+    file's [min, max] covers everything): Delta Lake's
+    ``bloomFilterIndex``, built as a plain DataFrame. One distributed
+    scan, one (file, word)-keyed aggregate; the result is
+    manifest-sized (files × ≤ m_bits/64 sparse words), never
+    data-sized.
+
+    Each manifest row carries the file's set Bloom words as a
+    ``map<bigint, bigint>`` (sparse — absent word = all-zero bits).
+    Probing does ``num_hashes`` ``element_at`` lookups per FILE row;
+    the map is per-file small, so the linear-scan cost of Spark map
+    lookups stays bounded (this is not the O(n²) densify case —
+    r6 lesson applies to per-index loops over one big map).
+
+    Positions come from ``xxhash64(j, col)`` like
+    :func:`~ai_etl_pipeline_spark.operators.relational.bloom_filter_build`
+    — the index is internal, never replayed by an oracle, so the
+    portable-md5 contract doesn't apply. Probe values must carry the
+    COLUMN'S type (xxhash64 hashes type-tagged)."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not (1 <= num_hashes <= 16):
+        raise ValueError(f"num_hashes must be in [1,16], got {num_hashes}")
+    df = spark.read.parquet(path)
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(j), F.col(col)), F.lit(m_bits))
+                for j in range(num_hashes)
+            ]
+        )
+    ).alias("__pos")
+    words = (
+        df.select(F.col("_metadata.file_path").alias("file_path"), pos)
+        .select(
+            "file_path",
+            F.shiftright(F.col("__pos"), 6).alias("__w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast((__pos & 63) as int))"
+            ).alias("__mask"),
+        )
+        .groupBy("file_path", "__w")
+        .agg(F.expr("bit_or(__mask)").alias("__word"))
+    )
+    return words.groupBy("file_path").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__w", "__word")))
+        ).alias("bf_words")
+    )
+
+
+def bloom_index_pruned_scan(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    value,
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    value_type: str = "bigint",
+) -> DataFrame:
+    """Point-lookup scan that consults a :func:`bloom_index_manifest`
+    FIRST: files whose Bloom filter cannot contain ``value`` are
+    dropped from the read plan entirely (planning-time skipping for
+    ``col = value`` — the lookup zone maps can't serve). The membership
+    test runs JVM-side over the manifest frame; only the surviving
+    file list (manifest-sized by contract) reaches the driver. The
+    equality predicate is re-applied to the surviving files, so false
+    positives never surface and results never depend on filter
+    tightness — like zone maps, a STALE manifest is the caller's
+    contract to avoid.
+
+    ``value_type`` must name the indexed column's Spark type:
+    ``xxhash64`` is type-tagged, so probing an int literal against an
+    index built over a bigint column would miss every file."""
+    probe = F.lit(True)
+    for j in range(num_hashes):
+        p = (
+            f"pmod(xxhash64({j}, cast({value!r} as {value_type})), {m_bits})"
+        )
+        probe = probe & F.expr(
+            f"coalesce((element_at(bf_words, shiftright({p}, 6))"
+            f" & shiftleft(cast(1 as bigint), cast(({p} & 63) as int)))"
+            " != 0, false)"
+        )
+    files = [
+        r["file_path"]
+        for r in manifest.where(probe).select("file_path").collect()
+    ]
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col) == value)
+
+
 def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions
     the footers of every file under ``path``, so files written before a

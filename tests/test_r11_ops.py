@@ -232,3 +232,31 @@ def test_standardize_embeddings_roundtrip(spark):
     zmap = {r["vec_id"]: r["z_vec"] for r in z}
     assert zmap[2][0] == 0.0 and zmap[2][1] == 0.0  # centered + constant->0
     assert zmap[3][0] > 0 and abs(zmap[1][0] + zmap[3][0]) < 1e-12
+
+
+def test_bloom_index_skips_files(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import (
+        bloom_index_manifest,
+        bloom_index_pruned_scan,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = str(tmp_path / "bloomed")
+    df.repartition(8, "k").write.parquet(out)
+    man = bloom_index_manifest(spark, out, "k")
+    assert man.count() == 8
+    scan = bloom_index_pruned_scan(spark, out, man, "k", 1234)
+    rows = scan.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 1234 % 7
+    # the point of the index: the scan read a strict subset of files
+    # (hash layout puts key 1234 in exactly one file; Bloom FPs may
+    # keep a couple more, never all 8)
+    assert 1 <= len(scan.inputFiles()) < 8
+    # a key that exists nowhere: empty result, regardless of pruning
+    assert bloom_index_pruned_scan(spark, out, man, "k", 999_999).count() == 0
+    # type-tagged hashing guard: probing with the wrong declared type
+    # must not crash (it just fails to prune/match structurally)
+    with pytest.raises(Exception):
+        bloom_index_manifest(spark, out, "k", m_bits=100)  # not mult of 64
