@@ -11324,6 +11324,87 @@ SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
 """
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot store with COPY-ON-WRITE upsert + TIME TRAVEL
+    (sources/versioned.py — the manifest-of-files core of Delta/Iceberg
+    rendered as inspectable parquet + JSON): v1 = an orders cohort in 4
+    hash files; v2 = an upsert that doubles every 21st order's price
+    (update), adds negated-key rows (insert), and rewrites ONLY the
+    touched files (untouched files carry into the v2 manifest by
+    reference — asserted in pytest). The query reads BOTH versions
+    back — v1 must be byte-identical to its pre-upsert state — and the
+    oracle derives both states from the logical orders table."""
+    from ai_etl_pipeline_spark.sources import versioned
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1_df = orders.where(F.col("o_orderkey") % 3 == 0)
+    upd = (
+        v1_df.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 30 == 1).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    base = _scratch_dir("timetravel", sf_dir)
+    versioned.drop_snapshot_store(base)  # idempotent re-runs
+    v1 = versioned.versioned_write(v1_df, base, n_files=4)
+    v2 = versioned.versioned_upsert(spark, base, upd, ["o_orderkey"])
+    out = []
+    for v in (v1, v2):
+        out.append(
+            versioned.snapshot_read(spark, base, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+            .select(F.lit(v).alias("version"), "*")
+        )
+    return out[0].unionByName(out[1]).orderBy("version", "o_orderstatus")
+
+
+_CDC_TIME_TRAVEL_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM v1 WHERE o_orderkey % 21 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice * 2
+  FROM v1 WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 30 = 1
+),
+agg AS (
+  SELECT 1 AS version, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM v1 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM v2 GROUP BY o_orderstatus
+)
+SELECT version, o_orderstatus, n_orders, total_cents
+FROM agg ORDER BY version, o_orderstatus
+"""
+
+
 def q_layout_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file BLOOM index point lookup (readers.bloom_index_manifest /
     bloom_index_pruned_scan — Delta's bloomFilterIndex): lineitem is
@@ -11457,6 +11538,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
     "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),

@@ -1,0 +1,146 @@
+"""Versioned snapshot store with copy-on-write upserts — the
+manifest-of-files core of every lakehouse table format (Delta's
+transaction log, Iceberg's snapshot manifests), rendered as plain
+parquet files plus JSON manifests so the mechanics are inspectable:
+
+- a VERSION is a manifest (ordered list of parquet file paths); reading
+  version N reads exactly that list — TIME TRAVEL is reading an older
+  manifest, no data is ever rewritten or deleted by a new version;
+- an UPSERT is COPY-ON-WRITE at file granularity: only the files that
+  contain affected keys are rewritten (merged with the updates) into
+  new files; untouched files are carried into the new manifest BY
+  REFERENCE. At 100 TB with millions of files, a 1000-row upsert
+  rewrites a handful of files, not the table — and the file-level
+  "which files hold these keys" probe is a manifest-×-keys semi-join,
+  never a table scan of untouched files.
+
+No counterpart in the reference (its only sink rewrites whole CSVs —
+``/root/reference/main.py`` write paths); this is the SURVEY §2.4
+lakehouse extension tier.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(base: str, version: int) -> str:
+    return os.path.join(base, "_manifests", f"v{version}.json")
+
+
+def list_versions(base: str) -> list[int]:
+    """All committed versions, ascending."""
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in _glob.glob(os.path.join(base, "_manifests", "v*.json"))
+    )
+
+
+def versioned_write(df: DataFrame, base: str, n_files: int = 4) -> int:
+    """Create version 1 of a snapshot table at ``base``: ``n_files``
+    hash-partitioned parquet files plus the v1 manifest. Returns the
+    version number (always 1 — initial commit)."""
+    data_dir = os.path.join(base, "data", "v1")
+    df.repartition(n_files).write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        p
+        for p in _glob.glob(os.path.join(data_dir, "part-*.parquet"))
+    )
+    os.makedirs(os.path.dirname(_manifest_path(base, 1)), exist_ok=True)
+    with open(_manifest_path(base, 1), "w", encoding="utf-8") as fh:
+        json.dump({"version": 1, "files": files}, fh, indent=1)
+    return 1
+
+
+def snapshot_read(spark: SparkSession, base: str, version: int) -> DataFrame:
+    """Read EXACTLY the files of ``version``'s manifest — time travel.
+    Raises ``FileNotFoundError`` for an uncommitted version."""
+    mp = _manifest_path(base, version)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"snapshot version {version} not committed at {base}")
+    with open(mp, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = manifest["files"]
+    if not files:
+        raise ValueError(f"empty manifest for version {version}")
+    return spark.read.parquet(*files)
+
+
+def versioned_upsert(
+    spark: SparkSession,
+    base: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version: int | None = None,
+) -> int:
+    """Copy-on-write upsert producing a NEW version: files of the
+    current (or given) snapshot that contain an affected key are
+    rewritten with the updates merged in (update wins, new keys
+    append); every other file carries over by reference. Returns the
+    new version number.
+
+    Mechanics, all DataFrame-shaped:
+    1. probe: scan the snapshot WITH ``_metadata.file_path``, semi-join
+       on the update keys → the touched-file list (update-sized work:
+       the semi-join's build side is the updates);
+    2. rewrite: rows of touched files, anti-joined against the update
+       keys, unioned with ALL update rows, land in one new file set
+       under ``data/v{N}``;
+    3. commit: new manifest = untouched files + new files. Readers of
+       older versions are untouched (their manifests still list the
+       old files, which are never deleted)."""
+    versions = list_versions(base)
+    if not versions:
+        raise ValueError(f"no committed versions at {base}")
+    cur = version if version is not None else versions[-1]
+    snap_files = json.load(open(_manifest_path(base, cur), encoding="utf-8"))["files"]
+    new_version = versions[-1] + 1
+    with_path = (
+        spark.read.parquet(*snap_files)
+        .withColumn("__file", F.col("_metadata.file_path"))
+    )
+    keys = updates.select(*key_cols)
+    touched = sorted(
+        r["__file"]
+        for r in with_path.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    # manifests carry plain paths; _metadata.file_path is a file: URI
+    # (single-slash authority-less form, `file:/tmp/...`)
+    touched_plain = {
+        t.removeprefix("file://") if t.startswith("file://")
+        else t.removeprefix("file:")
+        for t in touched
+    }
+    untouched = [f for f in snap_files if f not in touched_plain]
+    data_dir = os.path.join(base, "data", f"v{new_version}")
+    if touched:
+        survivors = (
+            spark.read.parquet(*sorted(touched_plain))
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    merged.repartition(max(1, len(touched_plain) or 1)).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    new_files = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    with open(_manifest_path(base, new_version), "w", encoding="utf-8") as fh:
+        json.dump(
+            {"version": new_version, "files": untouched + new_files}, fh, indent=1
+        )
+    return new_version
+
+
+def drop_snapshot_store(base: str) -> None:
+    """Remove the whole store (tests/scratch cleanup)."""
+    shutil.rmtree(base, ignore_errors=True)

@@ -260,3 +260,36 @@ def test_bloom_index_skips_files(spark, tmp_path):
     # must not crash (it just fails to prune/match structurally)
     with pytest.raises(Exception):
         bloom_index_manifest(spark, out, "k", m_bits=100)  # not mult of 64
+
+
+def test_versioned_store_copy_on_write_and_time_travel(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources import versioned
+
+    base = str(tmp_path / "store")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 9).cast("long").alias("v")
+    )
+    v1 = versioned.versioned_write(df, base, n_files=4)
+    assert v1 == 1
+    upd = spark.createDataFrame([(7, 100), (1000, 5)], "k long, v long")
+    v2 = versioned.versioned_upsert(spark, base, upd, ["k"])
+    assert v2 == 2 and versioned.list_versions(base) == [1, 2]
+
+    s1 = versioned.snapshot_read(spark, base, 1)
+    s2 = versioned.snapshot_read(spark, base, 2)
+    # time travel: v1 unchanged by the upsert
+    assert s1.count() == 400
+    assert s1.where("k = 7").collect()[0]["v"] == 7 % 9
+    # v2: update applied, insert present, everything else intact
+    assert s2.count() == 401
+    assert s2.where("k = 7").collect()[0]["v"] == 100
+    assert s2.where("k = 1000").collect()[0]["v"] == 5
+    # COPY-ON-WRITE: v2's manifest reuses v1 files untouched by key 7
+    import json, os
+
+    m1 = json.load(open(os.path.join(base, "_manifests", "v1.json")))
+    m2 = json.load(open(os.path.join(base, "_manifests", "v2.json")))
+    shared = set(m1["files"]) & set(m2["files"])
+    assert len(shared) == 3  # 4 v1 files, exactly 1 touched (k=7's file)
+    with pytest.raises(FileNotFoundError):
+        versioned.snapshot_read(spark, base, 9)
