@@ -180,9 +180,22 @@ def test_numeric_profile_single_pass_values(spark):
     assert (ra["min"], ra["max"], ra["mean"], ra["p50"]) == (1.0, 3.0, 2.0, 2.0)
     assert (rb["n"], rb["nulls"], rb["n_distinct"]) == (3, 1, 3)
     assert rb["p50"] == 20.0  # exact interpolated median of (10,20,40)
-    # lazy single-aggregate plan: exactly one pass over the input
-    plan = dd.numeric_profile(df, ["a", "b"])._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Aggregate") <= 2  # partial+final of ONE aggregate
+    # two one-row aggregates (plain + distinct legs), crossJoined: the
+    # r11 split that keeps the DISTINCT aggregates out of the
+    # percentile leg's Expand (a single mixed agg replayed every row
+    # once per distinct column and ran the percentile buffers on the
+    # multiplied relation). No MORE than those two passes — and the
+    # plain leg must NOT plan an Expand.
+    qe = dd.numeric_profile(df, ["a", "b"])._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 4  # partial+final of TWO aggregates
+    lines = plan.splitlines()
+    expands = [i for i, l in enumerate(lines) if "Expand" in l]
+    # any Expand must sit under the distinct leg (below the crossJoin's
+    # second child), never in the percentile leg
+    perc = [i for i, l in enumerate(lines) if "percentile" in l]
+    assert perc, plan
+    assert all(e > max(perc) for e in expands), plan
     with pytest.raises(ValueError):
         dd.numeric_profile(df, [])
 

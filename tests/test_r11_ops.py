@@ -293,3 +293,38 @@ def test_versioned_store_copy_on_write_and_time_travel(spark, tmp_path):
     assert len(shared) == 3  # 4 v1 files, exactly 1 touched (k=7's file)
     with pytest.raises(FileNotFoundError):
         versioned.snapshot_read(spark, base, 9)
+
+
+def test_hilbert_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    # the CLUSTERING claim, exercised: range-partitioning on the
+    # Hilbert key keeps BOTH participating columns locally narrow per
+    # file, so zone maps prune files for a narrow window on EITHER
+    # dimension (a single-column sort only serves its own column)
+    from ai_etl_pipeline_spark.sources.readers import (
+        zone_map_manifest,
+        zone_map_pruned_scan,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    keyed = layout.hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    path = str(tmp_path / "li_hilbert")
+    keyed.repartitionByRange(8, "__hkey").drop("__hkey").write.parquet(path)
+    man = zone_map_manifest(spark, path, ["l_partkey", "l_suppkey"])
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    p_lo = bounds[0] + (bounds[1] - bounds[0]) * 45 // 100
+    p_hi = bounds[0] + (bounds[1] - bounds[0]) * 55 // 100
+    s_lo = bounds[2] + (bounds[3] - bounds[2]) * 45 // 100
+    s_hi = bounds[2] + (bounds[3] - bounds[2]) * 55 // 100
+    for col, lo, hi in (
+        ("l_partkey", p_lo, p_hi),
+        ("l_suppkey", s_lo, s_hi),
+    ):
+        pruned = zone_map_pruned_scan(spark, path, man, col, lo=lo, hi=hi)
+        assert len(pruned.inputFiles()) < 8, f"no pruning on {col}"
+        want = li.where(F.col(col).between(lo, hi)).count()
+        assert pruned.count() == want  # skipping invisible to results

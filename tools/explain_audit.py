@@ -15,6 +15,24 @@ import sys
 sys.path.insert(0, ".")
 
 AUDITED = [
+    # round-11 additions
+    "q_media_phash_dedup",
+    "q_knn_rank_eval",
+    "q_embed_standardize",
+    "q_embed_hard_negatives",
+    "q_layout_hilbert",
+    "q_layout_compaction",
+    "q_layout_bloom_index",
+    "q_cdc_time_travel",
+    "q_text_readability",
+    "q_media_image_resize",
+    "q_media_audio_trim",
+    "q_media_video_frames",
+    "q_events_attribution",
+    "q_validate_calibration",
+    "q_events_stream_late",
+    "q_profile_lineitem",
+    "q_agg_approx",
     # round-10 additions
     "q_graph_link_prediction",
     "q_dedup_prefix_filter",
