@@ -11324,6 +11324,59 @@ SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
 """
 
 
+def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text round-trip (readers.read_fixed_width /
+    writers.write_fixed_width — the mainframe/COBOL ingest layout Spark
+    has no built-in for): an orders cohort is rendered as 25-char
+    padded records (money as exact cents — floats don't round-trip
+    text), read back through the substring-slice projection, and
+    aggregated; the oracle replays the aggregate over the logical
+    table, so any parse/pad/offset defect breaks the hash."""
+    from ai_etl_pipeline_spark.sources.readers import read_fixed_width
+    from ai_etl_pipeline_spark.sources.writers import write_fixed_width
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    rendered = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    out = _scratch_dir("fixedw", sf_dir)
+    write_fixed_width(
+        rendered, out, [("o_orderkey", 12), ("o_orderstatus", 1), ("cents", 12)]
+    )
+    back = read_fixed_width(
+        spark,
+        out,
+        [
+            ("o_orderkey", 12, "bigint"),
+            ("o_orderstatus", 1, "string"),
+            ("cents", 12, "bigint"),
+        ],
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SOURCE_FIXED_WIDTH_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned snapshot store with COPY-ON-WRITE upsert + TIME TRAVEL
     (sources/versioned.py — the manifest-of-files core of Delta/Iceberg
@@ -11538,6 +11591,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
     "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
     "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),

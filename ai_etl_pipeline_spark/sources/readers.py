@@ -304,3 +304,44 @@ def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -
     the scan."""
     df = spark.read.orc(path)
     return df.select(*columns) if columns else df
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int, str]],
+) -> DataFrame:
+    """FIXED-WIDTH text reader — the mainframe/COBOL-heritage layout
+    that still feeds bank/telco ingest and has no Spark built-in:
+    every line is a concatenation of constant-width fields.
+    ``fields`` is ``[(name, width, type), ...]`` in record order.
+
+    Implementation is a plain ``text`` scan plus one JVM-side
+    projection of ``substr`` slices (positions are compile-time
+    constants, so the whole record parse is codegen — no Python, no
+    regex). Values are trimmed then cast; a cast failure yields NULL
+    (per-field, like every schema-on-read source here). Splittable and
+    parallel like any text source.
+
+    Rows SHORTER than the declared record raise at cast time only if
+    the missing field can't cast from '' — by fixed-width contract the
+    writer pads every record to full width (see
+    ``writers.write_fixed_width``)."""
+    if not fields:
+        raise ValueError("read_fixed_width: need at least one field")
+    raw = spark.read.text(path)
+    cols = []
+    pos = 1
+    for name, width, typ in fields:
+        if width <= 0:
+            raise ValueError(f"field {name}: width must be positive, got {width}")
+        # nullif: an all-blank field is NULL in every type (the
+        # fixed-width convention — there is no other way to spell NULL)
+        cols.append(
+            F.expr(
+                f"cast(nullif(trim(substring(value, {pos}, {width})), '')"
+                f" as {typ})"
+            ).alias(name)
+        )
+        pos += width
+    return raw.select(*cols)

@@ -15,6 +15,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -64,7 +65,19 @@ def write_bucketed_table(
 
     Bucketing metadata lives in the session catalog, so this writes a
     TABLE (``saveAsTable``), not a bare path; pass ``path`` to keep the
-    files in an external location (e.g. a test tmp dir)."""
+    files in an external location (e.g. a test tmp dir).
+
+    With ``sort_cols`` the frame is first repartitioned ONTO the bucket
+    key so each bucket lands as ONE file: Spark's scan only trusts (and
+    skips the join-side Sort for) per-bucket sort order when a bucket
+    is a single sorted file — a many-tasks write produces several files
+    per bucket and the sort metadata is silently unusable (the join
+    plans Sorts again and the write-time sorting was wasted). Readers
+    additionally need ``spark.sql.legacy.bucketedTableScan.
+    outputOrdering=true`` (since Spark 3.0 the scan hides bucket sort
+    order from the planner by default)."""
+    if sort_cols:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -260,3 +273,30 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    fields: list[tuple[str, int]],
+    mode: str = "overwrite",
+) -> None:
+    """FIXED-WIDTH text sink (inverse of ``readers.read_fixed_width``):
+    every field is rendered as a string, LEFT-padded to its declared
+    width (numeric-ledger convention), and concatenated — one
+    ``concat`` projection, then a plain text write. A value WIDER than
+    its declared width raises (``raise_error``) rather than silently
+    corrupting every downstream field's offsets — the failure mode
+    fixed-width formats are infamous for."""
+    if not fields:
+        raise ValueError("write_fixed_width: need at least one field")
+    parts = []
+    for name, width in fields:
+        s = f"cast(`{name}` as string)"
+        parts.append(
+            f"CASE WHEN length({s}) > {width} THEN "
+            f"raise_error(concat('fixed-width overflow in {name}: ', {s})) "
+            f"ELSE lpad(coalesce({s}, ''), {width}, ' ') END"
+        )
+    out = df.select(F.expr("concat(" + ", ".join(parts) + ")").alias("value"))
+    out.write.mode(mode).text(path)

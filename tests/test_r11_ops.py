@@ -328,3 +328,77 @@ def test_hilbert_layout_prunes_both_dims(spark, sf_dir, tmp_path):
         assert len(pruned.inputFiles()) < 8, f"no pruning on {col}"
         want = li.where(F.col(col).between(lo, hi)).count()
         assert pruned.count() == want  # skipping invisible to results
+
+
+def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources.readers import read_fixed_width
+    from ai_etl_pipeline_spark.sources.writers import write_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "A", 123), (22, "B", -4), (333, None, 0)],
+        "k long, s string, v long",
+    )
+    out = str(tmp_path / "fw")
+    write_fixed_width(df, out, [("k", 4), ("s", 2), ("v", 5)])
+    back = read_fixed_width(
+        spark, out, [("k", 4, "bigint"), ("s", 2, "string"), ("v", 5, "bigint")]
+    )
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[1]["s"] == "A" and rows[1]["v"] == 123
+    assert rows[22]["v"] == -4  # sign survives the pad/trim
+    assert rows[333]["s"] is None and rows[333]["v"] == 0  # NULL -> blank -> NULL
+    # a value wider than its field must fail LOUDLY, not shift offsets
+    import py4j.protocol
+
+    wide = spark.createDataFrame([(123456, "A", 1)], "k long, s string, v long")
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(wide, str(tmp_path / "fw2"), [("k", 4), ("s", 2), ("v", 5)])
+
+
+def test_bucketed_sorted_join_has_no_exchange_or_sort(spark, sf_dir, tmp_path):
+    # the bucketing contract, asserted in-plan: two tables bucketed AND
+    # sorted on the join key with the same bucket count join with NO
+    # Exchange and NO Sort - the shuffle was paid once at write time
+    from ai_etl_pipeline_spark.sources.writers import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    for t in ("t_r11_bo", "t_r11_bc"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed_table(
+        orders, "t_r11_bo", ["o_custkey"], 8, sort_cols=["o_custkey"],
+        path=str(tmp_path / "bo"),
+    )
+    write_bucketed_table(
+        cust, "t_r11_bc", ["c_custkey"], 8, sort_cols=["c_custkey"],
+        path=str(tmp_path / "bc"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark 3+ exposes per-bucket sort order to the planner only behind
+    # this flag (and only with one file per bucket, which
+    # write_bucketed_table's repartition guarantees)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        j = spark.table("t_r11_bo").join(
+            spark.table("t_r11_bc"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # buckets co-locate the keys
+        assert "Sort\n" not in plan and "+- Sort " not in plan, plan
+        # and the answer is the same as the plain (shuffling) join
+        want = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        for t in ("t_r11_bo", "t_r11_bc"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
