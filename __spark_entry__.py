@@ -11324,6 +11324,50 @@ SELECT tier, n_queries, mrr_micro, ndcg_micro FROM (
 """
 
 
+def q_text_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching report (textstats.language_mix_report): per doc,
+    how many of the marker-language families fire, the dominant
+    language (langid's greatest-struct tiebreak), and its share of all
+    marker hits as an exact integer micro ratio — the mixed-language
+    hygiene gate next to langid."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_mix_report(docs).orderBy("doc_id")
+
+
+_TEXT_LANGUAGE_MIX_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({_LANG_HITS_SQL['de']} AS BIGINT) AS h_de,
+         CAST({_LANG_HITS_SQL['en']} AS BIGINT) AS h_en,
+         CAST({_LANG_HITS_SQL['es']} AS BIGINT) AS h_es,
+         CAST({_LANG_HITS_SQL['fr']} AS BIGINT) AS h_fr
+  FROM documents
+),
+b AS (
+  SELECT doc_id, h_de, h_en, h_es, h_fr,
+         greatest(h_de, h_en, h_es, h_fr) AS bh,
+         -- tie prefers the alphabetically LAST code (the engine's
+         -- greatest-struct compares (hits, code) lexicographically) —
+         -- same order as the langid oracle
+         CASE greatest(h_de, h_en, h_es, h_fr)
+           WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+           WHEN h_en THEN 'en' ELSE 'de' END AS bc
+  FROM h
+)
+SELECT doc_id,
+       CAST((CASE WHEN h_de > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN h_en > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN h_es > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN h_fr > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_langs,
+       CAST(h_de + h_en + h_es + h_fr AS BIGINT) AS total_hits,
+       CASE WHEN bh > 0 THEN bc ELSE 'und' END AS dominant_lang,
+       CASE WHEN bh > 0
+            THEN CAST(bh * 1000000 // (h_de + h_en + h_es + h_fr) AS BIGINT)
+       END AS dominant_share_micro
+FROM b ORDER BY doc_id
+"""
+
+
 def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED-WIDTH text round-trip (readers.read_fixed_width /
     writers.write_fixed_width — the mainframe/COBOL ingest layout Spark
@@ -11591,6 +11635,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-11 driver window: every query whose code changed since
     #     the r10 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_text_language_mix": (q_text_language_mix, _TEXT_LANGUAGE_MIX_SQL),
     "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
     "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),

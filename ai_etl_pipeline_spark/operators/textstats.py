@@ -1654,3 +1654,55 @@ def readability_report(
             "fk_grade"
         ),
     )
+
+
+def language_mix_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-switching / language-mix report per document — the corpus-
+    hygiene signal next to :func:`language_id` (mixed-language docs
+    hurt dedup, langid-gated filters AND tokenizer training): marker
+    hits per language family (the same ``LANG_MARKERS`` expressions
+    langid scores with), how many languages fire at all, the dominant
+    language, and its share of all marker hits as an exact integer
+    micro ratio. Pure scan shape — four regexp counts per row, no
+    shuffle, no UDF.
+
+    Returns (id, n_langs, total_hits, dominant_lang,
+    dominant_share_micro); zero hits → ('und', NULL share)."""
+    hits = {
+        code: _marker_hits(F.col(text_col), ws).cast("bigint")
+        for code, ws in sorted(LANG_MARKERS.items())
+    }
+    out = df.select(
+        F.col(id_col),
+        *[h.alias(f"__h_{c}") for c, h in hits.items()],
+    )
+    cols = [f"__h_{c}" for c in sorted(LANG_MARKERS)]
+    total = " + ".join(cols)
+    n_langs = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in cols)
+    # argmax with deterministic tie-break by language code order —
+    # the greatest-struct trick language_id uses: greatest compares
+    # (hits, code) lexicographically, so equal hits prefer the
+    # alphabetically LAST code (fr > es > en > de), matching the
+    # langid oracle's CASE order
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"__h_{c}").alias("hits"), F.lit(c).alias("code"))
+            for c in sorted(LANG_MARKERS, reverse=True)
+        ]
+    )
+    out = out.withColumn("__bh", best["hits"]).withColumn("__bc", best["code"])
+    return out.select(
+        id_col,
+        F.expr(f"cast({n_langs} as int)").alias("n_langs"),
+        F.expr(f"cast({total} as bigint)").alias("total_hits"),
+        F.when(F.col("__bh") > 0, F.col("__bc")).otherwise(F.lit("und")).alias(
+            "dominant_lang"
+        ),
+        # integer div, never a truncated double (hit counts are exact)
+        F.expr(
+            f"CASE WHEN __bh > 0 THEN (__bh * cast(1000000 as bigint))"
+            f" div ({total}) END"
+        ).alias("dominant_share_micro"),
+    )

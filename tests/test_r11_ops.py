@@ -402,3 +402,25 @@ def test_bucketed_sorted_join_has_no_exchange_or_sort(spark, sf_dir, tmp_path):
         )
         for t in ("t_r11_bo", "t_r11_bc"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_language_mix_report_shares_and_ties(spark):
+    from ai_etl_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),       # en only: 3 hits
+            (2, "el perro y the cat"),        # es 1 + en 1 -> tie, 'es' > 'en'
+            (3, "zzz qqq"),                   # no markers
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.language_mix_report(df).collect()}
+    assert rows[1]["dominant_lang"] == "en"
+    assert rows[1]["n_langs"] == 1
+    assert rows[1]["dominant_share_micro"] == 1_000_000
+    assert rows[2]["n_langs"] == 2
+    assert rows[2]["dominant_lang"] == "es"  # tie -> alphabetically last
+    assert rows[2]["dominant_share_micro"] == 500_000
+    assert rows[3]["dominant_lang"] == "und"
+    assert rows[3]["dominant_share_micro"] is None
