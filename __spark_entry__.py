@@ -10799,7 +10799,7 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Hilbert clustering key (layout.hilbert_key — the
     locality-better sibling of the Morton/Z-order key; Delta Liquid
     Clustering's curve) verified VALUE-BY-VALUE: the full 16×16 grid of
-    (l_partkey % 16, l_suppkey % 16) cells is folded to Hilbert
+    (l_orderkey % 16, l_partkey % 16) cells is folded to Hilbert
     distances and the oracle replays BOTH halves — the min/max
     normalization (replicated, not assumed away: sf0.001 has too few
     suppliers for a dense mod-16 grid, which is exactly the case the

@@ -182,7 +182,16 @@ def jaccard_verify(
     ``array_intersect`` — so the verify stage shuffles |pairs| rows +
     |cand docs| set rows, never the |pairs| × |items per doc| fan-out
     the previous row-per-item join shape produced (22.6×/decade at the
-    550k step came from reshuffling that fan-out on (id_b, item))."""
+    550k step came from reshuffling that fan-out on (id_b, item)).
+
+    Two contracts of this shape (r11 ADVICE): zero-intersection
+    candidate pairs are DROPPED regardless of ``threshold`` (the
+    pre-rewrite inner-join-on-items behavior — a band collision with
+    no shared items is noise, not a duplicate), and each candidate
+    doc's full item set materializes as one row, so per-doc set size
+    must fit a row (fine for shingle/token sets of real documents;
+    a pathological doc with 10^8 distinct items would need the old
+    row-per-item shape instead)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -201,6 +210,7 @@ def jaccard_verify(
         .withColumn(
             "inter", F.size(F.array_intersect("__set_a", "__set_b")).cast("long")
         )
+        .where(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.round(

@@ -200,10 +200,14 @@ def compaction_plan(
     """Small-file compaction planner — the lakehouse OPTIMIZE bin-pack:
     assign each file to a compaction group so groups approach
     ``target_bytes``, PER DIRECTORY (partition), in deterministic path
-    order. Group id = ``floor(running_bytes_before_this_file / target)``
-    — the streaming first-fit pack: a group closes as soon as the
-    running total crosses the target, oversized files get their own
-    group, and the whole plan is one window pass over the MANIFEST
+    order. Group id = ``running_bytes_before_this_file div target`` —
+    EXACT bigint division (r11 ADVICE: the earlier double-division
+    form drifted off-by-one once a directory's running total passed
+    2^53): the streaming first-fit pack — a group closes as soon as
+    the running total crosses the target (an oversized file therefore
+    closes whichever group it lands in, and opens a fresh one only
+    when it starts a group itself), and the whole plan is one window
+    pass over the MANIFEST
     (file metadata, ~10^6 rows per million files — never the data).
     At 100 TB the partitionBy(dir) keeps every directory's plan
     independent: no global sort, no single reducer.
@@ -220,9 +224,9 @@ def compaction_plan(
         F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("bigint"),
     )
-    planned = manifest.withColumn(
-        "compact_group", F.expr(f"cast(0 as bigint)") + (before / target_bytes).cast("bigint")
-    )
+    planned = manifest.withColumn("__before", before).withColumn(
+        "compact_group", F.expr(f"__before div {int(target_bytes)}")
+    ).drop("__before")
     gw = Window.partitionBy(dir_col, "compact_group")
     return planned.select(
         F.col(dir_col).alias("dir"),

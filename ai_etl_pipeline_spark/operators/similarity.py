@@ -1519,7 +1519,15 @@ def retrieval_eval_report(
                 F.max(F.when(F.col("rn") == r, F.col("__rel"))).alias(f"__rel{r}")
                 for r in range(1, k + 1)
             ],
-            F.min(F.when(F.col("__rel") > 0, F.col("rn"))).alias("__first"),
+            # MRR honors the same @k cutoff as the nDCG pivots: a hit
+            # past rank k earns no reciprocal credit (r11 ADVICE —
+            # without the rn <= k term a tier frame carrying more than
+            # k rows per query scored inconsistently with nDCG@k)
+            F.min(
+                F.when(
+                    (F.col("__rel") > 0) & (F.col("rn") <= k), F.col("rn")
+                )
+            ).alias("__first"),
         )
         per_q = qset.join(
             per_q, qset["__q"] == per_q["query_id"], "left"

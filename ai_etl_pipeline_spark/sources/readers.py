@@ -263,20 +263,37 @@ def bloom_index_pruned_scan(
 
     ``value_type`` must name the indexed column's Spark type:
     ``xxhash64`` is type-tagged, so probing an int literal against an
-    index built over a bigint column would miss every file."""
-    probe = F.lit(True)
+    index built over a bigint column would miss every file.
+
+    The probe positions are built with column functions
+    (``F.lit(value).cast(value_type)``) mirroring
+    :func:`bloom_index_manifest`'s build side — never by splicing the
+    Python ``repr`` of ``value`` into SQL text (r11 ADVICE: a string
+    key containing a quote either broke the expression or silently
+    hashed a different literal than the build side)."""
+    probed = manifest
+    word_tests = []
     for j in range(num_hashes):
-        p = (
-            f"pmod(xxhash64({j}, cast({value!r} as {value_type})), {m_bits})"
+        probed = probed.withColumn(
+            f"__p{j}",
+            F.pmod(
+                F.xxhash64(F.lit(j), F.lit(value).cast(value_type)),
+                F.lit(m_bits),
+            ),
         )
-        probe = probe & F.expr(
-            f"coalesce((element_at(bf_words, shiftright({p}, 6))"
-            f" & shiftleft(cast(1 as bigint), cast(({p} & 63) as int)))"
-            " != 0, false)"
+        word_tests.append(
+            F.expr(
+                f"coalesce((element_at(bf_words, shiftright(__p{j}, 6))"
+                f" & shiftleft(cast(1 as bigint), cast((__p{j} & 63) as int)))"
+                " != 0, false)"
+            )
         )
+    probe = word_tests[0]
+    for t in word_tests[1:]:
+        probe = probe & t
     files = [
         r["file_path"]
-        for r in manifest.where(probe).select("file_path").collect()
+        for r in probed.where(probe).select("file_path").collect()
     ]
     if not files:
         return spark.read.parquet(path).where(F.lit(False))

@@ -1,0 +1,133 @@
+"""Round-12 guard tests — one test per r11 ADVICE.md item so each
+fix has executable evidence:
+
+- bloom_index_pruned_scan builds its probe with column functions, so
+  a string key containing quotes neither breaks the expression nor
+  hashes a different literal than the build side (readers.py)
+- compaction_plan group ids use exact bigint division — no double
+  off-by-one past 2^53 — and the first-fit docstring semantics hold
+  for an oversized file landing mid-group (layout.py)
+- retrieval_eval_report's MRR honors the @k cutoff: a hit past rank k
+  earns no reciprocal credit (similarity.py)
+- jaccard_verify drops zero-intersection candidate pairs even at
+  threshold 0 (dedup.py)
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_pipeline_spark.operators import dedup, layout, similarity
+from ai_etl_pipeline_spark.sources import readers
+
+
+# ---------------------------------------------------------------------------
+# bloom_index_pruned_scan: hostile string probe values
+# ---------------------------------------------------------------------------
+
+def test_bloom_pruned_scan_quoted_string_key(spark):
+    out = tempfile.mkdtemp(prefix="bloomq_")
+    try:
+        rows = [
+            ("it's \"quoted\"", 1),
+            ("plain", 2),
+            ("o'brien", 3),
+        ]
+        (
+            spark.createDataFrame(rows, "k string, v int")
+            .repartition(3, "k")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        man = readers.bloom_index_manifest(spark, out, "k", m_bits=1 << 10)
+        for key, want in rows:
+            got = readers.bloom_index_pruned_scan(
+                spark, out, man, "k", key, m_bits=1 << 10, value_type="string"
+            ).collect()
+            assert [(r["k"], r["v"]) for r in got] == [(key, want)]
+        # absent key with hostile chars: no error, no rows
+        miss = readers.bloom_index_pruned_scan(
+            spark, out, man, "k", "no'such\"key", m_bits=1 << 10,
+            value_type="string",
+        )
+        assert miss.count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan: exact integer division + mid-group oversized file
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_exact_division_past_2_53(spark):
+    # 99999999999999999 rounds UP to 1e17 as a double, so double
+    # division yields group 10^16; exact bigint div yields 10^16 - 1.
+    big = 99_999_999_999_999_999
+    man = spark.createDataFrame(
+        [("d", "a", big), ("d", "b", 1)], "dir string, path string, size_bytes long"
+    )
+    got = {
+        r["path"]: r["compact_group"]
+        for r in layout.compaction_plan(man, target_bytes=10).collect()
+    }
+    assert got["a"] == 0
+    assert got["b"] == big // 10  # 9999999999999999, not 10000000000000000
+
+
+def test_compaction_plan_oversized_mid_group(spark):
+    # sizes [3, 12], target 10: the 12-byte file STARTS inside group 0
+    # (before=3 -> 3 div 10 = 0), so it shares group 0 rather than
+    # getting its own — the documented first-fit closure semantics.
+    man = spark.createDataFrame(
+        [("d", "a", 3), ("d", "b", 12), ("d", "c", 1)],
+        "dir string, path string, size_bytes long",
+    )
+    got = {
+        r["path"]: r["compact_group"]
+        for r in layout.compaction_plan(man, target_bytes=10).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 1}  # c: before=15 div 10 = 1
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_report: MRR@k cutoff
+# ---------------------------------------------------------------------------
+
+def test_retrieval_eval_mrr_honors_k_cutoff(spark):
+    # ground truth: query 1's exact top-2 neighbors are 10 (rank 1), 11
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rn int"
+    )
+    # tier returns 3 rows but the only true hit sits at rn=3 > k=2:
+    # nDCG pivots ignore it, and (post-fix) MRR must too.
+    tier = spark.createDataFrame(
+        [(1, 97, 1), (1, 98, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rn int",
+    )
+    row = similarity.retrieval_eval_report(exact, {"t": tier}, k=2).collect()[0]
+    assert row["mrr_micro"] == 0
+    assert row["ndcg_micro"] == 0
+    # control: hit at rn=2 inside the cutoff earns 1/2
+    tier2 = spark.createDataFrame(
+        [(1, 97, 1), (1, 10, 2)], "query_id long, neighbor_id long, rn int"
+    )
+    row2 = similarity.retrieval_eval_report(exact, {"t": tier2}, k=2).collect()[0]
+    assert row2["mrr_micro"] == 500000
+
+
+# ---------------------------------------------------------------------------
+# jaccard_verify: zero-intersection pairs never surface
+# ---------------------------------------------------------------------------
+
+def test_jaccard_verify_drops_zero_intersection_at_threshold_zero(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    items = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "z")], "doc_id long, item string"
+    )
+    got = dedup.jaccard_verify(pairs, items, "doc_id", "item", threshold=0.0)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    assert (1, 3) not in rows  # zero intersection: dropped, not jaccard=0
+    assert rows[(1, 2)] == pytest.approx(0.5, abs=1e-9)  # |{a}| / |{a,b}|
