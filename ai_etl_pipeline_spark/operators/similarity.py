@@ -51,21 +51,31 @@ def brute_force_knn(
 
     Plan shape: broadcast(queries) × corpus → window top-k per query.
     At scale the query side is the small side — broadcast it, never the
-    corpus. Ties broken by neighbor id for determinism."""
+    corpus. Ties broken by neighbor id for determinism.
+
+    Norms are projected ONCE PER SIDE before the pair join (r12):
+    higher-order-function folds are interpreted (CodegenFallback), so
+    re-folding ‖q‖ per corpus row and ‖c‖ per query — 2 of the 3 folds
+    cosine_expr pays per pair — was the dominant cost of a |Q|×n scan.
+    ``sqrt(fold)`` per row then one multiply per pair is the same
+    arithmetic in the same order: values and hashes unchanged."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm_expr("qv"))
     # repartition the corpus: a few-file corpus would otherwise score all
     # query×corpus pairs on as many cores as it has files
     c = corpus.repartition(F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm_expr("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("qv", "cv") / (F.col("__qn") * F.col("__cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -122,6 +132,37 @@ def ivf_centroids(
     )
 
 
+def hash_ranked_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    n: int = 256,
+    salt: str = "tr|",
+) -> DataFrame:
+    """Deterministic FIXED-SIZE training sample: the ``n`` rows with the
+    smallest ``(md5_i64(salt || id), id)`` rank — a salted variant of
+    :func:`ivf_centroids`' init idiom, selected with a top-k heap
+    (TakeOrderedAndProject: one O(corpus) scan, O(n) memory, never a
+    global sort). This is THE receipt-path quantizer-training input
+    (r11 verdict #1): codebook/centroid quality needs density, not the
+    full corpus, so training on a fixed-size sample makes index build
+    O(sample) while assignment/scan stay O(corpus) — at 100 TB the
+    Lloyd rounds touch n rows instead of 10^11. The salt keeps the
+    sample independent of same-idiom panels (query panels use a
+    different salt), and the rank is SQL-replayable
+    (``md5_i64_sql("'tr|' || CAST(id AS VARCHAR)")``)."""
+    from ..functions.portable import md5_i64
+
+    return (
+        df.withColumn(
+            "__tr_h",
+            md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        )
+        .orderBy("__tr_h", id_col)
+        .limit(n)
+        .drop("__tr_h")
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,6 +172,7 @@ def ivf_knn(
     num_centroids: int = 8,
     nprobe: int = 2,
     train_iterations: int | None = 2,
+    train_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into
     ``num_centroids`` cells by nearest centroid, then answer each query
@@ -145,7 +187,12 @@ def ivf_knn(
     most probes). ``train_iterations=None`` keeps the plain
     reproducible-sample quantizer (:func:`ivf_centroids`, the trained
     path's round 0). Training cost is ``train_iterations - 1``
-    corpus aggregates, paid once per index build.
+    aggregates over the TRAINING relation, paid once per index build —
+    pass ``train_corpus`` (e.g. :func:`hash_ranked_sample`) to make
+    that O(sample) instead of O(corpus): at 100 TB the quantizer needs
+    the corpus's density, not every row, and the receipt paths train
+    on a fixed-size hash-ranked sample by default (r11 verdict #1).
+    Cell ASSIGNMENT still covers the full corpus either way.
 
     Scale story (100 TB corpus): the centroid frame is tiny and
     BROADCAST everywhere — the corpus is never shuffled by a cross
@@ -158,7 +205,11 @@ def ivf_knn(
 
     if train_iterations:
         cent_list = kmeans_centroids(
-            corpus, id_col, vec_col, num_centroids, train_iterations
+            train_corpus if train_corpus is not None else corpus,
+            id_col,
+            vec_col,
+            num_centroids,
+            train_iterations,
         )
         cents = corpus.sparkSession.createDataFrame(
             [(label, [float(x) for x in vec]) for label, vec in cent_list],
@@ -167,42 +218,69 @@ def ivf_knn(
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
 
+    # norms projected once per relation (the brute_force_knn r12 note:
+    # HOF folds are interpreted — never re-fold a norm per pair)
+    cents = cents.withColumn("__ctn", norm_expr("centroid_vec"))
+
     # inverted lists: nearest centroid per corpus vector (argmax cosine,
     # ties to the smallest centroid_id for engine-portable determinism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm_expr("cv"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("cos_c").desc(), F.col("centroid_id").asc()
     )
     assigned = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_expr("cv", "centroid_vec"), 6))
+        .withColumn(
+            "cos_c",
+            F.round(
+                dot_expr("cv", "centroid_vec")
+                / (F.col("__cn") * F.col("__ctn")),
+                6,
+            ),
+        )
         .withColumn("arn", F.row_number().over(w_assign))
         .where(F.col("arn") == 1)
-        .select("neighbor_id", "cv", F.col("centroid_id").alias("cell"))
+        .select("neighbor_id", "cv", "__cn", F.col("centroid_id").alias("cell"))
+        # the inverted lists ARE the IVF index — materialize once
+        # (cache) so probes hit an InMemoryRelation leaf instead of
+        # re-planning/re-running the assignment pass (r12; at cluster
+        # scale this is the `assigned` table a real deployment
+        # persists partitioned by cell)
+        .cache()
     )
 
     # probe set: nprobe nearest centroids per query
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm_expr("qv"))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_q").desc(), F.col("centroid_id").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("cos_q", F.round(cosine_expr("qv", "centroid_vec"), 6))
+        .withColumn(
+            "cos_q",
+            F.round(
+                dot_expr("qv", "centroid_vec")
+                / (F.col("__qn") * F.col("__ctn")),
+                6,
+            ),
+        )
         .withColumn("prn", F.row_number().over(w_probe))
         .where(F.col("prn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        .select("query_id", "qv", "__qn", F.col("centroid_id").alias("cell"))
     )
 
     # search only the probed cells: broadcast equi-join on cell
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("qv", "cv") / (F.col("__qn") * F.col("__cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -246,7 +324,7 @@ def lsh_knn(
         F.col(id_col).alias("query_id"),
         F.expr(_dbl(vec_col)).alias("qv"),
         sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
-    )
+    ).withColumn("__qn", norm_expr("qv"))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -263,11 +341,16 @@ def lsh_knn(
         F.col(id_col).alias("neighbor_id"),
         F.expr(_dbl(vec_col)).alias("cv"),
         sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
-    )
+    ).withColumn("__cn", norm_expr("cv"))
+    # per-side norms (r12, the brute_force_knn note): same fold, same
+    # multiply order as cosine_expr — values and hashes unchanged
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("qv", "cv") / (F.col("__qn") * F.col("__cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -392,29 +475,40 @@ def _resolve_assignment_mode(
     return "literal" if k * dim <= LITERAL_ASSIGN_BOUND else "broadcast"
 
 
-def _assign_literal(
-    frame: DataFrame, cents: list[tuple[int, list[float]]], vec_alias: str = "__v"
-) -> DataFrame:
-    vv = F.expr(
-        f"aggregate(transform({vec_alias}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+def _assign_literal_sql(
+    cents: list[tuple[int, list[float]]], vec_alias: str = "__v"
+) -> str:
+    """The literal-codebook argmin as ONE SQL string: ``array_min`` over
+    ``struct(round(v·v − 2 v·c + c·c, 6) AS d, label AS c)`` choices
+    with every centroid inlined. Built as a single parse instead of a
+    per-centroid ``F.expr`` tree (r12): k×(d literals + 3 folds) of
+    Column-object construction cost hundreds of py4j round-trips per
+    assignment — the same algebra as _assign_broadcast, value-identical
+    either way."""
+    vv = (
+        f"aggregate(transform({vec_alias}, x -> x * x),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
     )
     choices = []
     for label, vec in cents:
-        vc = F.expr(
-            "aggregate(zip_with({v}, {c}, (x, y) -> x * y), cast(0.0 as double),"
-            " (acc, v) -> acc + v)".format(
-                v=vec_alias,
-                c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec)),
-            )
+        arr = "array({})".format(
+            ",".join(f"cast({x!r} as double)" for x in vec)
         )
-        cc = F.lit(_seq_dot(vec, vec))
+        vc = (
+            f"aggregate(zip_with({vec_alias}, {arr}, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        cc = f"cast({_seq_dot(vec, vec)!r} as double)"
         choices.append(
-            F.struct(
-                F.round(vv - 2.0 * vc + cc, 6).alias("d"),
-                F.lit(label).alias("c"),
-            )
+            f"struct(round({vv} - 2.0 * {vc} + {cc}, 6) AS d, {label} AS c)"
         )
-    best = F.array_min(F.array(*choices))
+    return f"array_min(array({', '.join(choices)}))"
+
+
+def _assign_literal(
+    frame: DataFrame, cents: list[tuple[int, list[float]]], vec_alias: str = "__v"
+) -> DataFrame:
+    best = F.expr(_assign_literal_sql(cents, vec_alias))
     return frame.withColumn("sq_dist", best["d"]).withColumn("cluster", best["c"])
 
 
@@ -559,27 +653,10 @@ def _argmin_code(vec_alias: str, cents: list[tuple[int, list[float]]]) -> Column
     ``(round(||v-c||², 6), label)`` with the centroid table inlined as
     literals — _assign_literal's core, returning just the winning label
     (PQ code). Same arithmetic identity (v·v - 2 v·c + c·c), same
-    rounding, same tiebreak, so a SQL oracle replays it exactly."""
-    vv = F.expr(
-        f"aggregate(transform({vec_alias}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    choices = []
-    for label, vec in cents:
-        vc = F.expr(
-            "aggregate(zip_with({v}, {c}, (x, y) -> x * y), cast(0.0 as double),"
-            " (acc, v) -> acc + v)".format(
-                v=vec_alias,
-                c="array({})".format(",".join(f"cast({x!r} as double)" for x in vec)),
-            )
-        )
-        cc = F.lit(_seq_dot(vec, vec))
-        choices.append(
-            F.struct(
-                F.round(vv - 2.0 * vc + cc, 6).alias("d"),
-                F.lit(label).alias("c"),
-            )
-        )
-    return F.array_min(F.array(*choices))["c"]
+    rounding, same tiebreak, so a SQL oracle replays it exactly.
+    One SQL parse (``_assign_literal_sql``), not a per-centroid Column
+    tree (r12)."""
+    return F.expr(_assign_literal_sql(cents, vec_alias))["c"]
 
 
 def pq_train(
@@ -633,19 +710,59 @@ def pq_train(
     ]
     # Lloyd rounds, ONE corpus aggregate per round covering every
     # subspace. Per subspace the arithmetic is unchanged vs
-    # kmeans_centroids: the same _argmin_code literal assignment over
-    # the slice (each code gets its own projection — lambda-inlining
-    # rule), the same round(avg, 6) update keyed by (sub, cluster,
-    # pos), and an empty cluster keeps its previous centroid.
+    # kmeans_centroids: the same argmin over ``(round(v·v − 2 v·c +
+    # c·c, 6), label)``, the same round(avg, 6) update keyed by (sub,
+    # cluster, pos), and an empty cluster keeps its previous centroid.
+    # The codebooks enter as one BROADCAST DATA row (the
+    # _assign_broadcast idiom) rather than m × k inlined literal
+    # arrays: an m·k·(d/m)-literal tree costs seconds of driver
+    # parse/analyze PER ROUND (r12 — the receipt queries paid it
+    # twice per tier), while the generic transform is a constant-size
+    # plan. The one-row payload copy the crossJoin implies is bounded
+    # by the TRAINING relation (sample-sized by contract — receipts
+    # pass hash_ranked_sample), never the corpus.
+    spark = corpus.sparkSession
     for _ in range(iterations - 1):
+        packed = spark.createDataFrame(
+            [
+                (
+                    [
+                        [
+                            (label, vec, _seq_dot(vec, vec))
+                            for label, vec in books[j]
+                        ]
+                        for j in range(m)
+                    ],
+                )
+            ],
+            "books array<array<struct<c:int,v:array<double>,cc:double>>>",
+        )
         frame = corpus.select(
             *[
                 F.slice(F.expr(_dbl(vec_col)), j * sub + 1, sub).alias(f"__v{j}")
                 for j in range(m)
             ]
-        )
+        ).crossJoin(F.broadcast(packed))
+        # ||v_j||² projected once per subspace, then the argmin — both
+        # OUTSIDE generator lambdas (lambda-inlining rule)
         for j in range(m):
-            frame = frame.withColumn(f"__c{j}", _argmin_code(f"__v{j}", books[j]))
+            frame = frame.withColumn(
+                f"__vv{j}",
+                F.expr(
+                    f"aggregate(transform(__v{j}, x -> x * x),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                ),
+            )
+        for j in range(m):
+            frame = frame.withColumn(
+                f"__c{j}",
+                F.expr(
+                    f"array_min(transform(element_at(books, {j + 1}), s -> struct("
+                    f"round(__vv{j} - 2 * aggregate(zip_with(__v{j}, s.v,"
+                    " (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+                    " + s.cc, 6) AS d, s.c AS c)))['c']"
+                ),
+            )
         # the flattened (sub, pos, x) structs carry NO cluster label —
         # attaching __c{j} inside the transform lambda would let
         # CollapseProject inline the argmin into a per-element body
@@ -762,6 +879,7 @@ def pq_knn(
     codebook_k: int = 16,
     iterations: int = 2,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    train_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Compressed-tier ANN via asymmetric distance (ADC), the REAL
     table-lookup rendering (r11; Jégou et al. 2011 §IV): per query the
@@ -786,9 +904,15 @@ def pq_knn(
     float column when precision matters. Deterministic and
     SQL-replayable: sub-space dots are the same sequential fold the
     oracle's ``list_dot_product`` does, summed left-to-right in
-    subspace order on both engines, 6-dp round on the final cosine."""
+    subspace order on both engines, 6-dp round on the final cosine.
+
+    ``train_corpus`` (e.g. :func:`hash_ranked_sample`) restricts
+    codebook TRAINING to a fixed-size sample — O(sample) index build
+    (r11 verdict #1) — while encoding and the ADC scan still cover the
+    full corpus."""
     books = codebooks if codebooks is not None else pq_train(
-        corpus, id_col, vec_col, m, codebook_k, iterations
+        train_corpus if train_corpus is not None else corpus,
+        id_col, vec_col, m, codebook_k, iterations,
     )
     from pyspark.sql import Window
 
@@ -812,8 +936,13 @@ def pq_knn(
         F.expr(" + ".join(rr_terms)).alias("__rr"),
     )
     # same repartition guard as brute_force_knn: a few-file corpus would
-    # otherwise score every pair on as many cores as it has files
-    recon = recon.repartition(F.col("neighbor_id"))
+    # otherwise score every pair on as many cores as it has files.
+    # cache(): the encoded corpus IS the PQ index — materialize it once
+    # and probe the InMemoryRelation. Besides the obvious reuse, this
+    # makes the encode's m·k·(d/m)-literal argmin a LEAF to the outer
+    # optimizer: without it AQE re-optimizes that tree at every query
+    # stage boundary (r12 — ~2.5 s of pure re-planning per receipt).
+    recon = recon.repartition(F.col("neighbor_id")).cache()
     # ADC tables: codebooks travel once as broadcast DATA onto the
     # query panel only (m·k·(d/m) doubles per panel row, never per
     # corpus row); qd[j][label] = q_j · c, the sequential zip_with fold
@@ -1202,44 +1331,54 @@ def recall_report(
     ``recall_micro = hits·1e6 div n_truth`` — EXACT integer ratios, so
     the whole report sits under the full hash gate (no float recall).
 
-    Plan: the truth pairs are lazily checkpointed once (each tier
-    semi-joins them; without truncation every tier would re-execute the
-    brute-force upstream), every aggregate is scalar, and the per-tier
-    rows union into one bounded frame — no corpus-sized shuffle beyond
-    what the tier/truth frames themselves did."""
+    Plan (r12): the truth pairs are cached once — ``cache()``, NOT
+    ``localCheckpoint(eager=False)``: a lazy local checkpoint still
+    physically plans its frame AT BUILD TIME (the df→RDD conversion
+    runs analysis+codegen per tier — 4+ seconds of double-planning for
+    literal-heavy ANN tiers), while an InMemoryRelation defers
+    planning to the single final job and dedupes execution the same
+    way. The report itself is ONE labeled union → one broadcast
+    hit-flag join → one ``groupBy(tier)``: the previous per-tier shape
+    (a semi-join plus TWO scalar aggregates and two broadcast
+    crossJoins per tier) planned ~13 query stages, and AQE's per-stage
+    re-optimization of the remaining plan cost multiples of the actual
+    execution. Hits are the same integers — truth pairs are unique by
+    construction (top-k per query), so the flag join cannot fan out."""
     if not tiers:
         raise ValueError("recall_report: need at least one tier")
     truth = (
         exact.select(
             F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    reports = []
+    labeled = None
     for name, t in sorted(tiers.items()):
         cand = t.select(
-            F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
-        ).localCheckpoint(eager=False)
-        hits = cand.join(truth, ["__q", "__n"], "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("hits")
+            F.lit(name).alias("tier"),
+            F.col(query_col).alias("__q"),
+            F.col(neighbor_col).alias("__n"),
         )
-        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        reports.append(
-            hits.crossJoin(F.broadcast(n_cand))
-            .crossJoin(F.broadcast(n_truth))
-            .select(
-                F.lit(name).alias("tier"),
-                F.col("n_truth"),
-                F.col("n_candidates"),
-                F.col("hits"),
-                F.expr("hits * 1000000 div n_truth").alias("recall_micro"),
-            )
+        labeled = cand if labeled is None else labeled.unionByName(cand)
+    flagged = labeled.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))), ["__q", "__n"], "left"
+    )
+    per_tier = flagged.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("hits"),
+    )
+    return (
+        per_tier.crossJoin(F.broadcast(n_truth))
+        .select(
+            "tier",
+            "n_truth",
+            "n_candidates",
+            "hits",
+            F.expr("hits * 1000000 div n_truth").alias("recall_micro"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+        .orderBy("tier")
+    )
 
 
 def random_projection(
@@ -1487,11 +1626,15 @@ def retrieval_eval_report(
 
     if not tiers:
         raise ValueError("retrieval_eval_report: need at least one tier")
+    # cache(), not a lazy localCheckpoint: the df→RDD conversion a
+    # checkpoint does physically plans the exact tier at build time
+    # (the r12 recall_report finding) — the cache defers to the one
+    # final job and still dedupes the per-tier re-reads
     truth = exact.select(
         F.col("query_id").alias("__q"),
         F.col("neighbor_id").alias("__n"),
         F.col("rn").alias("__er"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     qset = truth.select("__q").distinct()
     idcg = sum((k + 1 - i) * (1.0 / math.log2(i + 1)) for i in range(1, k + 1))
     dcg_terms = " + ".join(
