@@ -2201,20 +2201,23 @@ def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contract, so the checkpoint is panel-sized, never corpus-sized)
         .localCheckpoint()
     )
-    # one shared training sample for both trained tiers (sample-sized
-    # checkpoint: IVF's Lloyd round and PQ's per-subspace rounds each
-    # re-reference it several times)
-    train = similarity.hash_ranked_sample(emb, "vec_id", 256).localCheckpoint()
+    # one shared training sample for both trained tiers, collected ONCE
+    # (256 × 64 doubles — bounded by contract) and trained DRIVER-SIDE
+    # (kmeans_centroids_local / pq_train_local, bit-identical to the
+    # distributed path — asserted in tests/test_guards_r12.py): a
+    # 256-row Lloyd round through Spark is ~6 AQE jobs of pure
+    # scheduling overhead per index
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(emb, "vec_id", 256).collect()
+    ]
+    cents = similarity.kmeans_centroids_local(rows, k=8, iterations=2)
+    books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
     exact = similarity.brute_force_knn(emb, qs, k=5)
     tiers = {
         "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
-        "ivf": similarity.ivf_knn(
-            emb, qs, k=5, num_centroids=8, nprobe=2, train_iterations=2,
-            train_corpus=train,
-        ),
-        "pq": similarity.pq_knn(
-            emb, qs, k=5, m=4, codebook_k=16, iterations=2, train_corpus=train
-        ),
+        "ivf": similarity.ivf_knn(emb, qs, k=5, nprobe=2, centroids=cents),
+        "pq": similarity.pq_knn(emb, qs, k=5, codebooks=books),
     }
     return similarity.recall_report(exact, tiers)
 
@@ -11336,17 +11339,18 @@ def q_knn_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost does not grow with the corpus (r11 verdict #1)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5)
-    train = similarity.hash_ranked_sample(emb, "vec_id", 256).localCheckpoint()
+    # collect-once + driver-side training, like q_knn_recall_report
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(emb, "vec_id", 256).collect()
+    ]
+    cents = similarity.kmeans_centroids_local(rows, k=8, iterations=2)
+    books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
     exact = similarity.brute_force_knn(emb, qs, k=5)
     tiers = {
         "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
-        "ivf": similarity.ivf_knn(
-            emb, qs, k=5, num_centroids=8, nprobe=2, train_iterations=2,
-            train_corpus=train,
-        ),
-        "pq": similarity.pq_knn(
-            emb, qs, k=5, m=4, codebook_k=16, iterations=2, train_corpus=train
-        ),
+        "ivf": similarity.ivf_knn(emb, qs, k=5, nprobe=2, centroids=cents),
+        "pq": similarity.pq_knn(emb, qs, k=5, codebooks=books),
     }
     return similarity.retrieval_eval_report(exact, tiers, k=5)
 

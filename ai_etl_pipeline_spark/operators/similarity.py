@@ -173,6 +173,7 @@ def ivf_knn(
     nprobe: int = 2,
     train_iterations: int | None = 2,
     train_corpus: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into
     ``num_centroids`` cells by nearest centroid, then answer each query
@@ -203,7 +204,14 @@ def ivf_knn(
     """
     from pyspark.sql import Window
 
-    if train_iterations:
+    if centroids is not None:
+        # pretrained quantizer (e.g. kmeans_centroids_local over a
+        # collected hash-ranked sample) — skip training entirely
+        cents = corpus.sparkSession.createDataFrame(
+            [(label, [float(x) for x in vec]) for label, vec in centroids],
+            "centroid_id int, centroid_vec array<double>",
+        )
+    elif train_iterations:
         cent_list = kmeans_centroids(
             train_corpus if train_corpus is not None else corpus,
             id_col,
@@ -616,6 +624,139 @@ def kmeans_centroids(
             for label, vec in cents
         ]
     return cents
+
+
+def _round6(x: float) -> float:
+    """Spark's ``F.round(double, 6)``: BigDecimal(double) — the EXACT
+    binary value — rescaled HALF_UP. Python's builtin ``round`` is
+    banker's (HALF_EVEN) and would disagree on exact .5e-6 boundaries;
+    ``decimal.Decimal(float)`` is the same exact-binary conversion
+    BigDecimal does."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def kmeans_centroids_local(
+    rows: list[tuple], k: int = 8, iterations: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Driver-side twin of :func:`kmeans_centroids` over ALREADY
+    COLLECTED ``(id, vector)`` rows — for training inputs that are
+    BOUNDED BY CONTRACT (a :func:`hash_ranked_sample`, k×d at most a
+    few thousand doubles). Training a fixed-size sample through Spark
+    costs ~6 AQE jobs per index (init collect, Lloyd assignment +
+    means, packed-codebook plan analysis) — pure scheduling overhead
+    for 256 rows; the receipts (q_knn_recall_report / q_knn_rank_eval)
+    collect the sample ONCE and train both quantizers locally.
+
+    Arithmetic is bit-identical to the distributed path: the same
+    ``(md5(id), id)`` init rank (md5_i64_py), the same sequential-fold
+    dots (IEEE double ops in array order), the same
+    ``round(v·v − 2 v·c + c·c, 6)`` HALF_UP distances with ``(d,
+    label)`` tiebreak, and the same ``round(avg, 6)`` update (sum
+    order is fixed by id; the distributed avg's partial-sum order is
+    already masked by the 6-dp round on both engines). Empty clusters
+    keep their previous centroid."""
+    from ..functions.portable import md5_i64_py
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    data = sorted(
+        ((rid, [float(x) for x in vec]) for rid, vec in rows),
+        key=lambda r: r[0],
+    )
+    ranked = sorted(data, key=lambda r: (md5_i64_py(str(r[0])), r[0]))
+    cents: list[tuple[int, list[float]]] = [
+        (pos, list(vec)) for pos, (_rid, vec) in enumerate(ranked[:k])
+    ]
+    for _ in range(iterations - 1):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _rid, v in data:
+            vv = _seq_dot(v, v)
+            best = None
+            for label, c in cents:
+                d = _round6(vv - 2.0 * _seq_dot(v, c) + _seq_dot(c, c))
+                if best is None or (d, label) < best:
+                    best = (d, label)
+            lbl = best[1]
+            counts[lbl] = counts.get(lbl, 0) + 1
+            acc = sums.setdefault(lbl, [0.0] * len(v))
+            for i, x in enumerate(v):
+                acc[i] += x
+        cents = [
+            (
+                label,
+                [_round6(s / counts[label]) for s in sums[label]]
+                if label in sums
+                else vec,
+            )
+            for label, vec in cents
+        ]
+    return cents
+
+
+def pq_train_local(
+    rows: list[tuple], m: int = 4, codebook_k: int = 16, iterations: int = 2
+) -> list[list[tuple[int, list[float]]]]:
+    """Driver-side twin of :func:`pq_train` over collected ``(id,
+    vector)`` rows (see :func:`kmeans_centroids_local` for the
+    bounded-input contract and the exact-arithmetic guarantees): the
+    shared full-vector init sliced into ``m`` sub-books, then
+    ``iterations − 1`` Lloyd rounds run independently per subspace —
+    the same per-subspace assignment/update the one-pass distributed
+    shape computes."""
+    from ..functions.portable import md5_i64_py
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    data = sorted(
+        ((rid, [float(x) for x in vec]) for rid, vec in rows),
+        key=lambda r: r[0],
+    )
+    dim = len(data[0][1])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} sub-vectors")
+    sub = dim // m
+    ranked = sorted(data, key=lambda r: (md5_i64_py(str(r[0])), r[0]))
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (pos, vec[j * sub : (j + 1) * sub])
+            for pos, (_rid, vec) in enumerate(ranked[:codebook_k])
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iterations - 1):
+        for j in range(m):
+            sums: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for _rid, v in data:
+                s = v[j * sub : (j + 1) * sub]
+                vv = _seq_dot(s, s)
+                best = None
+                for label, c in books[j]:
+                    d = _round6(vv - 2.0 * _seq_dot(s, c) + _seq_dot(c, c))
+                    if best is None or (d, label) < best:
+                        best = (d, label)
+                lbl = best[1]
+                counts[lbl] = counts.get(lbl, 0) + 1
+                acc = sums.setdefault(lbl, [0.0] * sub)
+                for i, x in enumerate(s):
+                    acc[i] += x
+            books[j] = [
+                (
+                    label,
+                    [_round6(sv / counts[label]) for sv in sums[label]]
+                    if label in sums
+                    else vec,
+                )
+                for label, vec in books[j]
+            ]
+    return books
 
 
 def _kmeans_assign_frame(

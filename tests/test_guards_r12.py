@@ -119,6 +119,37 @@ def test_retrieval_eval_mrr_honors_k_cutoff(spark):
 
 
 # ---------------------------------------------------------------------------
+# driver-side quantizer training: bit-identical to the distributed path
+# ---------------------------------------------------------------------------
+
+def test_local_quantizer_training_matches_distributed(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = similarity.hash_ranked_sample(emb, "vec_id", 64).localCheckpoint()
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in train.collect()
+    ]
+    assert similarity.kmeans_centroids_local(
+        rows, k=8, iterations=2
+    ) == similarity.kmeans_centroids(train, "vec_id", "embedding", 8, 2)
+    assert similarity.pq_train_local(
+        rows, m=4, codebook_k=16, iterations=2
+    ) == similarity.pq_train(train, "vec_id", "embedding", 4, 16, 2)
+
+
+def test_round6_matches_spark_half_up():
+    # Python round() is banker's: round(0.0000005, 6) == 0.0; Spark's
+    # HALF_UP on the exact binary value of 2.5e-6 (which is slightly
+    # below 0.0000025) truncates, while 3.5e-6 (slightly above) bumps.
+    from ai_etl_pipeline_spark.operators.similarity import _round6
+
+    assert _round6(1.0000005000000001) == 1.000001
+    assert _round6(-1.0000005000000001) == -1.000001
+    assert _round6(0.1) == 0.1
+    assert _round6(2.0) == 2.0
+
+
+# ---------------------------------------------------------------------------
 # jaccard_verify: zero-intersection pairs never surface
 # ---------------------------------------------------------------------------
 
