@@ -5556,14 +5556,14 @@ _KHOP_MAX = 4
 
 
 def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL PageRank (warm start): run 4 iterations, snapshot
-    the rank table, then resume 4 more from it via ``init_ranks`` —
-    the maintenance mode for an evolving graph (resume from
-    yesterday's ranks instead of from scratch). Because the iteration
-    is a deterministic pure function of the rank frame, 4+4 warm is
-    BIT-EQUAL to 8 straight — so the oracle is ``q_graph_pagerank``'s
-    existing 8-iteration unroll, and a hash match IS the proof that
-    the warm-start path loses nothing."""
+    """INCREMENTAL PageRank (warm start): run half the iterations,
+    snapshot the rank table, then resume the rest from it via
+    ``init_ranks`` — the maintenance mode for an evolving graph
+    (resume from yesterday's ranks instead of from scratch). Because
+    the iteration is a deterministic pure function of the rank frame,
+    2+2 warm is BIT-EQUAL to 4 straight — so the oracle is the plain
+    straight-through unroll at the variant iteration count, and a
+    hash match IS the proof that the warm-start path loses nothing."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     edges = (
@@ -5574,13 +5574,13 @@ def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    half = _PR_ITERS // 2
+    half = _PR_VARIANT_ITERS // 2
     snap = graph.pagerank(
         edges, iterations=half, damping_pct=_PR_DAMP, base=_PR_BASE
     ).select("node", "rank")
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS - half,
+        iterations=_PR_VARIANT_ITERS - half,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         init_ranks=snap,
@@ -7608,6 +7608,13 @@ GROUP BY 1, 2
 
 
 _PR_ITERS, _PR_DAMP, _PR_BASE = 8, 85, 1_000_000
+# Non-flagship PageRank variants run 4 unrolled iterations (r11 verdict
+# #6): each variant certifies ONE semantic lever (edge weights, dangling
+# sinks, personalization, warm start, the delta receipt) — the lever is
+# exercised identically at 4 iterations, the flagship q_graph_pagerank
+# keeps the full 8, and 7 variants × 8 iterations was 18% of the bench.
+# Engine calls and CTE-unroll oracles shorten in LOCKSTEP.
+_PR_VARIANT_ITERS = 4
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7635,10 +7642,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(n_iters: int = _PR_ITERS) -> str:
     teleport = (100 - _PR_DAMP) * _PR_BASE
     iters = []
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, n_iters + 1):
         iters.append(f"""r{i} AS (
   SELECT n.node,
          CAST(({teleport} + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
@@ -7665,7 +7672,7 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
-FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+FROM r{n_iters} r JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7691,7 +7698,7 @@ def q_graph_pagerank_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS,
+        iterations=_PR_VARIANT_ITERS,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         delta_receipt=True,
@@ -7700,22 +7707,22 @@ def q_graph_pagerank_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_receipt_sql() -> str:
-    base_sql = _pagerank_sql()
+    base_sql = _pagerank_sql(_PR_VARIANT_ITERS)
     marker = "SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree"
     assert marker in base_sql, "_pagerank_receipt_sql: base oracle changed"
     head = base_sql[: base_sql.index(marker)]
-    # r7/r8 are each referenced twice here (next level + the delta
-    # scalar) — materialize every level so the CTE chain can't be
-    # re-inlined exponentially
-    for i in range(1, _PR_ITERS + 1):
+    # the last two levels are each referenced twice here (next level +
+    # the delta scalar) — materialize every level so the CTE chain
+    # can't be re-inlined exponentially
+    for i in range(1, _PR_VARIANT_ITERS + 1):
         head = head.replace(f"r{i} AS (", f"r{i} AS MATERIALIZED (")
     return f"""{head}
 SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree, dd.max_delta
-FROM r{_PR_ITERS} r
+FROM r{_PR_VARIANT_ITERS} r
 JOIN deg ON deg.src = r.node
 CROSS JOIN (
   SELECT CAST(coalesce(max(abs(a.rank - b.rank)), 0) AS BIGINT) AS max_delta
-  FROM r{_PR_ITERS} a JOIN r{_PR_ITERS - 1} b ON a.node = b.node
+  FROM r{_PR_VARIANT_ITERS} a JOIN r{_PR_VARIANT_ITERS - 1} b ON a.node = b.node
 ) dd
 ORDER BY r.rank DESC, r.node
 LIMIT 20
@@ -7741,7 +7748,7 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS,
+        iterations=_PR_VARIANT_ITERS,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         weight_col="weight",
@@ -7752,7 +7759,7 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_weighted_sql() -> str:
     teleport = (100 - _PR_DAMP) * _PR_BASE
     iters = []
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, _PR_VARIANT_ITERS + 1):
         iters.append(f"""r{i} AS MATERIALIZED (
   SELECT n.node,
          CAST(({teleport} + {_PR_DAMP} * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS rank
@@ -7784,7 +7791,7 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
-FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+FROM r{_PR_VARIANT_ITERS} r JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7812,7 +7819,7 @@ def q_graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS,
+        iterations=_PR_VARIANT_ITERS,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         symmetric=False,
@@ -7823,7 +7830,7 @@ def q_graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_directed_sql() -> str:
     teleport = (100 - _PR_DAMP) * _PR_BASE
     iters = []
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, _PR_VARIANT_ITERS + 1):
         # MATERIALIZED: each level references r{i-1} TWICE (incoming +
         # the sink scalar) — inlined CTEs would re-expand the whole
         # chain 2^iterations times
@@ -7856,7 +7863,7 @@ nn AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
-FROM r{_PR_ITERS} r LEFT JOIN deg ON deg.src = r.node
+FROM r{_PR_VARIANT_ITERS} r LEFT JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7889,7 +7896,7 @@ def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS,
+        iterations=_PR_VARIANT_ITERS,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         seeds=seeds,
@@ -7900,7 +7907,7 @@ def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame
 def _pagerank_personalized_sql() -> str:
     tp = (100 - _PR_DAMP) * _PR_BASE
     iters = []
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, _PR_VARIANT_ITERS + 1):
         iters.append(f"""r{i} AS MATERIALIZED (
   SELECT n.node,
          CAST(((CASE WHEN sd.node IS NOT NULL THEN tele.t ELSE 0 END)
@@ -7941,7 +7948,7 @@ tele AS (
 r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(deg.d AS BIGINT) AS degree
-FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+FROM r{_PR_VARIANT_ITERS} r JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -7977,7 +7984,7 @@ def q_graph_pagerank_directed_personalized(
     )
     pr = graph.pagerank(
         edges,
-        iterations=_PR_ITERS,
+        iterations=_PR_VARIANT_ITERS,
         damping_pct=_PR_DAMP,
         base=_PR_BASE,
         symmetric=False,
@@ -7989,7 +7996,7 @@ def q_graph_pagerank_directed_personalized(
 def _pagerank_directed_personalized_sql() -> str:
     tp = (100 - _PR_DAMP) * _PR_BASE
     iters = []
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, _PR_VARIANT_ITERS + 1):
         # MATERIALIZED: each level references r{i-1} twice (incoming +
         # the sink scalar); the sink mass divides by the SEED count
         iters.append(f"""r{i} AS MATERIALIZED (
@@ -8034,7 +8041,7 @@ tele AS (
 r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes),
 {chain}
 SELECT r.node, r.rank, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
-FROM r{_PR_ITERS} r LEFT JOIN deg ON deg.src = r.node
+FROM r{_PR_VARIANT_ITERS} r LEFT JOIN deg ON deg.src = r.node
 ORDER BY r.rank DESC, r.node
 LIMIT 20
 """
@@ -11807,7 +11814,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
-    "q_graph_pagerank_incremental": (q_graph_pagerank_incremental, _pagerank_sql()),
+    "q_graph_pagerank_incremental": (
+        q_graph_pagerank_incremental,
+        _pagerank_sql(_PR_VARIANT_ITERS),
+    ),
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),

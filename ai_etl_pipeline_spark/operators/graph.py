@@ -39,7 +39,7 @@ def pagerank(
     damping_pct: int = 85,
     base: int = 1_000_000,
     symmetric: bool = True,
-    checkpoint_every: int | None = 6,
+    checkpoint_every: int | None = 3,
     seeds: DataFrame | None = None,
     delta_receipt: bool = False,
     weight_col: str | None = None,
@@ -82,7 +82,12 @@ def pagerank(
     every N iterations: the plan stays O(N) deep for Catalyst while
     still requiring zero driver actions (materialization happens on
     the caller's first action, like every other operator here). Set
-    None to keep one pure plan (fine to ~10 iterations).
+    None to keep one pure plan (fine to ~10 iterations). Default 3
+    (r12): PySpark analyzes eagerly per transformation, so driver-side
+    plan-build cost is quadratic between truncations — cadence 3
+    measured ~25% faster end-to-end than 6 at 8 iterations, and
+    cadence 1 is slower again (every truncation pays a full physical
+    planning for the df→RDD conversion).
 
     ``delta_receipt`` (r9, the k-core certificate's sibling) appends a
     ``max_delta`` column: the max absolute rank change between the
@@ -174,19 +179,23 @@ def pagerank(
             .distinct()
         )
     nodes = nodes.localCheckpoint(eager=False)
+    # (node, out_degree) carried IN the rank frame for the whole run
+    # (r12): the previous shape re-joined ranks⋈deg every iteration —
+    # checkpointed RDD frames lose their output partitioning, so that
+    # node-sized join re-shuffled BOTH sides each round. With __deg a
+    # rank-frame column, the contribution is a filter+project, sinks
+    # are ``__deg IS NULL`` (no per-iteration semi-join), and the
+    # output degree column is free.
+    nd = nodes.join(
+        deg.select(F.col("__src").alias("__node"), F.col("__deg")),
+        "__node",
+        "left",
+    ).localCheckpoint(eager=False)
     if not symmetric:
         # scalar node count for the per-iteration dangling share —
         # one row, computed once, broadcast into every iteration
         n_nodes = (
             nodes.agg(F.count("*").cast("bigint").alias("__n"))
-            .localCheckpoint(eager=False)
-        )
-        # the sink SET is fixed across iterations (no out-edge ever
-        # appears) — materialize it once so each iteration pays a
-        # semi-join against a checkpointed node-sized frame, not a
-        # fresh anti-join replan
-        sinks = (
-            nodes.join(deg, nodes["__node"] == deg["__src"], "left_anti")
             .localCheckpoint(eager=False)
         )
     if seeds is not None:
@@ -237,16 +246,17 @@ def pagerank(
             F.col(init_ranks.columns[1]).cast("bigint").alias("__prev_rank"),
         )
         ranks = (
-            nodes.join(prev, "__node", "left")
+            nd.join(prev, "__node", "left")
             .select(
                 F.col("__node"),
+                F.col("__deg"),
                 F.coalesce(F.col("__prev_rank"), F.lit(base).cast("bigint"))
                 .alias("__rank"),
             )
             .localCheckpoint(eager=False)
         )
     else:
-        ranks = nodes.withColumn("__rank", F.lit(base).cast("bigint"))
+        ranks = nd.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     prev_ranks = None
     for it in range(iterations):
@@ -260,9 +270,10 @@ def pagerank(
         # big side and should be touched exactly once per iteration
         if weight_col is not None:
             # weighted: the per-edge share needs the edge weight, so
-            # carry (rank, strength) to the edge join and split there
-            node_side = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
-                F.col("__src"), F.col("__rank"), F.col("__deg")
+            # carry (rank, strength) to the edge join and split there.
+            # __deg rides in the rank frame — no per-iteration deg join
+            node_side = ranks.where(F.col("__deg").isNotNull()).select(
+                F.col("__node").alias("__src"), F.col("__rank"), F.col("__deg")
             )
             incoming = (
                 e.join(node_side, "__src")
@@ -272,15 +283,16 @@ def pagerank(
                 )
             )
         else:
-            node_contrib = ranks.join(deg, ranks["__node"] == deg["__src"]).select(
-                F.col("__src"), F.expr("__rank div __deg").alias("__contrib")
+            node_contrib = ranks.where(F.col("__deg").isNotNull()).select(
+                F.col("__node").alias("__src"),
+                F.expr("__rank div __deg").alias("__contrib"),
             )
             incoming = (
                 e.join(node_contrib, "__src")
                 .groupBy("__dst")
                 .agg(F.sum("__contrib").alias("__incoming"))
             )
-        new_ranks = nodes.join(incoming, nodes["__node"] == incoming["__dst"], "left")
+        new_ranks = nd.join(incoming, nd["__node"] == incoming["__dst"], "left")
         if symmetric and seeds is not None:
             ranks = (
                 new_ranks.join(
@@ -289,6 +301,7 @@ def pagerank(
                 .crossJoin(F.broadcast(seed_tele))
                 .select(
                     F.col("__node"),
+                    F.col("__deg"),
                     F.expr(
                         "(coalesce(__is_seed, 0) * __tele + "
                         f"{damping_pct} * "
@@ -299,6 +312,7 @@ def pagerank(
         elif symmetric:
             ranks = new_ranks.select(
                 F.col("__node"),
+                F.col("__deg"),
                 F.expr(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "coalesce(__incoming, cast(0 as bigint))) div 100"
@@ -309,7 +323,7 @@ def pagerank(
             # land on the seed set — a surfer at a dead end restarts at
             # a seed (damped like any hop); scalar payloads only
             sink_share = (
-                ranks.join(sinks, "__node", "left_semi")
+                ranks.where(F.col("__deg").isNull())
                 .agg(
                     F.coalesce(F.sum("__rank"), F.lit(0))
                     .cast("bigint")
@@ -326,6 +340,7 @@ def pagerank(
                 .crossJoin(F.broadcast(sink_share))
                 .select(
                     F.col("__node"),
+                    F.col("__deg"),
                     F.expr(
                         "(coalesce(__is_seed, 0) * "
                         f"(__tele + {damping_pct} * __sink_share) + "
@@ -339,7 +354,7 @@ def pagerank(
             # redistributed uniformly — scalar payload only (the one-row
             # broadcast crossJoin rule: scalars yes, arrays never)
             sink_share = (
-                ranks.join(sinks, "__node", "left_semi")
+                ranks.where(F.col("__deg").isNull())
                 .agg(
                     F.coalesce(F.sum("__rank"), F.lit(0))
                     .cast("bigint")
@@ -350,6 +365,7 @@ def pagerank(
             )
             ranks = new_ranks.crossJoin(F.broadcast(sink_share)).select(
                 F.col("__node"),
+                F.col("__deg"),
                 F.expr(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "(coalesce(__incoming, cast(0 as bigint)) + __sink_share)) "
@@ -358,8 +374,7 @@ def pagerank(
             )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
-    out_deg = deg.select(F.col("__src").alias("__node"), F.col("__deg"))
-    out = ranks.join(out_deg, "__node", "left").select(
+    out = ranks.select(
         F.col("__node").alias("node"),
         F.col("__rank").alias("rank"),
         F.coalesce(F.col("__deg"), F.lit(0)).cast("bigint").alias("degree"),
