@@ -3945,7 +3945,7 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap."""
     stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.session_window_agg(stream, gap="5 minutes")
-    return stream_windows.run_stream_to_memory(agg, "complete")
+    return stream_windows.run_stream_to_memory(agg, "complete", state_partitions=4)
 
 
 _EVENTS_STREAM_SESSIONS_SQL = """
@@ -4020,7 +4020,7 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unified-model guarantee, actually checked."""
     stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.tumbling_window_agg(stream, "10 minutes")
-    return stream_windows.run_stream_to_memory(agg, "complete")
+    return stream_windows.run_stream_to_memory(agg, "complete", state_partitions=4)
 
 
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4028,7 +4028,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     → then a batch count by type over the deduped stream output."""
     stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
     deduped = stream_windows.streaming_dedup(stream, ["event_id"], "60 minutes")
-    out = stream_windows.run_stream_to_memory(deduped, "append")
+    out = stream_windows.run_stream_to_memory(deduped, "append", state_partitions=4)
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
@@ -4051,7 +4051,7 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, category string",
     )
     enriched = stream_windows.stream_static_enrich(stream, dim, "event_type")
-    out = stream_windows.run_stream_to_memory(enriched, "append")
+    out = stream_windows.run_stream_to_memory(enriched, "append", state_partitions=4)
     return out.groupBy("category").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
     )
@@ -4076,6 +4076,7 @@ def q_events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_etl_pipeline_spark.streaming.stateful import running_user_totals
 
     stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # pandas-with-state: keep full parallelism (see q_events_stream_ewma)
     return stream_windows.run_stream_to_memory(running_user_totals(stream), "update")
 
 
@@ -4100,7 +4101,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_windows.stream_stream_interval_join(
         clicks, purchases, key="user_id", within="10 minutes"
     )
-    out = stream_windows.run_stream_to_memory(joined, "append")
+    out = stream_windows.run_stream_to_memory(joined, "append", state_partitions=4)
     return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
@@ -10633,6 +10634,10 @@ def q_events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_etl_pipeline_spark.streaming.stateful import running_user_ewma
 
     stream = stream_windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # NO state_partitions override here: applyInPandasWithState funnels
+    # each state partition through one Python worker serially, so this
+    # op wants the session's full parallelism (measured 3.1 s at 32
+    # partitions vs ~8 s at 4 — the opposite profile of JVM-state aggs)
     out = stream_windows.run_stream_to_memory(running_user_ewma(stream), "update")
     return out.orderBy("user_id", "event_type")
 
@@ -10721,28 +10726,42 @@ def q_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="stream_late_")
     try:
-        batches = [
-            ("a", ev.select(*cols)),
-            ("b", advancers.where(F.col("event_id") == -1).select(*cols)),
-            ("c", late.unionByName(
-                advancers.where(F.col("event_id") == -2).select(*cols)
-            )),
-        ]
-        for i, (name, df) in enumerate(batches):
-            tmp = os.path.join(base, f"_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+        # ONE dynamic-partitioned write builds all three batch files
+        # (r12: three separate coalesce(1) writes cost ~10 s of
+        # committer/job overhead — 85% of the receipt — for the same
+        # bytes); the batch tag is a partition column, so the data
+        # files carry exactly `cols`
+        allb = (
+            ev.select(F.lit("a").alias("__batch"), *cols)
+            .unionByName(
+                advancers.where(F.col("event_id") == -1)
+                .select(F.lit("b").alias("__batch"), *cols)
+            )
+            .unionByName(
+                late.unionByName(
+                    advancers.where(F.col("event_id") == -2).select(*cols)
+                ).select(F.lit("c").alias("__batch"), *cols)
+            )
+        )
+        tmp = os.path.join(base, "_all")
+        allb.repartition("__batch").write.mode("overwrite").partitionBy(
+            "__batch"
+        ).parquet(tmp)
+        for i, name in enumerate(["a", "b", "c"]):
+            part = sorted(
+                _glob.glob(os.path.join(tmp, f"__batch={name}", "part-*.parquet"))
+            )[0]
             dst = os.path.join(base, f"{name}.parquet")
             shutil.move(part, dst)
-            shutil.rmtree(tmp)
             # FileStreamSource orders by modification time — pin it so
             # the three files are three ordered micro-batches
             os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        shutil.rmtree(tmp)
         stream = stream_windows.read_events_stream(spark, base)
         agg = stream_windows.tumbling_window_agg(
             stream_windows.with_watermark(stream, "30 minutes"), "10 minutes"
         )
-        out = stream_windows.run_stream_to_memory(agg, "append")
+        out = stream_windows.run_stream_to_memory(agg, "append", state_partitions=4)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out.orderBy("window_start", "event_type")

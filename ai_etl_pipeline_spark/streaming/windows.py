@@ -233,19 +233,40 @@ def stream_stream_interval_join(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming plan to completion with Trigger.AvailableNow →
     in-memory sink, return the final result as a batch DataFrame. Gives
     streaming operators a REAL micro-batch execution in tests/correctness
-    checks instead of a batch stand-in."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    checks instead of a batch stand-in.
+
+    ``state_partitions`` (r12) pins ``spark.sql.shuffle.partitions`` for
+    the DURATION OF THIS RUN only (the call is synchronous — start →
+    awaitTermination — so the set/restore bracket cannot leak into
+    other queries): a stateful micro-batch loads and commits one state
+    store per shuffle partition PER TRIGGER, so a 3-trigger receipt
+    over a few thousand rows pays 32 × 3 state-store cycles of pure
+    overhead at the session default. Receipt-sized runs pass a small
+    value; results are partition-count-invariant either way. A real
+    deployment sizes this to its key cardinality instead."""
     spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
