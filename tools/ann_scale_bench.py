@@ -1,0 +1,239 @@
+"""Scale-growth evidence for the ANN tier (r11 verdict task #3: the
+LSH/IVF/PQ tiers had quality receipts — recall@k, nDCG/MRR — but no
+decade curve proving index BUILD and PROBE stay sub-quadratic as the
+corpus grows).
+
+Corpus: deterministic synthetic embeddings — 64-dim vectors with
+components ``(xxhash64('v', id, d) mod 2e6+1 − 1e6) / 1e6`` ∈ [−1, 1],
+generated as a Spark range scan (distributed like any source, no
+files). Query panel: a FIXED 64-vector hash-ranked panel (the
+registry receipts' shape), so probe cost growth isolates the CORPUS
+decade, not panel growth.
+
+Measured per size, per tier:
+- train_sec: quantizer training — hash-ranked 256-row sample collected
+  once, IVF centroids + PQ codebooks trained driver-side
+  (kmeans_centroids_local / pq_train_local). THE r12 design claim:
+  this row should be ~FLAT across decades (O(sample), not O(corpus)).
+- {lsh,ivf,pq}_query_sec: end-to-end top-5 for the 64-query panel
+  (index assignment + probe in one lazy plan — the registry shape).
+  Expected ~linear in corpus size (scan-bound), never quadratic.
+- cand_per_query: average candidate rows actually scored per query
+  (LSH: same-bucket corpus rows; IVF: rows in the nprobe probed
+  cells; PQ/ADC and brute-force: the full corpus by design — recorded
+  to make the comparison honest).
+- bf_query_sec: brute-force baseline for reference.
+
+Fresh SparkSession per size (shuffle-dir hygiene), System.gc() between
+ops. Usage: python tools/ann_scale_bench.py [n ...]
+(default 20000 200000 2000000). Prints one JSON line per size plus the
+final artifact; committed as BENCH_SCALE_r{N}_ann.json. Growth
+>12×/decade on any *_sec gets a `flagged` entry.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ai_etl_pipeline_spark.operators import similarity  # noqa: E402
+from ai_etl_pipeline_spark.session import get_session  # noqa: E402
+
+DIM = 64
+PANEL = 64
+SAMPLE = 256
+K = 5
+NPROBE = 2
+NUM_CENTROIDS = 8
+LSH_BITS = 8
+
+
+def build_corpus(spark, n: int):
+    comp = "(pmod(xxhash64('v', id, d), 2000001) - 1000000) / 1000000.0"
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> cast({comp} as double))"
+        ).alias("embedding"),
+    )
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    r = fn()
+    return round(time.monotonic() - t0, 2), r
+
+
+def release_shuffles(spark) -> None:
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+
+def run_size(spark, n: int) -> dict:
+    emb = build_corpus(spark, n).persist()
+    n_rows = emb.count()
+    out: dict = {"n_vectors": n_rows}
+
+    panel = similarity.hash_ranked_sample(
+        emb, "vec_id", PANEL, salt="rq|"
+    ).localCheckpoint()
+
+    # --- training: the O(sample) claim -------------------------------
+    def train():
+        rows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in similarity.hash_ranked_sample(emb, "vec_id", SAMPLE).collect()
+        ]
+        cents = similarity.kmeans_centroids_local(rows, k=NUM_CENTROIDS, iterations=2)
+        books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
+        return cents, books
+
+    out["train_sec"], (cents, books) = timed(train)
+    release_shuffles(spark)
+
+    # --- per-tier end-to-end query cost ------------------------------
+    t, _ = timed(
+        lambda: similarity.lsh_knn(emb, panel, k=K, num_bits=LSH_BITS).count()
+    )
+    out["lsh_query_sec"] = t
+    release_shuffles(spark)
+
+    t, _ = timed(
+        lambda: similarity.ivf_knn(
+            emb, panel, k=K, nprobe=NPROBE, centroids=cents
+        ).count()
+    )
+    out["ivf_query_sec"] = t
+    release_shuffles(spark)
+
+    t, _ = timed(
+        lambda: similarity.pq_knn(emb, panel, k=K, codebooks=books).count()
+    )
+    out["pq_query_sec"] = t
+    release_shuffles(spark)
+
+    t, _ = timed(lambda: similarity.brute_force_knn(emb, panel, k=K).count())
+    out["bf_query_sec"] = t
+    release_shuffles(spark)
+
+    # --- candidates per query (honesty metric) -----------------------
+    # LSH: corpus rows sharing each panel vector's bucket
+    bcount = (
+        emb.select(similarity.sign_lsh_bucket("embedding", LSH_BITS).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    pb = panel.select(similarity.sign_lsh_bucket("embedding", LSH_BITS).alias("b"))
+    row = (
+        pb.join(bcount, "b", "left")
+        .agg(F.avg(F.coalesce(F.col("count"), F.lit(0))).alias("c"))
+        .first()
+    )
+    out["lsh_cand_per_query"] = round(float(row["c"]), 1)
+    # IVF: rows in each panel vector's nprobe nearest cells. Cell sizes
+    # come from one assignment pass (the same argmax the index does).
+    cents_df = spark.createDataFrame(
+        [(l, v) for l, v in cents], "centroid_id int, centroid_vec array<double>"
+    ).withColumn("__ctn", similarity.norm_expr("centroid_vec"))
+    from pyspark.sql import Window
+
+    c = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("cv")
+    ).withColumn("__cn", similarity.norm_expr("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    cell_sizes = (
+        c.crossJoin(F.broadcast(cents_df))
+        .withColumn(
+            "cos",
+            F.round(
+                similarity.dot_expr("cv", "centroid_vec")
+                / (F.col("__cn") * F.col("__ctn")),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .count()
+    )
+    q = panel.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("cv")
+    ).withColumn("__cn", similarity.norm_expr("cv"))
+    probed = (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn(
+            "cos",
+            F.round(
+                similarity.dot_expr("cv", "centroid_vec")
+                / (F.col("__cn") * F.col("__ctn")),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NPROBE)
+        .select("vec_id", "centroid_id")
+    )
+    row = (
+        probed.join(cell_sizes, "centroid_id", "left")
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce(F.col("count"), F.lit(0))).alias("c"))
+        .agg(F.avg("c").alias("c"))
+        .first()
+    )
+    out["ivf_cand_per_query"] = round(float(row["c"]), 1)
+    out["pq_cand_per_query"] = n_rows  # ADC scans every code by design
+    emb.unpersist()
+    release_shuffles(spark)
+    return out
+
+
+def fresh_session():
+    spark = get_session(
+        "ann-scale-bench",
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            "spark.io.compression.zstd.level": "3",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 200_000, 2_000_000]
+    out = {"metric": "ann_scale", "unit": "sec", "sizes": {}}
+    spark = None
+    for n in sizes:
+        if spark is not None:
+            spark.stop()
+        spark = fresh_session()
+        run_size(spark, 2_000)  # warm codegen/python on a tiny corpus
+        out["sizes"][str(n)] = run_size(spark, n)
+        print(json.dumps({"partial": n, **out["sizes"][str(n)]}), flush=True)
+    ratios = {}
+    flagged = []
+    keys = sorted(out["sizes"], key=int)
+    for a, b in zip(keys, keys[1:]):
+        sa, sb = out["sizes"][a], out["sizes"][b]
+        r: dict = {"data_growth": round(sb["n_vectors"] / sa["n_vectors"], 1)}
+        for k in ("train_sec", "lsh_query_sec", "ivf_query_sec",
+                  "pq_query_sec", "bf_query_sec"):
+            g = round(sb[k] / max(sa[k], 1e-9), 1)
+            r[k.replace("_sec", "_growth")] = g
+            if g > 12:
+                flagged.append({"step": f"{a}->{b}", "op": k, "growth": g})
+        ratios[f"{a}->{b}"] = r
+    out["growth"] = ratios
+    out["flagged"] = flagged
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
