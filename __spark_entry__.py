@@ -10886,6 +10886,71 @@ ORDER BY c_nationkey, c_custkey
 
 
 # ---------------------------------------------------------------------------
+# round-12 breadth: incremental join-view maintenance (IVM)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (cdc.join_delta): with the
+    orders⋈lineitem view materialized over pre-1998 data and 1998
+    arrivals landing as insert batches on BOTH sides, the view's delta
+    is computed algebraically — ΔL⋈R ∪all L⋈ΔR ∪all ΔL⋈ΔR, two base
+    scans + broadcast deltas, the stored view never re-joined. The
+    oracle computes the SAME delta the expensive way (full new view
+    EXCEPT ALL full old view, bag semantics), so a hash match is an
+    end-to-end proof of the IVM identity on real data — any duplicated,
+    dropped, or double-counted delta row breaks it. Cohort: customer
+    keys ≡ 0 (mod 10) (modulo cohort, nonempty at every SF)."""
+    cut = "1998-01-01"
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+    )
+    dv = cdc.join_delta(
+        o.where(F.col("o_orderdate") < F.lit(cut)),
+        o.where(F.col("o_orderdate") >= F.lit(cut)),
+        li.where(F.col("l_shipdate") < F.lit(cut)),
+        li.where(F.col("l_shipdate") >= F.lit(cut)),
+        on=["orderkey"],
+    )
+    return dv.orderBy("orderkey", "l_linenumber", "o_orderdate")
+
+
+_CDC_JOIN_DELTA_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderdate
+  FROM orders WHERE o_custkey % 10 = 0
+),
+li AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_quantity, l_shipdate
+  FROM lineitem
+),
+bo AS (SELECT * FROM o WHERE o_orderdate < DATE '1998-01-01'),
+d_o AS (SELECT * FROM o WHERE o_orderdate >= DATE '1998-01-01'),
+bl AS (SELECT * FROM li WHERE l_shipdate < DATE '1998-01-01'),
+dl AS (SELECT * FROM li WHERE l_shipdate >= DATE '1998-01-01'),
+newv AS (
+  SELECT orderkey, o_custkey, o_orderdate, l_linenumber, l_quantity, l_shipdate
+  FROM (SELECT * FROM bo UNION ALL SELECT * FROM d_o) u
+  JOIN (SELECT * FROM bl UNION ALL SELECT * FROM dl) v USING (orderkey)
+),
+oldv AS (
+  SELECT orderkey, o_custkey, o_orderdate, l_linenumber, l_quantity, l_shipdate
+  FROM bo JOIN bl USING (orderkey)
+)
+SELECT * FROM newv
+EXCEPT ALL
+SELECT * FROM oldv
+ORDER BY orderkey, l_linenumber, o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11749,9 +11814,10 @@ FROM a ORDER BY pos
 
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-11 driver window: every query whose code changed since
-    #     the r10 verdict commit (tools/window_audit.py) sits in the
+    # --- round-12 driver window: every query whose code changed since
+    #     the r11 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
     "q_text_language_mix": (q_text_language_mix, _TEXT_LANGUAGE_MIX_SQL),
     "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
     "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),

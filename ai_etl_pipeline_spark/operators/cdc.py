@@ -229,3 +229,52 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*key_cols, status.alias("diff_status"))
+
+
+def join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: Sequence[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incremental INNER-join view maintenance for INSERT-ONLY deltas —
+    the classic IVM identity the lakehouse "don't recompute the view"
+    story rests on: with ``V = L ⋈ R`` materialized and insert batches
+    ``ΔL``/``ΔR`` arriving,
+
+        ΔV = (ΔL ⋈ R) ∪all (L ⋈ ΔR) ∪all (ΔL ⋈ ΔR)
+
+    in BAG semantics — exactly the rows to append to the stored view,
+    derived WITHOUT touching ``V`` or re-joining ``L ⋈ R``. (Expand the
+    product: ``(L+ΔL) ⋈ (R+ΔR) − L ⋈ R`` leaves precisely those three
+    terms; a correctness oracle can therefore also compute ΔV as the
+    multiset difference of the two full joins, which is how the
+    registry query cross-checks this operator.)
+
+    Scale shape (100 TB view, GB-sized batches): the two base-side
+    joins put the BASE relation on the streamed side and the
+    batch-sized delta on the broadcast side (``broadcast_deltas``,
+    default on — disable when a delta is itself table-sized and a
+    shuffle join is the right plan), so maintaining the view costs two
+    base scans and zero base shuffles; ``ΔL ⋈ ΔR`` is batch × batch.
+    Deletes/updates need keyed tombstones and the stored view —
+    :func:`merge_upsert` territory, deliberately out of scope for the
+    insert-only fast path.
+
+    Schemas: ``base_left``/``delta_left`` must match by name, ditto
+    right; join columns ``on`` appear once in the output (Spark's
+    USING-style equi-join), left columns then right columns.
+    """
+    on = list(on)
+
+    def b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_deltas else df
+
+    part1 = b(delta_left).join(base_right, on, "inner")
+    part2 = base_left.join(b(delta_right), on, "inner")
+    # tiny × tiny: both sides are batch-sized; keep the hint off and
+    # let AQE pick (a broadcast hint on BOTH sides is contradictory)
+    part3 = delta_left.join(b(delta_right), on, "inner")
+    return part1.unionByName(part2).unionByName(part3)

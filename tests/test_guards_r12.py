@@ -162,3 +162,36 @@ def test_jaccard_verify_drops_zero_intersection_at_threshold_zero(spark):
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
     assert (1, 3) not in rows  # zero intersection: dropped, not jaccard=0
     assert rows[(1, 2)] == pytest.approx(0.5, abs=1e-9)  # |{a}| / |{a,b}|
+
+
+# ---------------------------------------------------------------------------
+# join_delta: the IVM identity in bag semantics
+# ---------------------------------------------------------------------------
+
+def test_join_delta_equals_multiset_view_difference(spark):
+    from ai_etl_pipeline_spark.operators import cdc
+
+    bl = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "k long, lv string"
+    )
+    dl = spark.createDataFrame([(2, "b_new"), (3, "c_new")], "k long, lv string")
+    br = spark.createDataFrame([(1, "x"), (3, "y")], "k long, rv string")
+    dr = spark.createDataFrame([(1, "x_new"), (2, "z_new")], "k long, rv string")
+    delta = cdc.join_delta(bl, dl, br, dr, on=["k"])
+    old = bl.join(br, "k")
+    new = bl.unionByName(dl).join(br.unionByName(dr), "k")
+    # bag difference: exceptAll is multiset-aware on both sides
+    expected = new.exceptAll(old)
+    assert delta.exceptAll(expected).count() == 0
+    assert expected.exceptAll(delta).count() == 0
+    assert delta.count() == expected.count()  # duplicates preserved
+
+
+def test_join_delta_empty_deltas_yield_empty(spark):
+    from ai_etl_pipeline_spark.operators import cdc
+
+    bl = spark.createDataFrame([(1, "a")], "k long, lv string")
+    br = spark.createDataFrame([(1, "x")], "k long, rv string")
+    empty_l = bl.where("1=0")
+    empty_r = br.where("1=0")
+    assert cdc.join_delta(bl, empty_l, br, empty_r, on=["k"]).count() == 0
