@@ -144,3 +144,53 @@ def versioned_upsert(
 def drop_snapshot_store(base: str) -> None:
     """Remove the whole store (tests/scratch cleanup)."""
     shutil.rmtree(base, ignore_errors=True)
+
+
+def vacuum(base: str, keep_versions: int = 1, dry_run: bool = False) -> dict:
+    """Snapshot EXPIRATION — the lifecycle half every time-travel store
+    needs (Delta VACUUM / Iceberg expire_snapshots): retire manifests
+    older than the newest ``keep_versions`` and delete the data files
+    no surviving manifest references.
+
+    Correct-by-construction GC: the removable set is
+    ``union(files of expired manifests) − union(files of kept
+    manifests)`` — a file carried forward BY REFERENCE into any kept
+    version survives no matter how old the version that wrote it. This
+    is pure manifest arithmetic (set ops over file LISTS, never a data
+    scan): at 100 TB with millions of files the cost is reading N JSON
+    manifests, and the deletes are per-file unlinks a real deployment
+    would fan out to object-store batch deletes.
+
+    ``dry_run`` reports without deleting. Returns ``{"kept_versions",
+    "expired_versions", "removed_files", "kept_files"}`` (counts +
+    lists, deterministic order). Expiring below one kept version is
+    refused — a store must stay readable."""
+    if keep_versions < 1:
+        raise ValueError(f"vacuum: keep_versions must be >= 1, got {keep_versions}")
+    versions = list_versions(base)
+    if not versions:
+        raise ValueError(f"no committed versions at {base}")
+    kept = versions[-keep_versions:]
+    expired = [v for v in versions if v not in kept]
+    def files_of(vs):
+        out = set()
+        for v in vs:
+            with open(_manifest_path(base, v), encoding="utf-8") as fh:
+                out.update(json.load(fh)["files"])
+        return out
+    kept_files = files_of(kept)
+    removable = sorted(files_of(expired) - kept_files)
+    if not dry_run:
+        for f in removable:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        for v in expired:
+            os.remove(_manifest_path(base, v))
+    return {
+        "kept_versions": kept,
+        "expired_versions": expired,
+        "removed_files": removable,
+        "kept_files": sorted(kept_files),
+    }

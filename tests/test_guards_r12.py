@@ -195,3 +195,52 @@ def test_join_delta_empty_deltas_yield_empty(spark):
     empty_l = bl.where("1=0")
     empty_r = br.where("1=0")
     assert cdc.join_delta(bl, empty_l, br, empty_r, on=["k"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# versioned.vacuum: snapshot expiration never deletes referenced files
+# ---------------------------------------------------------------------------
+
+def test_vacuum_keeps_carried_forward_files(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources import versioned
+
+    base = str(tmp_path / "store")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, val string")
+    versioned.versioned_write(df, base, n_files=4)
+    # two copy-on-write upserts: most v1 files carry forward by reference
+    versioned.versioned_upsert(
+        spark, base, spark.createDataFrame([(1, "x")], "k long, val string"), ["k"]
+    )
+    versioned.versioned_upsert(
+        spark, base, spark.createDataFrame([(2, "y")], "k long, val string"), ["k"]
+    )
+    dry = versioned.vacuum(base, keep_versions=1, dry_run=True)
+    assert dry["expired_versions"] == [1, 2]
+    # dry run deletes nothing
+    assert versioned.list_versions(base) == [1, 2, 3]
+    before = {(r["k"], r["val"]) for r in versioned.snapshot_read(spark, base, 3).collect()}
+
+    res = versioned.vacuum(base, keep_versions=1)
+    assert versioned.list_versions(base) == [3]
+    # v3 still reads bit-identically: carried-forward v1 files survived
+    after = {(r["k"], r["val"]) for r in versioned.snapshot_read(spark, base, 3).collect()}
+    assert after == before
+    import os
+    for f in res["removed_files"]:
+        assert not os.path.exists(f)
+    for f in res["kept_files"]:
+        assert os.path.exists(f)
+    # removed and kept are disjoint
+    assert not set(res["removed_files"]) & set(res["kept_files"])
+
+
+def test_vacuum_refuses_zero_keep(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources import versioned
+    import pytest as _pytest
+
+    base = str(tmp_path / "store2")
+    versioned.versioned_write(
+        spark.createDataFrame([(1, "a")], "k long, val string"), base
+    )
+    with _pytest.raises(ValueError, match="keep_versions"):
+        versioned.vacuum(base, keep_versions=0)
