@@ -97,10 +97,23 @@ def entity_resolution(
     pairs = blocked_candidate_pairs(
         records, id_col, [name_col], block_exprs
     ).where(
-        F.levenshtein(
-            F.col(f"{name_col}_a"), F.col(f"{name_col}_b"), max_distance
+        # length-difference bound first (r12): levenshtein(a, b) >=
+        # |len(a) - len(b)|, so this O(1) codegen predicate skips the
+        # O(max_len·d) DP entirely for pairs that cannot match —
+        # conjuncts evaluate left-to-right in codegen, value-identical
+        (
+            F.abs(
+                F.length(F.col(f"{name_col}_a"))
+                - F.length(F.col(f"{name_col}_b"))
+            )
+            <= F.lit(max_distance)
         )
-        >= F.lit(0)
+        & (
+            F.levenshtein(
+                F.col(f"{name_col}_a"), F.col(f"{name_col}_b"), max_distance
+            )
+            >= F.lit(0)
+        )
     ).select("id_a", "id_b")
     out = dedup.near_duplicate_clusters(
         pairs, records.select(id_col), id_col
