@@ -11818,28 +11818,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     the r11 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
-    "q_text_language_mix": (q_text_language_mix, _TEXT_LANGUAGE_MIX_SQL),
-    "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
-    "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
-    "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
-    "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
     "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
-    "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
-    "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),
-    "q_embed_standardize": (q_embed_standardize, _EMBED_STANDARDIZE_SQL),
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
-    "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
     "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
     "q_layout_compaction": (q_layout_compaction, _LAYOUT_COMPACTION_SQL),
-    "q_text_readability": (q_text_readability, _TEXT_READABILITY_SQL),
-    "q_media_image_resize": (q_media_image_resize, _MEDIA_IMAGE_RESIZE_SQL),
-    "q_events_attribution": (q_events_attribution, _EVENTS_ATTRIBUTION_SQL),
-    "q_validate_calibration": (q_validate_calibration, _VALIDATE_CALIBRATION_SQL),
     "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
     "q_graph_components": (q_graph_components, _graph_components_sql()),
-    "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
@@ -11853,7 +11839,53 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "q_dedup_keep_best": (q_dedup_keep_best, _keep_best_sql()),
-    # --- unchanged driver-green entries (prior-round evidence stands) ---
+    "q_events_stream_ewma": (q_events_stream_ewma, _EVENTS_STREAM_EWMA_SQL),
+    "q_graph_pagerank_directed_personalized": (
+        q_graph_pagerank_directed_personalized,
+        _pagerank_directed_personalized_sql(),
+    ),
+    "q_graph_communities": (q_graph_communities, _graph_communities_sql()),
+    "q_graph_pagerank_incremental": (
+        q_graph_pagerank_incremental,
+        _pagerank_sql(_PR_VARIANT_ITERS),
+    ),
+    "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
+    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
+    "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
+    "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
+    "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
+    "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
+    "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
+    "q_events_stream_enrich": (q_events_stream_enrich, _EVENTS_STREAM_ENRICH_SQL),
+    "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
+    "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
+    "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
+    "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
+    "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
+    "q_graph_pagerank_personalized": (
+        q_graph_pagerank_personalized,
+        _pagerank_personalized_sql(),
+    ),
+    "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
+    "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
+    "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
+    "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
+    # --- unchanged entries (evidence from prior driver rounds stands) ---
+    "q_text_language_mix": (q_text_language_mix, _TEXT_LANGUAGE_MIX_SQL),
+    "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
+    "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
+    "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
+    "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
+    "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
+    "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
+    "q_embed_standardize": (q_embed_standardize, _EMBED_STANDARDIZE_SQL),
+    "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),
+    "q_text_readability": (q_text_readability, _TEXT_READABILITY_SQL),
+    "q_media_image_resize": (q_media_image_resize, _MEDIA_IMAGE_RESIZE_SQL),
+    "q_events_attribution": (q_events_attribution, _EVENTS_ATTRIBUTION_SQL),
+    "q_validate_calibration": (q_validate_calibration, _VALIDATE_CALIBRATION_SQL),
+    "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
     "q_graph_link_prediction": (q_graph_link_prediction, _GRAPH_LINK_PREDICTION_SQL),
     "q_events_sequences": (q_events_sequences, _EVENTS_SEQUENCES_SQL),
     "q_events_twap": (q_events_twap, _EVENTS_TWAP_SQL),
@@ -11878,7 +11910,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_asof_forward": (q_events_asof_forward, _EVENTS_ASOF_FORWARD_SQL),
     "q_clean_impute": (q_clean_impute, _CLEAN_IMPUTE_SQL),
     "q_agg_bitwise": (q_agg_bitwise, _AGG_BITWISE_SQL),
-    "q_events_stream_ewma": (q_events_stream_ewma, _EVENTS_STREAM_EWMA_SQL),
     "q_agg_moments": (q_agg_moments, _AGG_MOMENTS_SQL),
     "q_window_cume_dist": (q_window_cume_dist, _WINDOW_CUME_DIST_SQL),
     "q_media_jpeg_decode_progressive_420": (
@@ -11887,27 +11918,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "q_agg_heavy_hitters": (q_agg_heavy_hitters, _AGG_HEAVY_HITTERS_SQL),
     "q_join_size_estimate": (q_join_size_estimate, _JOIN_SIZE_ESTIMATE_SQL),
-    "q_graph_pagerank_directed_personalized": (
-        q_graph_pagerank_directed_personalized,
-        _pagerank_directed_personalized_sql(),
-    ),
     "q_text_bpe_tokenize": (q_text_bpe_tokenize, _text_bpe_tokenize_sql()),
     "q_pipeline_pretrain": (q_pipeline_pretrain, _pipeline_pretrain_sql()),
     "q_sample_temperature": (q_sample_temperature, _SAMPLE_TEMPERATURE_SQL),
-    "q_graph_communities": (q_graph_communities, _graph_communities_sql()),
     "q_graph_hits": (q_graph_hits, _graph_hits_sql()),
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
     "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
-    "q_graph_pagerank_incremental": (
-        q_graph_pagerank_incremental,
-        _pagerank_sql(_PR_VARIANT_ITERS),
-    ),
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
-    "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
-    "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_embed_mean_pool": (q_embed_mean_pool, _EMBED_MEAN_POOL_SQL),
     "q_basket_rules": (q_basket_rules, _BASKET_RULES_SQL),
     "q_validate_auc": (q_validate_auc, _VALIDATE_AUC_SQL),
@@ -11920,7 +11940,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_gif_decode": (q_media_gif_decode, _MEDIA_BMP_SQL),
     "q_media_features": (q_media_features, _MEDIA_FEATURES_SQL),
     "q_dedup_containment": (q_dedup_containment, _DEDUP_CONTAINMENT_SQL),
-    "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
     "q_graph_copurchase": (q_graph_copurchase, _GRAPH_COPURCHASE_SQL),
     "q_decontaminate_score": (q_decontaminate_score, _DECONTAMINATE_SCORE_SQL),
     "q_validate_psi": (q_validate_psi, _VALIDATE_PSI_SQL),
@@ -11934,8 +11953,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_langid_margin": (q_text_langid_margin, _TEXT_LANGID_MARGIN_SQL),
     "q_clean_mad_outliers": (q_clean_mad_outliers, _CLEAN_MAD_OUTLIERS_SQL),
     "q_events_transitions": (q_events_transitions, _EVENTS_TRANSITIONS_SQL),
-    "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
-    "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_join_bloom_pruned": (q_join_bloom_pruned, _JOIN_BLOOM_SQL),
     "q_skew_report": (q_skew_report, _SKEW_REPORT_SQL),
     "q_source_jsonl": (q_source_jsonl, _SOURCE_JSONL_SQL),
@@ -11961,15 +11978,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_REVENUE_SQL),
     "q_sample_interleave": (q_sample_interleave, _SAMPLE_INTERLEAVE_SQL),
     "q_clean_quantile_bins": (q_clean_quantile_bins, _CLEAN_QUANTILE_BINS_SQL),
-    "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
     "q_source_orc": (q_source_orc, _SOURCE_JSONL_SQL),
     "q_sample_kfold": (q_sample_kfold, _SAMPLE_KFOLD_SQL),
-    "q_events_stream_tumbling": (q_events_stream_tumbling, _EVENTS_TUMBLING_SQL),
-    "q_events_stream_dedup": (q_events_stream_dedup, _EVENTS_STREAM_DEDUP_SQL),
-    "q_events_stream_enrich": (q_events_stream_enrich, _EVENTS_STREAM_ENRICH_SQL),
-    "q_events_stateful_totals": (q_events_stateful_totals, _EVENTS_STATEFUL_SQL),
-    "q_events_stream_join": (q_events_stream_join, _EVENTS_STREAM_JOIN_SQL),
-    "q_events_stream_sessions": (q_events_stream_sessions, _EVENTS_STREAM_SESSIONS_SQL),
     "q_media_wav_decode": (q_media_wav_decode, _MEDIA_WAV_SQL),
     "q_domain_blocklist": (q_domain_blocklist, _DOMAIN_BLOCKLIST_SQL),
     "q_validate_orders": (q_validate_orders, _VALIDATE_ORDERS_SQL),
@@ -12016,7 +12026,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_text_lm_ppl": (q_text_lm_ppl, _TEXT_LM_PPL_SQL),
     "q_agg_sketch_rollup": (q_agg_sketch_rollup, _AGG_SKETCH_ROLLUP_SQL),
     "q_text_bm25_topk": (q_text_bm25_topk, _TEXT_BM25_SQL),
-    "q_hybrid_rrf": (q_hybrid_rrf, _HYBRID_RRF_SQL),
     "q_dedup_substring_spans": (q_dedup_substring_spans, _DEDUP_SUBSTRING_SPANS_SQL),
     "q_dedup_substring_stats": (q_dedup_substring_stats, _DEDUP_SUBSTRING_STATS_SQL),
     "q_source_quality_gate": (q_source_quality_gate, _SOURCE_QUALITY_GATE_SQL),
@@ -12094,7 +12103,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_priority_line_buckets": (q_priority_line_buckets, _PRIORITY_BUCKETS_SQL),
     "q_dedup_docs_exact": (q_dedup_docs_exact, _DEDUP_EXACT_SQL),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_sql()),
-    "q_knn_bruteforce": (q_knn_bruteforce, _KNN_BF_SQL),
     "q_emb_quantize": (q_emb_quantize, _EMB_QUANTIZE_SQL),
     "q_text_langid": (q_text_langid, _TEXT_LANGID_SQL),
     "q_text_tokens": (q_text_tokens, _TEXT_TOKENS_SQL),
@@ -12104,16 +12112,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_agg_collect": (q_agg_collect, _AGG_COLLECT_SQL),
     "q_sample_hash": (q_sample_hash, _SAMPLE_HASH_SQL),
     "q_text_bpe_merges": (q_text_bpe_merges, _text_bpe_sql()),
-    "q_graph_pagerank_personalized": (
-        q_graph_pagerank_personalized,
-        _pagerank_personalized_sql(),
-    ),
     "q_agg_hll_overlap": (q_agg_hll_overlap, _AGG_HLL_OVERLAP_SQL),
     "q_sample_bootstrap": (q_sample_bootstrap, _SAMPLE_BOOTSTRAP_SQL),
-    "q_graph_pagerank": (q_graph_pagerank, _pagerank_sql()),
-    "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
-    "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
-    "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
     "q_media_jpeg_decode": (q_media_jpeg_decode, _MEDIA_JPEG_SQL),
     "q_media_jpeg_decode_subsampled": (
         q_media_jpeg_decode_subsampled,
