@@ -155,18 +155,31 @@ def pagerank(
         )
     else:
         e = e.distinct()
-    e = e.repartition(F.col("__src")).localCheckpoint(eager=False)
+    # STATIC relations (edges, degrees, node set): cache(), not a lazy
+    # localCheckpoint — a checkpoint physically plans its frame at BUILD
+    # time (the r12 recall_report finding), while InMemoryRelation defers
+    # to the first action, is a LEAF to every later optimization pass,
+    # and preserves outputPartitioning the same way. Checkpoints remain
+    # on the ITERATION frames below, where lineage truncation (not just
+    # reuse) is the point. Empirical boundary (r12, measured both ways):
+    # cache wins for MANY-referenced or node-sized frames (pagerank's 8
+    # reads of e amortize the columnar encode), while ops that reference
+    # an edge-sized string-heavy frame only 2-3 times in one heavy job
+    # (triangle census, components-mode label propagation, HITS) measured
+    # 2-3x SLOWER cached — the columnar encode/decode outweighs the
+    # planning saved — and keep lazy checkpoints instead.
+    e = e.repartition(F.col("__src")).cache()
     if weight_col is not None:
         deg = (
             e.groupBy("__src")
             .agg(F.sum("__w").alias("__deg"))
-            .localCheckpoint(eager=False)
+            .cache()
         )
     else:
         deg = (
             e.groupBy("__src")
             .agg(F.count("*").alias("__deg"))
-            .localCheckpoint(eager=False)
+            .cache()
         )
     if symmetric:
         # after symmetrization every endpoint appears as a source —
@@ -178,7 +191,7 @@ def pagerank(
             .unionByName(e.select(F.col("__dst").alias("__node")))
             .distinct()
         )
-    nodes = nodes.localCheckpoint(eager=False)
+    nodes = nodes.cache()
     # (node, out_degree) carried IN the rank frame for the whole run
     # (r12): the previous shape re-joined ranks⋈deg every iteration —
     # checkpointed RDD frames lose their output partitioning, so that
@@ -190,20 +203,20 @@ def pagerank(
         deg.select(F.col("__src").alias("__node"), F.col("__deg")),
         "__node",
         "left",
-    ).localCheckpoint(eager=False)
+    ).cache()
     if not symmetric:
         # scalar node count for the per-iteration dangling share —
         # one row, computed once, broadcast into every iteration
         n_nodes = (
             nodes.agg(F.count("*").cast("bigint").alias("__n"))
-            .localCheckpoint(eager=False)
+            .cache()
         )
     if seeds is not None:
         seed_nodes = (
             seeds.select(F.col(seeds.columns[0]).alias("__node"))
             .distinct()
             .join(nodes, "__node", "left_semi")
-            .localCheckpoint(eager=False)
+            .cache()
         )
         # per-seed teleport = (100-d)·base·n_nodes div n_seeds — the
         # SAME total mass the uniform mode spreads, concentrated on the
@@ -221,14 +234,14 @@ def pagerank(
                     f"cast({(100 - damping_pct) * base} as bigint) * __n div __s"
                 ).alias("__tele")
             )
-            .localCheckpoint(eager=False)
+            .cache()
         )
         if not symmetric:
             # directed PPR: the per-iteration sink mass is divided by
             # the SEED count (teleport-consistent dangling), one scalar
             n_seeds = (
                 seed_nodes.agg(F.count("*").cast("bigint").alias("__s"))
-                .localCheckpoint(eager=False)
+                .cache()
             )
     if init_ranks is not None:
         # WARM START (incremental maintenance): resume from a previous
@@ -584,7 +597,7 @@ def k_core(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .cache()
     )
     alive_e = e
     for _ in range(iterations):
@@ -855,12 +868,12 @@ def k_hop_distances(
         e = e.unionByName(
             e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         ).distinct()
-    e = e.repartition(F.col("__src")).localCheckpoint(eager=False)
+    e = e.repartition(F.col("__src")).cache()
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("__node"))
         .distinct()
         .withColumn("__dist", F.lit(0).cast("int"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     for _ in range(max_hops):
         relaxed = e.join(dist, e["__src"] == dist["__node"]).select(
@@ -919,7 +932,7 @@ def link_prediction(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .cache()
     )
     sdeg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__sd"))
     ddeg = e.groupBy("__d").agg(F.count(F.lit(1)).cast("bigint").alias("__dd"))
