@@ -11871,6 +11871,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_pagerank_directed": (q_graph_pagerank_directed, _pagerank_directed_sql()),
     "q_graph_pagerank_receipt": (q_graph_pagerank_receipt, _pagerank_receipt_sql()),
     "q_graph_pagerank_weighted": (q_graph_pagerank_weighted, _pagerank_weighted_sql()),
+    "q_graph_link_prediction": (q_graph_link_prediction, _GRAPH_LINK_PREDICTION_SQL),
+    "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
     # --- unchanged entries (evidence from prior driver rounds stands) ---
     "q_text_language_mix": (q_text_language_mix, _TEXT_LANGUAGE_MIX_SQL),
     "q_source_fixed_width": (q_source_fixed_width, _SOURCE_FIXED_WIDTH_SQL),
@@ -11886,7 +11888,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_events_attribution": (q_events_attribution, _EVENTS_ATTRIBUTION_SQL),
     "q_validate_calibration": (q_validate_calibration, _VALIDATE_CALIBRATION_SQL),
     "q_layout_zorder": (q_layout_zorder, _LAYOUT_ZORDER_SQL),
-    "q_graph_link_prediction": (q_graph_link_prediction, _GRAPH_LINK_PREDICTION_SQL),
     "q_events_sequences": (q_events_sequences, _EVENTS_SEQUENCES_SQL),
     "q_events_twap": (q_events_twap, _EVENTS_TWAP_SQL),
     "q_ml_linreg": (q_ml_linreg, _ML_LINREG_SQL),
@@ -11924,7 +11925,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_hits": (q_graph_hits, _graph_hits_sql()),
     "q_events_funnel": (q_events_funnel, _EVENTS_FUNNEL_SQL),
     "q_events_retention": (q_events_retention, _EVENTS_RETENTION_SQL),
-    "q_graph_khop": (q_graph_khop, _graph_khop_sql()),
     "q_validate_kanonymity": (q_validate_kanonymity, _VALIDATE_KANON_SQL),
     "q_decontaminate_semantic": (q_decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL),
     "q_enrich_target_encode": (q_enrich_target_encode, _ENRICH_TARGET_ENCODE_SQL),
