@@ -10950,6 +10950,82 @@ ORDER BY orderkey, l_linenumber, o_orderdate
 """
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two versions of the
+    copy-on-write store (versioned.change_feed — Delta CDF's shape):
+    v1 = an orders cohort, v2 = an upsert that doubles every 21st
+    order's price (update) and adds negated-key rows (insert). The
+    feed is MANIFEST-PRUNED — it scans only the files the upsert
+    retired or added, never the carried-forward ones — and emits one
+    row per changed key with pre+post images. The oracle re-derives
+    the same inserts/updates from the logical orders table (prices as
+    cents, the time-travel precedent), so a phantom change from an
+    untouched-but-rewritten row, a missed update, or a wrong image
+    breaks the hash."""
+    from ai_etl_pipeline_spark.sources import versioned
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1_df = orders.where(F.col("o_orderkey") % 3 == 0)
+    upd = (
+        v1_df.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 30 == 1).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    base = _scratch_dir("changefeed", sf_dir)
+    versioned.drop_snapshot_store(base)  # idempotent re-runs
+    v1 = versioned.versioned_write(v1_df, base, n_files=4)
+    v2 = versioned.versioned_upsert(spark, base, upd, ["o_orderkey"])
+    feed = versioned.change_feed(spark, base, v1, v2, ["o_orderkey"])
+    return feed.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_orderstatus",
+        "new_o_orderstatus",
+        F.expr("cast(round(old_o_totalprice * 100) as bigint)").alias(
+            "old_cents"
+        ),
+        F.expr("cast(round(new_o_totalprice * 100) as bigint)").alias(
+            "new_cents"
+        ),
+    ).orderBy("o_orderkey")
+
+
+_CDC_CHANGE_FEED_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, 'update' AS change_type,
+         o_orderstatus AS old_o_orderstatus,
+         'U' AS new_o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS old_cents,
+         CAST(round(o_totalprice * 2 * 100) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderkey % 21 = 0 AND o_orderkey % 3 = 0
+),
+inserts AS (
+  SELECT -o_orderkey AS o_orderkey, 'insert' AS change_type,
+         CAST(NULL AS VARCHAR) AS old_o_orderstatus,
+         'N' AS new_o_orderstatus,
+         CAST(NULL AS BIGINT) AS old_cents,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderkey % 30 = 1
+)
+SELECT * FROM updates
+UNION ALL
+SELECT * FROM inserts
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11818,6 +11894,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     the r11 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
+    "q_cdc_change_feed": (q_cdc_change_feed, _CDC_CHANGE_FEED_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
     "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),

@@ -244,3 +244,47 @@ def test_vacuum_refuses_zero_keep(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="keep_versions"):
         versioned.vacuum(base, keep_versions=0)
+
+
+# ---------------------------------------------------------------------------
+# change_feed: CDF between versions, manifest-pruned
+# ---------------------------------------------------------------------------
+
+def test_change_feed_images_and_no_phantoms(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources import versioned
+
+    base = str(tmp_path / "cf")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(40)], "k long, s string, x long"
+    )
+    versioned.versioned_write(df, base, n_files=4)
+    upd = spark.createDataFrame(
+        [(1, "v1x", 999), (100, "new", -1)], "k long, s string, x long"
+    )
+    v2 = versioned.versioned_upsert(spark, base, upd, ["k"])
+    feed = versioned.change_feed(spark, base, 1, v2, ["k"]).collect()
+    by_key = {r["k"]: r for r in feed}
+    # exactly the touched keys — rewritten-file copies of untouched
+    # rows cancel in the null-safe filter (no phantom updates)
+    assert set(by_key) == {1, 100}
+    assert by_key[1]["change_type"] == "update"
+    assert (by_key[1]["old_s"], by_key[1]["new_s"]) == ("v1", "v1x")
+    assert (by_key[1]["old_x"], by_key[1]["new_x"]) == (10, 999)
+    assert by_key[100]["change_type"] == "insert"
+    assert by_key[100]["old_s"] is None and by_key[100]["new_x"] == -1
+
+
+def test_change_feed_update_to_all_null_values_is_update_not_delete(spark, tmp_path):
+    from ai_etl_pipeline_spark.sources import versioned
+
+    base = str(tmp_path / "cf2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    versioned.versioned_write(df, base, n_files=1)
+    upd = spark.createDataFrame([(1, None)], "k long, s string")
+    v2 = versioned.versioned_upsert(spark, base, upd, ["k"])
+    feed = versioned.change_feed(spark, base, 1, v2, ["k"]).collect()
+    # the presence marker (not value nullness) keys the op: an all-NULL
+    # post-image row is an UPDATE, never a delete
+    assert [(r["k"], r["change_type"], r["old_s"], r["new_s"]) for r in feed] == [
+        (1, "update", "a", None)
+    ]
