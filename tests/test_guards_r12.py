@@ -288,3 +288,49 @@ def test_change_feed_update_to_all_null_values_is_update_not_delete(spark, tmp_p
     assert [(r["k"], r["change_type"], r["old_s"], r["new_s"]) for r in feed] == [
         (1, "update", "a", None)
     ]
+
+
+# ---------------------------------------------------------------------------
+# deletion-neighborhood candidates: recall 1.0 at d=1, verify kills over-reach
+# ---------------------------------------------------------------------------
+
+def test_deletion_candidates_match_blocked_tier_exactly(spark):
+    from ai_etl_pipeline_spark.operators import linkage
+
+    rows = [
+        (1, "alpha", 0), (2, "alphb", 0),   # substitution (d=1)
+        (3, "alpha!", 0),                    # insertion vs 1 (d=1)
+        (4, "alph", 0),                      # deletion vs 1 (d=1)
+        (5, "alpha", 0),                     # exact duplicate of 1
+        (6, "ab", 0), (7, "ba", 0),          # d=2 but sharing deletion variant "b"
+        (8, "zzzzz", 0),                     # singleton
+        (9, "alpha", 1),                     # same name, DIFFERENT block
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, blk int")
+    from pyspark.sql import functions as F
+
+    out_del = linkage.entity_resolution(
+        df, "rid", "name", [F.col("blk")], max_distance=1, candidates="deletion"
+    )
+    out_blk = linkage.entity_resolution(
+        df, "rid", "name", [F.col("blk")], max_distance=1, candidates="blocked"
+    )
+    a = sorted((r["rid"], r["entity_id"], r["entity_size"]) for r in out_del.collect())
+    b = sorted((r["rid"], r["entity_id"], r["entity_size"]) for r in out_blk.collect())
+    assert a == b
+    ent = {r[0]: r[1] for r in a}
+    assert ent[1] == ent[2] == ent[3] == ent[4] == ent[5] == 1  # one entity
+    assert ent[6] != ent[7]  # "ab"/"ba" over-reach killed by the verify
+    assert ent[8] == 8 and ent[9] == 9  # singleton + cross-block isolation
+
+
+def test_deletion_candidates_rejected_above_d1(spark):
+    from ai_etl_pipeline_spark.operators import linkage
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a", 0)], "rid long, name string, blk int")
+    with _pytest.raises(ValueError, match="max_distance == 1"):
+        linkage.entity_resolution(
+            df, "rid", "name", [F.col("blk")], max_distance=2, candidates="deletion"
+        )
