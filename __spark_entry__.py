@@ -11026,6 +11026,72 @@ ORDER BY o_orderkey
 """
 
 
+def q_cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup (cdc.scd2_lookup_join — the
+    leakage-free feature-lookup join): every lineitem of the modulo
+    customer cohort is joined to the order version that was VALID at
+    its ship date per the SCD2 validity ranges built from the order
+    history (valid_from = order date, valid_to = the next order's
+    date). Ranges partition each key's timeline, so the join cannot
+    fan out; lines shipped before the customer's first order date get
+    a NULL version (left join). The oracle replays the lead() ranges
+    and the same range predicates; a fact matched to a stale or future
+    version breaks the hash."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    dim = cdc.scd2_snapshot(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        ["o_custkey"],
+        "o_orderdate",
+        "o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("pit_orderkey"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", F.col("l_shipdate").alias("ts"), "l_extendedprice")
+    )
+    joined = cdc.scd2_lookup_join(facts, dim, ["o_custkey"], "ts")
+    return (
+        joined.groupBy("o_custkey", "pit_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("o_custkey", "pit_orderkey")
+    )
+
+
+_CDC_SCD2_LOOKUP_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_custkey % 20 = 0),
+dim AS (
+  SELECT o_custkey, o_orderkey AS pit_orderkey, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM o
+),
+facts AS (
+  SELECT o_custkey, l_shipdate AS ts, l_extendedprice
+  FROM lineitem JOIN o ON o_orderkey = l_orderkey
+)
+SELECT f.o_custkey, d.pit_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM facts f LEFT JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11895,6 +11961,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #     first 50 positions; unchanged driver-green entries rotated back ---
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
     "q_cdc_change_feed": (q_cdc_change_feed, _CDC_CHANGE_FEED_SQL),
+    "q_cdc_scd2_lookup": (q_cdc_scd2_lookup, _CDC_SCD2_LOOKUP_SQL),
     "q_layout_bloom_index": (q_layout_bloom_index, _LAYOUT_BLOOM_INDEX_SQL),
     "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),

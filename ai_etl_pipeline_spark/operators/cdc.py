@@ -278,3 +278,68 @@ def join_delta(
     # let AQE pick (a broadcast hint on BOTH sides is contradictory)
     part3 = delta_left.join(b(delta_right), on, "inner")
     return part1.unionByName(part2).unionByName(part3)
+
+
+def scd2_lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    event_time_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """POINT-IN-TIME lookup join — the consumption half of
+    :func:`scd2_snapshot`: attach to every fact row the dimension
+    version that was VALID AT THE FACT'S EVENT TIME
+    (``valid_from <= t`` and ``t < valid_to``, open interval NULL-safe)
+    — the join every "as the customer looked when the order shipped"
+    report and every leakage-free ML feature lookup needs (training
+    features must come from the version valid at label time, never the
+    current row).
+
+    Plan shape: an EQUI-join on the business key (hash join, or
+    broadcast when the dimension history is small) with the range
+    predicates as a residual filter — never a cross or theta-only
+    join. A key's validity ranges partition its timeline (lead() by
+    construction, zero-width ranges from effective-time ties match
+    nothing), so at most ONE dimension version survives per fact: the
+    join CANNOT fan out. ``dim`` must carry ``valid_from``/``valid_to``
+    (:func:`scd2_snapshot` output); its key columns are dropped from
+    the result (they duplicate the fact side). The dimension's key and
+    validity columns are re-aliased to fresh names BEFORE the join:
+    facts and dim routinely share lineage (both derived from the same
+    base table), and ``df[col]`` disambiguation is unreliable on
+    self-join-shaped plans — a first cut silently dropped the FACT's
+    key and merged every unmatched fact into one NULL-key group."""
+    key_cols = list(key_cols)
+    others = [
+        c
+        for c in dim.columns
+        if c not in key_cols and c not in ("valid_from", "valid_to")
+    ]
+    clash = [c for c in others + ["valid_from", "valid_to"] if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"scd2_lookup_join: dim columns {clash} collide with fact columns"
+        )
+    d = dim.select(
+        *[F.col(k).alias(f"__pit_{k}") for k in key_cols],
+        F.col("valid_from").alias("__pit_from"),
+        F.col("valid_to").alias("__pit_to"),
+        *[F.col(c) for c in others],
+    )
+    cond = None
+    for k in key_cols:
+        c = facts[k] == F.col(f"__pit_{k}")
+        cond = c if cond is None else cond & c
+    t = facts[event_time_col]
+    cond = (
+        cond
+        & (t >= F.col("__pit_from"))
+        & (F.col("__pit_to").isNull() | (t < F.col("__pit_to")))
+    )
+    out = facts.join(d, cond, how)
+    return (
+        out.drop(*[f"__pit_{k}" for k in key_cols])
+        .withColumnRenamed("__pit_from", "valid_from")
+        .withColumnRenamed("__pit_to", "valid_to")
+    )

@@ -334,3 +334,46 @@ def test_deletion_candidates_rejected_above_d1(spark):
         linkage.entity_resolution(
             df, "rid", "name", [F.col("blk")], max_distance=2, candidates="deletion"
         )
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup_join: PIT semantics, no fanout, shared-lineage safety
+# ---------------------------------------------------------------------------
+
+def test_scd2_lookup_join_pit_semantics(spark):
+    from ai_etl_pipeline_spark.operators import cdc
+
+    hist = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 20, "v2"), (1, 20, "v2b"), (2, 5, "w1")],
+        "k long, eff long, attr string",
+    )
+    dim = cdc.scd2_snapshot(hist, ["k"], "eff", "attr").select(
+        "k", "attr", "valid_from", "valid_to"
+    )
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 20), (1, 99), (2, 1), (3, 7)],
+        "k long, ts long",
+    )
+    out = {
+        (r["k"], r["ts"]): r["attr"]
+        for r in cdc.scd2_lookup_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert out[(1, 10)] == "v1" and out[(1, 15)] == "v1"
+    # effective-time tie: v2's interval is zero-width, v2b wins at ts=20
+    assert out[(1, 20)] == "v2b" and out[(1, 99)] == "v2b"
+    assert out[(2, 1)] is None   # before first version
+    assert out[(3, 7)] is None   # unknown key, left join
+    # exactly one row per fact — validity ranges cannot fan out
+    assert cdc.scd2_lookup_join(facts, dim, ["k"], "ts").count() == facts.count()
+
+
+def test_scd2_lookup_join_rejects_column_clash(spark):
+    from ai_etl_pipeline_spark.operators import cdc
+    import pytest as _pytest
+
+    dim = spark.createDataFrame(
+        [(1, 0, None, "x")], "k long, valid_from long, valid_to long, ts string"
+    )
+    facts = spark.createDataFrame([(1, 5)], "k long, ts long")
+    with _pytest.raises(ValueError, match="collide"):
+        cdc.scd2_lookup_join(facts, dim, ["k"], "ts")
