@@ -5815,6 +5815,72 @@ FROM (
 """
 
 
+def q_validate_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan report (validate.referential_integrity_report
+    — dbt ``relationships`` / Deequ referential check; north-star: the
+    reference validates nothing). Three FKs over TPC-H; the customer
+    and part parents are deterministically thinned (``key % 7 <> 0`` /
+    ``key % 5 <> 0``) so two FKs carry real orphan counts and one
+    (lineitem→supplier, intact) proves the zero path. Child sides are
+    pre-aggregated to distinct keys before the anti-probe join, so the
+    report is one scan per relation + key-sized joins, output O(#FKs)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer").where(
+        F.pmod(F.col("c_custkey"), F.lit(7)) != 0
+    )
+    part = _t(spark, sf_dir, "part").where(
+        F.pmod(F.col("p_partkey"), F.lit(5)) != 0
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return validate.referential_integrity_report(
+        orders,
+        [("orders_custkey", "o_custkey", customer, "c_custkey")],
+    ).unionByName(
+        validate.referential_integrity_report(
+            lineitem,
+            [
+                ("lineitem_partkey", "l_partkey", part, "p_partkey"),
+                ("lineitem_suppkey", "l_suppkey", supplier, "s_suppkey"),
+            ],
+        )
+    ).orderBy("fk")
+
+
+_VALIDATE_REFERENTIAL_SQL = """
+WITH c1 AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY 1),
+     p1 AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 7 <> 0),
+     c2 AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem
+            WHERE l_partkey IS NOT NULL GROUP BY 1),
+     p2 AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey % 5 <> 0),
+     c3 AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem
+            WHERE l_suppkey IS NOT NULL GROUP BY 1),
+     p3 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+     r AS (
+       SELECT 'orders_custkey' AS fk,
+              CAST(count(*) AS BIGINT) AS child_keys,
+              CAST(coalesce(sum(CASE WHEN p1.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_keys,
+              CAST(coalesce(sum(CASE WHEN p1.k IS NULL THEN cnt ELSE 0 END), 0) AS BIGINT) AS orphan_rows
+       FROM c1 LEFT JOIN p1 USING (k)
+       UNION ALL
+       SELECT 'lineitem_partkey',
+              CAST(count(*) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN p2.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN p2.k IS NULL THEN cnt ELSE 0 END), 0) AS BIGINT)
+       FROM c2 LEFT JOIN p2 USING (k)
+       UNION ALL
+       SELECT 'lineitem_suppkey',
+              CAST(count(*) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN p3.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN p3.k IS NULL THEN cnt ELSE 0 END), 0) AS BIGINT)
+       FROM c3 LEFT JOIN p3 USING (k)
+     )
+SELECT fk, child_keys, orphan_keys, orphan_rows, orphan_rows = 0 AS passed
+FROM r ORDER BY fk
+"""
+
+
 def q_sample_topk_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k-per-stratum sample: rank by salted hash
     inside each language, keep 20 — the fixed-budget counterpart of
@@ -11959,6 +12025,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-12 driver window: every query whose code changed since
     #     the r11 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_validate_referential": (q_validate_referential, _VALIDATE_REFERENTIAL_SQL),
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
     "q_cdc_change_feed": (q_cdc_change_feed, _CDC_CHANGE_FEED_SQL),
     "q_cdc_scd2_lookup": (q_cdc_scd2_lookup, _CDC_SCD2_LOOKUP_SQL),

@@ -136,6 +136,75 @@ def enforce(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return df
 
 
+def referential_integrity_report(
+    child: DataFrame,
+    specs: Sequence[tuple[str, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan report: for each ``(fk_name, child_col,
+    parent_df, parent_col)`` spec, count child rows/keys whose non-NULL
+    key has no match in the parent (the dbt ``relationships`` test,
+    Deequ's ``isContainedIn`` over a column reference). NULL child keys
+    are skipped per the SQL FK convention — stack a ``not_null`` rule
+    in :func:`expect` to forbid them.
+
+    Spark-first shape, per FK: the child is pre-aggregated to
+    ``(key, cnt)`` — a partial-aggregate shuffle that shrinks the probe
+    side from rows to DISTINCT KEYS before any join — then left-joined
+    against the parent's distinct keys and reduced to one row. At
+    100 TB the child groupBy is the cost floor (one scan + map-side
+    combine); the join's build side is parent *keys*, broadcast-able
+    for dims, and the output is O(#FKs), never O(rows). Each FK is an
+    independent plan branch so Spark schedules them concurrently under
+    one union.
+
+    Returns one row per spec, ordered by ``fk``:
+    ``(fk, child_keys, orphan_keys, orphan_rows, passed)``.
+    """
+    if not specs:
+        raise ValueError("referential_integrity_report() needs at least one spec")
+    seen = set()
+    for fk_name, _, _, _ in specs:
+        if fk_name in seen:
+            raise ValueError(f"duplicate fk name: {fk_name!r}")
+        seen.add(fk_name)
+    reports = []
+    for fk_name, child_col, parent, parent_col in specs:
+        ck = (
+            child.where(F.col(child_col).isNotNull())
+            .groupBy(F.col(child_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pk = parent.select(F.col(parent_col).alias("k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+        orphan = F.col("_hit").isNull()
+        reports.append(
+            ck.join(pk, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("child_keys"),
+                F.coalesce(F.sum(orphan.cast("long")), F.lit(0))
+                .cast("long")
+                .alias("orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("cnt")).otherwise(F.lit(0))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+            )
+            .select(
+                F.lit(fk_name).alias("fk"),
+                "child_keys",
+                "orphan_keys",
+                "orphan_rows",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("orphan_rows") == 0).orderBy("fk")
+
+
 def population_stability(
     ref: DataFrame,
     cur: DataFrame,

@@ -377,3 +377,52 @@ def test_scd2_lookup_join_rejects_column_clash(spark):
     facts = spark.createDataFrame([(1, 5)], "k long, ts long")
     with _pytest.raises(ValueError, match="collide"):
         cdc.scd2_lookup_join(facts, dim, ["k"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity_report: FK orphan counting
+# ---------------------------------------------------------------------------
+
+
+def test_referential_integrity_counts_orphan_rows_and_keys(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,), (3,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (9,)], "pk long")
+    rep = validate.referential_integrity_report(
+        child, [("c_fk", "fk", parent, "pk")]
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # NULL child keys are skipped; keys 2 and 3 are orphaned (1 + 3 rows)
+    assert r["child_keys"] == 3
+    assert r["orphan_keys"] == 2
+    assert r["orphan_rows"] == 4
+    assert r["passed"] is False
+
+
+def test_referential_integrity_intact_fk_passes(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    child = spark.createDataFrame([(1,), (2,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = validate.referential_integrity_report(
+        child, [("ok", "fk", parent, "pk")]
+    ).collect()[0]
+    assert (r["orphan_keys"], r["orphan_rows"], r["passed"]) == (0, 0, True)
+
+
+def test_referential_integrity_rejects_duplicate_and_empty_specs(spark):
+    from ai_etl_pipeline_spark.operators import validate
+
+    child = spark.createDataFrame([(1,)], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    with pytest.raises(ValueError, match="at least one"):
+        validate.referential_integrity_report(child, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate.referential_integrity_report(
+            child,
+            [("dup", "fk", parent, "pk"), ("dup", "fk", parent, "pk")],
+        )
