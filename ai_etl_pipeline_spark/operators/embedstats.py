@@ -1,0 +1,326 @@
+"""Second-moment statistics over embedding columns: gramian /
+covariance, PCA, and a ridge linear probe — the sufficient-statistics
+family of embedding ops (the reference has no embedding surface at
+all; cited for scope only: ``/root/reference/preprocess.py`` stops at
+tabular cleaning).
+
+Why this shape for 100 TB: every op here reduces the corpus to a
+d x d (or d x n_classes) SUFFICIENT STATISTIC before any driver-side
+math. The corpus is touched exactly once by a map-only Arrow pass
+computing per-batch partials (numpy ``X.T @ X`` — BLAS, not per-row
+Python), the shuffle carries only ``#partitions x d(d+1)/2`` rows,
+and the driver solves a 64x64 system. Nothing driver-side ever scales
+with n — the same split scikit-learn's out-of-core estimators and
+Spark MLlib's ``RowMatrix.computeGramianMatrix`` use (public
+patterns; implemented fresh on mapInPandas).
+
+PCA eigensolves and probe weight solves run on the collected d x d
+matrix with numpy (bounded: d <= a few thousand); eigenvector SIGN is
+normalized (largest-|entry| coordinate positive) so results are
+deterministic across LAPACK builds — the reason these ops are
+pytest-verified against replayed numpy rather than a SQL oracle
+(eigendecomposition is not SQL-expressible; the GRAMIAN itself is,
+and gets the hash gate when rotated into the registry window).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+# ---------------------------------------------------------------- gramian
+
+
+def gramian_matrix(
+    df: DataFrame, vec_col: str, dim: int, upper_only: bool = True
+) -> DataFrame:
+    """X^T X over an ``array<float/double>`` column as a relational
+    (i, j, value, n_rows) matrix — one map-only Arrow pass computing
+    per-batch BLAS partials, then a (i, j)-keyed sum whose volume is
+    ``#partitions * d(d+1)/2`` rows, independent of corpus size.
+
+    ``upper_only`` emits i <= j (the matrix is symmetric); rows with a
+    wrong-length or NULL vector are counted out loudly via ``n_rows``
+    (they are skipped, and n_rows reports only the rows folded in, so
+    a mismatch against count() is visible, never silent)."""
+    if dim < 1:
+        raise ValueError(f"gramian_matrix: dim must be >= 1, got {dim}")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        np = _np()
+        acc = np.zeros((dim, dim), dtype="float64")
+        n = 0
+        for pdf in batches:
+            vecs = [
+                v for v in pdf[vec_col] if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+            acc += x.T @ x
+            n += len(vecs)
+        iu = _np().triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "value": acc[iu],
+                "n_rows": n,
+            }
+        )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, value double, n_rows long"
+    )
+    out = part.groupBy("i", "j").agg(
+        F.sum("value").alias("value"),
+        # every partition emits the full index set with one shared n,
+        # so the per-cell max is that partition's row count and the
+        # sum of maxes needs no separate pass — but cells are grouped
+        # independently; carry n via (i=0, j=0)'s co-grouped sum
+        F.sum(F.when((F.col("i") == 0) & (F.col("j") == 0), F.col("n_rows"))).alias(
+            "__n00"
+        ),
+    )
+    n_total = out.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("__n00").alias("n_rows")
+    )
+    res = out.crossJoin(F.broadcast(n_total)).select("i", "j", "value", "n_rows")
+    if not upper_only:
+        res = res.unionByName(
+            res.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "value", "n_rows"
+            )
+        )
+    return res
+
+
+def mean_vector(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension mean as (i, mean) rows — one aggregate over the
+    in-row element access (no explode: d aggregate expressions over
+    the array column, d bounded)."""
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
+        for i in range(dim)
+    ]
+    row = df.where(F.size(vec_col) == dim).agg(*aggs)
+    cols = F.array(*[F.col(f"m{i}") for i in range(dim)])
+    return row.select(
+        F.posexplode(cols).alias("i", "mean")
+    )
+
+
+def covariance_from_gramian(
+    gram_rows: list, mean: list[float], n: int, dim: int
+):
+    """Driver-side d x d covariance from the collected gramian upper
+    triangle + mean vector: ``C = G/n - m m^T`` (population). Bounded:
+    input is d(d+1)/2 rows, never corpus-sized."""
+    np = _np()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["value"]
+        g[r["j"], r["i"]] = r["value"]
+    m = np.asarray(mean, dtype="float64")
+    return g / n - np.outer(m, m)
+
+
+# ------------------------------------------------------------------- pca
+
+
+def pca_components_local(cov, k: int):
+    """Top-k eigenvectors of a driver-side covariance matrix with a
+    deterministic sign convention (the coordinate with the largest
+    |value| is made positive — eigensolvers are sign-ambiguous and
+    LAPACK builds disagree). Returns (components [k x d], explained
+    variance ratios [k]), eigenvalues descending."""
+    np = _np()
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for r in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[r])))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    total = float(vals.sum())
+    ratios = [float(vals[i]) / total if total else 0.0 for i in order]
+    return comps, ratios
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, components, out_col: str = "pca"
+) -> DataFrame:
+    """Project embeddings onto driver-computed components — map-only
+    Arrow pass, BLAS matmul per batch; the k x d component matrix
+    rides the closure (bounded), never a join."""
+    np = _np()
+    comp = np.asarray(components, dtype="float64")
+    k, dim = comp.shape
+    fields = [f.name for f in df.schema.fields]
+    if out_col in fields:
+        raise ValueError(f"pca_project: column {out_col!r} already exists")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            proj = x @ comp.T if len(pdf) else np.zeros((0, k))
+            out = pdf.copy()
+            out[out_col] = [row.tolist() for row in proj]
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + f", {out_col} array<double>"
+    return df.mapInPandas(run, schema=schema)
+
+
+# ----------------------------------------------------------- linear probe
+
+
+def _xty_matrix(
+    df: DataFrame, vec_col: str, label_col: str, dim: int, classes: list[int]
+) -> DataFrame:
+    """X^T Y for one-hot labels as (i, class, value) — same partial-sum
+    shape as the gramian: per-batch numpy partials, (i, class)-keyed
+    sum of ``#partitions * d * n_classes`` rows."""
+    cls_index = {c: p for p, c in enumerate(classes)}
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        np = _np()
+        acc = np.zeros((dim, len(classes)))
+        for pdf in batches:
+            keep = [
+                (v, cls_index[c])
+                for v, c in zip(pdf[vec_col], pdf[label_col])
+                if v is not None and len(v) == dim and c in cls_index
+            ]
+            if not keep:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v, _ in keep])
+            y = np.zeros((len(keep), len(classes)))
+            y[range(len(keep)), [p for _, p in keep]] = 1.0
+            acc += x.T @ y
+        ii, cc = _np().meshgrid(range(dim), range(len(classes)), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "class_pos": cc.ravel().astype("int32"),
+                "value": acc.ravel(),
+            }
+        )
+
+    part = df.select(vec_col, label_col).mapInPandas(
+        partials, schema="i int, class_pos int, value double"
+    )
+    return part.groupBy("i", "class_pos").agg(F.sum("value").alias("value"))
+
+
+def linear_probe_train(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    l2: float = 1.0,
+):
+    """Ridge one-vs-rest linear probe over an embedding column — the
+    standard 'linear probe' quality-classifier recipe (train a linear
+    head on frozen embeddings; e.g. FineWeb-Edu's scorer is exactly
+    this shape, public). Closed form via sufficient statistics:
+
+        W = (X^T X + l2 * I)^-1  X^T Y
+
+    X^T X comes from :func:`gramian_matrix`, X^T Y from one more
+    partial-sum pass; both are bounded collections (d x d and
+    d x n_classes), the solve is driver-side numpy. Returns
+    (classes, W [n_classes x d]) for :func:`linear_probe_predict`."""
+    if l2 < 0:
+        raise ValueError(f"linear_probe_train: l2 must be >= 0, got {l2}")
+    np = _np()
+    classes = [
+        r[0]
+        for r in df.select(label_col).distinct().orderBy(label_col).collect()
+        if r[0] is not None
+    ]
+    if not classes:
+        raise ValueError("linear_probe_train: no non-null labels")
+    gram_rows = gramian_matrix(df, vec_col, dim).collect()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["value"]
+        g[r["j"], r["i"]] = r["value"]
+    xty_rows = _xty_matrix(df, vec_col, label_col, dim, classes).collect()
+    xty = np.zeros((dim, len(classes)))
+    for r in xty_rows:
+        xty[r["i"], r["class_pos"]] = r["value"]
+    w = np.linalg.solve(g + l2 * np.eye(dim), xty)  # [d, n_classes]
+    return classes, w.T.copy()
+
+
+def linear_probe_predict(
+    df: DataFrame,
+    vec_col: str,
+    classes: list,
+    weights,
+    out_col: str = "pred",
+) -> DataFrame:
+    """Distributed argmax-score prediction with driver weights riding
+    the closure — map-only, BLAS per batch. Ties break toward the
+    lower class position (argmax's first hit), deterministic."""
+    np = _np()
+    w = np.asarray(weights, dtype="float64")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if len(pdf):
+                pred = [classes[p] for p in np.argmax(x @ w.T, axis=1)]
+            else:
+                pred = []
+            out = pdf.copy()
+            out[out_col] = pred
+            yield out
+
+    first_cls = classes[0]
+    cls_type = "bigint" if isinstance(first_cls, int) else "string"
+    schema = df.schema.simpleString()[7:-1] + f", {out_col} {cls_type}"
+    return df.mapInPandas(run, schema=schema)
+
+
+def linear_probe_report(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    l2: float = 1.0,
+) -> DataFrame:
+    """Train + score in one call: per-class (n, correct, accuracy) —
+    the probe quality receipt. Distributed predict, one aggregate."""
+    classes, w = linear_probe_train(df, vec_col, label_col, dim, l2=l2)
+    pred = linear_probe_predict(
+        df.select(vec_col, label_col), vec_col, classes, w
+    )
+    return (
+        pred.groupBy(F.col(label_col).alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col(label_col) == F.col("pred")).cast("int")
+            ).alias("correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("correct") / F.col("n"), 6)
+        )
+        .orderBy("label")
+    )
