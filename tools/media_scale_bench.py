@@ -1,0 +1,253 @@
+"""Scale-growth evidence for the MULTIMODAL tier (r12: completes the
+per-tier receipt matrix). The multimodal registry queries certify
+DECODE CORRECTNESS on bounded fixtures; this curve shows the
+mapInPandas decode/fingerprint plans track the corpus decade — i.e.
+the tier is scan-bound Python-per-row work with bounded batch state,
+nothing accumulating super-linearly.
+
+Synthetic corpora, written once per size as parquet (the write is not
+billed): 16x16 uncompressed 24-bit BMPs and 200-sample PCM16 WAVs,
+payload bytes from seeded ``random.Random(id)`` (deterministic), body
+spliced into a constant header template so generation costs ~µs/row.
+Every 10th image gets an EXACT-copy twin (id+n) — the injected dup
+layer phash dedup must find.
+
+Ops per size:
+- img_feats_sec:   extract_image_features (full BMP decode, map-only)
+- resize_sec:      resize_image_features to 8x8 (decode+NN-resample)
+- phash_sec:       phash_features (aHash fingerprint, map-only)
+- phash_dedup_sec: phash_near_duplicates over the hashes — the ONLY
+                   shuffled op here; 16-bit banding carries an
+                   inherent n²/2^16 candidate term (recorded as
+                   candidate_pairs), expected to flag at the top size.
+                   The 100 TB path for hamming<=1 is 2x32-bit bands
+                   (n²/2^32); for hamming<=3 with 64-bit hashes the
+                   4x16 pigeonhole is information-theoretically forced
+                   — corpora past ~10M need hash-prefix sharding of
+                   the band join, not a different band split.
+- wav_feats_sec:   extract_audio_features (full PCM decode, map-only)
+
+Map-only decode ops are forced through aggregates over their outputs
+(sum of means / pixel counts), so column pruning can't skip the work.
+Fresh session per size; 5k warm-up first.
+
+Usage: python tools/media_scale_bench.py [n ...]
+(default 10000 100000 1000000). Artifact: BENCH_SCALE_r{N}_media.json;
+>12x/decade flags outside the attributed dedup op.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ai_etl_pipeline_spark.session import get_session  # noqa: E402
+from ai_etl_pipeline_spark.operators import multimodal  # noqa: E402
+
+IMG_BODY = 16 * 48  # 16 rows x (3*16 bytes, stride 48 = already 4-aligned)
+WAV_BODY = 200 * 2  # 200 PCM16 samples
+
+
+def _templates() -> tuple[bytes, bytes]:
+    bmp = multimodal.encode_bmp_rgb24(
+        16, 16, [[(0, 0, 0)] * 16 for _ in range(16)]
+    )
+    wav = multimodal.encode_wav_pcm16([0] * 200, 16000)
+    assert len(bmp) == 54 + IMG_BODY and wav.endswith(b"\x00" * WAV_BODY)
+    return bmp[:54], wav[:-WAV_BODY]
+
+
+BMP_HEADER, WAV_HEADER = _templates()
+
+
+def write_corpus(spark, n: int) -> str:
+    """n base images+wavs, plus n//10 exact-duplicate images."""
+    base = tempfile.mkdtemp(prefix=f"mediabench_{n}_")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, imgs, wavs = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                src = i - n if i >= n else i  # twins replay the base payload
+                rng = random.Random(src)
+                ids.append(i)
+                imgs.append(BMP_HEADER + rng.randbytes(IMG_BODY))
+                wavs.append(WAV_HEADER + rng.randbytes(WAV_BODY))
+            yield pd.DataFrame(
+                {"media_id": ids, "content": imgs, "wav": wavs}
+            )
+
+    rows = spark.range(0, n).unionAll(
+        spark.range(n, n + n // 10, 1).selectExpr("(id - %d) * 10 + %d as id" % (n, n))
+    )
+    (
+        rows.repartition(32)
+        .mapInPandas(gen, schema="media_id long, content binary, wav binary")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    return base
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    r = fn()
+    return round(time.monotonic() - t0, 2), r
+
+
+def release_shuffles(spark) -> None:
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+
+def run_size(spark, n: int) -> dict:
+    out: dict = {"n_media": n}
+    path = write_corpus(spark, n)
+    try:
+        media = spark.read.parquet(path)
+
+        def img_feats():
+            return (
+                multimodal.extract_image_features(media.select("media_id", "content"))
+                .agg(F.count("*").alias("n"), F.sum("mean_r").alias("mass"))
+                .collect()[0]
+            )
+
+        out["img_feats_sec"], row = timed(img_feats)
+        out["img_decoded"] = int(row["n"])
+        release_shuffles(spark)
+
+        def resize():
+            return (
+                multimodal.resize_image_features(
+                    media.select("media_id", "content"), 8, 8
+                )
+                .agg(F.count("*").alias("n"), F.sum("mean_g").alias("mass"))
+                .collect()[0]
+            )
+
+        out["resize_sec"], row = timed(resize)
+        release_shuffles(spark)
+
+        def phash():
+            return (
+                multimodal.phash_features(media.select("media_id", "content"))
+                .agg(F.count("*").alias("n"), F.sum("phash_lo").alias("mass"))
+                .collect()[0]
+            )
+
+        out["phash_sec"], row = timed(phash)
+        release_shuffles(spark)
+
+        hashes = multimodal.phash_features(
+            media.select("media_id", "content")
+        ).cache()
+        hashes.count()
+
+        def cand_pairs():
+            # the band join WITHOUT the hamming verify — measures the
+            # inherent n²/2^16 candidate volume the attribution cites
+            b = hashes.select(
+                "media_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.expr(
+                                f"struct({j} as band, shiftright(phash_{'lo' if j < 2 else 'hi'},"
+                                f" {16 * (j % 2)}) & 65535 as val)"
+                            )
+                            for j in range(4)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select("media_id", "bk.band", "bk.val")
+            a2, b2 = b.alias("a"), b.alias("b")
+            return (
+                a2.join(
+                    b2,
+                    on=[
+                        F.col("a.band") == F.col("b.band"),
+                        F.col("a.val") == F.col("b.val"),
+                        F.col("a.media_id") < F.col("b.media_id"),
+                    ],
+                ).count()
+            )
+
+        out["cand_sec"], out["candidate_pairs"] = timed(cand_pairs)
+        release_shuffles(spark)
+
+        def dedup():
+            return multimodal.phash_near_duplicates(hashes, max_hamming=0).count()
+
+        out["phash_dedup_sec"], out["dup_pairs"] = timed(dedup)
+        hashes.unpersist()
+        release_shuffles(spark)
+
+        def wav_feats():
+            return (
+                multimodal.extract_audio_features(
+                    media.select("media_id", F.col("wav").alias("content"))
+                )
+                .agg(F.count("*").alias("n"), F.sum("rms").alias("mass"))
+                .collect()[0]
+            )
+
+        out["wav_feats_sec"], row = timed(wav_feats)
+        out["wav_decoded"] = int(row["n"])
+        release_shuffles(spark)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+OPS = ("img_feats_sec", "resize_sec", "phash_sec", "phash_dedup_sec", "wav_feats_sec")
+ATTRIBUTED = {
+    "phash_dedup_sec": "16-bit band self-join carries an inherent n^2/2^16 "
+    "candidate term (see candidate_pairs) — quadratic-over-65536, not a plan bug"
+}
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    out = {"metric": "media_scale", "unit": "sec", "sizes": {}}
+    spark = None
+    for n in sizes:
+        if spark is not None:
+            spark.stop()
+        spark = get_session("media-scale-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_size(spark, 5_000)  # warm the exact shapes off the clock
+        out["sizes"][str(n)] = run_size(spark, n)
+        print(json.dumps({"partial": n, **out["sizes"][str(n)]}), flush=True)
+    ratios, flagged = {}, []
+    keys = sorted(out["sizes"], key=int)
+    for a, b in zip(keys, keys[1:]):
+        sa, sb = out["sizes"][a], out["sizes"][b]
+        r: dict = {"data_growth": round(sb["n_media"] / sa["n_media"], 1)}
+        for k in OPS:
+            g = round(sb[k] / max(sa[k], 1e-9), 1)
+            r[k.replace("_sec", "_growth")] = g
+            if g > 12:
+                entry = {"step": f"{a}->{b}", "op": k, "growth": g}
+                if k in ATTRIBUTED:
+                    entry["attributed"] = ATTRIBUTED[k]
+                flagged.append(entry)
+        ratios[f"{a}->{b}"] = r
+    out["growth"] = ratios
+    out["flagged"] = [f for f in flagged if "attributed" not in f]
+    out["attributed_flags"] = [f for f in flagged if "attributed" in f]
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
