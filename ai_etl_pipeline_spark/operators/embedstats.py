@@ -324,3 +324,72 @@ def linear_probe_report(
         )
         .orderBy("label")
     )
+
+
+# ----------------------------------------------------------- mahalanobis
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    shrinkage: float = 1e-6,
+    out_col: str = "mahalanobis",
+) -> DataFrame:
+    """Per-row Mahalanobis distance to the corpus distribution —
+    the multivariate outlier score for embedding-space curation
+    (flag vectors far from the data cloud accounting for correlated
+    dimensions, where per-coordinate z-scores under-fire along
+    correlated axes and over-fire along high-variance ones).
+
+    Sufficient-statistics shape like everything in this module: one
+    gramian + mean pass reduces the corpus to d x d, the driver
+    inverts ``C + shrinkage * tr(C)/d * I`` (Ledoit-Wolf-style ridge
+    so a rank-deficient cloud — duplicated dims, n < d — still
+    scores instead of crashing on a singular matrix), and scoring is
+    a second map-only BLAS pass with the d x d precision matrix
+    riding the closure. Two corpus passes total, nothing driver-side
+    scales with n.
+
+    Rows with NULL/wrong-length vectors get NULL scores (kept, not
+    dropped — the caller decides)."""
+    if shrinkage < 0:
+        raise ValueError(
+            f"mahalanobis_scores: shrinkage must be >= 0, got {shrinkage}"
+        )
+    np = _np()
+    gram_rows = gramian_matrix(df, vec_col, dim).collect()
+    if not gram_rows or gram_rows[0]["n_rows"] == 0:
+        raise ValueError("mahalanobis_scores: no valid vectors")
+    n = gram_rows[0]["n_rows"]
+    mean = [0.0] * dim
+    for r in mean_vector(df, vec_col, dim).collect():
+        mean[r["i"]] = r["mean"]
+    cov = covariance_from_gramian(gram_rows, mean, n, dim)
+    ridge = shrinkage * (np.trace(cov) / dim if np.trace(cov) > 0 else 1.0)
+    prec = np.linalg.inv(cov + ridge * np.eye(dim))
+    m = np.asarray(mean)
+    fields = [f.name for f in df.schema.fields]
+    if out_col in fields:
+        raise ValueError(f"mahalanobis_scores: column {out_col!r} already exists")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = []
+            ok_rows, idx = [], []
+            for p, v in enumerate(pdf[vec_col]):
+                if v is not None and len(v) == dim:
+                    ok_rows.append(np.asarray(v, dtype="float64"))
+                    idx.append(p)
+            scores = [None] * len(pdf)
+            if ok_rows:
+                x = np.asarray(ok_rows) - m
+                d2 = np.einsum("ij,jk,ik->i", x, prec, x)
+                for p, s in zip(idx, np.sqrt(np.maximum(d2, 0.0))):
+                    scores[p] = float(s)
+            out = pdf.copy()
+            out[out_col] = pd.array(scores, dtype="float64")
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + f", {out_col} double"
+    return df.mapInPandas(run, schema=schema)

@@ -713,3 +713,78 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def schema_drift_report(
+    before: DataFrame, after: DataFrame, approx_distinct: bool = True
+) -> DataFrame:
+    """Column-level drift between two snapshots of "the same" table —
+    the upstream-broke-the-contract detector that runs BEFORE
+    :func:`population_stability`'s value-distribution check (a column
+    that vanished or changed type fails louder and earlier than a PSI
+    shift; the reference reads whatever lands and silently propagates
+    shape changes, ``/root/reference/preprocess.py:22``).
+
+    Per column, one row: status ∈ {added, removed, type_changed, kept},
+    both type strings, and for columns present on a side its exact
+    null fraction (ppm, integer — no float hashing issues) plus an
+    approximate distinct count (HLL++ when ``approx_distinct``, exact
+    otherwise — exact is a full shuffle per column, the approx sketch
+    is one pass for all columns together).
+
+    Cost shape: ONE aggregate pass per side computing every column's
+    null counter + distinct sketch simultaneously (the expect() idiom
+    — 2 scans total regardless of column count), output O(columns).
+    """
+    def side_stats(df: DataFrame) -> dict[str, tuple[str, int, int]]:
+        cnt = F.count(F.lit(1))
+        aggs: list[Column] = [cnt.alias("__n")]
+        for f in df.schema.fields:
+            aggs.append(
+                F.sum(F.col(f.name).isNull().cast("long")).alias(f"__null_{f.name}")
+            )
+            d = (
+                F.approx_count_distinct(f.name)
+                if approx_distinct
+                else F.countDistinct(f.name)
+            )
+            aggs.append(d.alias(f"__dist_{f.name}"))
+        row = df.agg(*aggs).collect()[0]
+        n = row["__n"]
+        return {
+            f.name: (
+                f.dataType.simpleString(),
+                int(row[f"__null_{f.name}"] * 1_000_000 // n) if n else 0,
+                int(row[f"__dist_{f.name}"]),
+            )
+            for f in df.schema.fields
+        }
+
+    b, a = side_stats(before), side_stats(after)
+    rows = []
+    for name in sorted(set(b) | set(a)):
+        in_b, in_a = name in b, name in a
+        if in_b and in_a:
+            status = "kept" if b[name][0] == a[name][0] else "type_changed"
+        else:
+            status = "removed" if in_b else "added"
+        rows.append(
+            (
+                name,
+                status,
+                b[name][0] if in_b else None,
+                a[name][0] if in_a else None,
+                b[name][1] if in_b else None,
+                a[name][1] if in_a else None,
+                (a[name][1] - b[name][1]) if (in_b and in_a) else None,
+                b[name][2] if in_b else None,
+                a[name][2] if in_a else None,
+            )
+        )
+    spark = before.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, before_type string, after_type string,"
+        " before_null_ppm long, after_null_ppm long, null_ppm_delta long,"
+        " before_distinct long, after_distinct long",
+    ).orderBy("column")
