@@ -393,3 +393,60 @@ def mahalanobis_scores(
 
     schema = df.schema.simpleString()[7:-1] + f", {out_col} double"
     return df.mapInPandas(run, schema=schema)
+
+
+def whitening_transform(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int | None = None,
+    eps: float = 1e-9,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """PCA-whitening of an embedding column: project onto the top-k
+    principal axes and rescale each to unit variance —
+    ``z = diag(1/sqrt(lambda + eps)) V^T (x - m)``. The standard
+    pre-conditioner before cosine-based dedup/clustering when a few
+    dominant directions would otherwise swamp the metric (SemDeDup-
+    style pipelines whiten or at least center first; public recipe).
+
+    Same sufficient-statistics shape as the rest of the module: one
+    gramian+mean reduction, a driver-side eigh (deterministic signs
+    via :func:`pca_components_local`), then one map-only BLAS pass.
+    ``eps`` guards near-zero eigenvalues (directions with ~no variance
+    are scaled by 1/sqrt(eps-ish), not infinity)."""
+    if k is None:
+        k = dim
+    if not 1 <= k <= dim:
+        raise ValueError(f"whitening_transform: need 1 <= k <= dim, got {k}")
+    np = _np()
+    gram_rows = gramian_matrix(df, vec_col, dim).collect()
+    if not gram_rows or gram_rows[0]["n_rows"] == 0:
+        raise ValueError("whitening_transform: no valid vectors")
+    n = gram_rows[0]["n_rows"]
+    mean = [0.0] * dim
+    for r in mean_vector(df, vec_col, dim).collect():
+        mean[r["i"]] = r["mean"]
+    cov = covariance_from_gramian(gram_rows, mean, n, dim)
+    comps, _ = pca_components_local(cov, k)
+    vals = np.maximum(
+        np.einsum("kd,de,ke->k", comps, cov, comps), 0.0
+    )  # variance along each kept axis (eigenvalues, recovered sign-safely)
+    w = comps / np.sqrt(vals + eps)[:, None]  # [k, d]
+    m = np.asarray(mean)
+    fields = [f.name for f in df.schema.fields]
+    if out_col in fields:
+        raise ValueError(f"whitening_transform: column {out_col!r} already exists")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            z = (x - m) @ w.T if len(pdf) else np.zeros((0, k))
+            out = pdf.copy()
+            out[out_col] = [row.tolist() for row in z]
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + f", {out_col} array<double>"
+    return df.mapInPandas(run, schema=schema)
