@@ -85,17 +85,25 @@ def gramian_matrix(
     out = part.groupBy("i", "j").agg(
         F.sum("value").alias("value"),
         # every partition emits the full index set with one shared n,
-        # so the per-cell max is that partition's row count and the
-        # sum of maxes needs no separate pass — but cells are grouped
-        # independently; carry n via (i=0, j=0)'s co-grouped sum
+        # so summing n_rows per cell would count each partition d(d+1)/2
+        # times; carry the true total on the (0,0) cell's co-grouped sum
         F.sum(F.when((F.col("i") == 0) & (F.col("j") == 0), F.col("n_rows"))).alias(
             "__n00"
         ),
     )
-    n_total = out.where((F.col("i") == 0) & (F.col("j") == 0)).select(
-        F.col("__n00").alias("n_rows")
+    # spread (0,0)'s total to every cell with a global window over the
+    # d(d+1)/2 aggregated rows — NOT a second corpus pass (a self-join /
+    # crossJoin on a filtered copy would re-run the Arrow scan unless
+    # AQE happens to reuse the exchange; the window is guaranteed one
+    # pass and the windowed frame is index-sized, never corpus-sized)
+    from pyspark.sql.window import Window
+
+    res = out.select(
+        "i",
+        "j",
+        "value",
+        F.max("__n00").over(Window.partitionBy(F.lit(1))).alias("n_rows"),
     )
-    res = out.crossJoin(F.broadcast(n_total)).select("i", "j", "value", "n_rows")
     if not upper_only:
         res = res.unionByName(
             res.where(F.col("i") != F.col("j")).select(
@@ -450,3 +458,78 @@ def whitening_transform(
 
     schema = df.schema.simpleString()[7:-1] + f", {out_col} array<double>"
     return df.mapInPandas(run, schema=schema)
+
+
+def linear_probe_mislabeled(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    l2: float = 1.0,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Label-noise candidates via the linear probe — the Confident-
+    Learning-lite recipe (Northcutt et al. 2021, public): train the
+    ridge probe on the given labels, then surface rows where the
+    probe's argmax DISAGREES with the stored label by at least
+    ``min_margin`` (score(pred) - score(label)). High-margin
+    disagreements on an otherwise-fittable corpus are the rows to
+    re-annotate or drop before training.
+
+    Cost: the probe's two sufficient-statistic passes + ONE map-only
+    scoring pass; output is disagreement-sized, never corpus-sized.
+    Returns (row id columns..., label, pred, margin) sorted by margin
+    descending — margin is rounded to 6dp so downstream comparisons
+    are float-noise-free."""
+    np = _np()
+    classes, w = linear_probe_train(df, vec_col, label_col, dim, l2=l2)
+    cls_pos = {c: p for p, c in enumerate(classes)}
+    wm = np.asarray(w, dtype="float64")
+    id_cols = [
+        f.name for f in df.schema.fields if f.name not in (vec_col, label_col)
+    ]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in id_cols or f.name == label_col
+    )
+    first_cls = classes[0]
+    cls_type = "bigint" if isinstance(first_cls, int) else "string"
+    schema = f"{out_fields}, pred {cls_type}, margin double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            keep_cols = [c for c in pdf.columns if c != vec_col]
+            out = pdf[keep_cols].copy()
+            if len(pdf):
+                scores = x @ wm.T
+                pred_pos = np.argmax(scores, axis=1)
+                lbl_pos = np.asarray(
+                    [cls_pos.get(c, -1) for c in pdf[label_col]]
+                )
+                ok = lbl_pos >= 0
+                margin = np.where(
+                    ok,
+                    scores[range(len(pdf)), pred_pos]
+                    - scores[range(len(pdf)), np.where(ok, lbl_pos, 0)],
+                    float("nan"),
+                )
+                out["pred"] = [classes[p] for p in pred_pos]
+                out["margin"] = np.round(margin, 6)
+                out = out[
+                    ok
+                    & (np.asarray([classes[p] for p in pred_pos]) != pdf[label_col])
+                    & (margin >= min_margin)
+                ]
+            else:
+                out["pred"] = []
+                out["margin"] = []
+            yield out
+
+    return (
+        df.mapInPandas(run, schema=schema)
+        .orderBy(F.col("margin").desc(), *[F.col(c) for c in id_cols])
+    )
