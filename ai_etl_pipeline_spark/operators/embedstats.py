@@ -195,42 +195,58 @@ def pca_project(
 # ----------------------------------------------------------- linear probe
 
 
-def _xty_matrix(
-    df: DataFrame, vec_col: str, label_col: str, dim: int, classes: list[int]
-) -> DataFrame:
-    """X^T Y for one-hot labels as (i, class, value) — same partial-sum
-    shape as the gramian: per-batch numpy partials, (i, class)-keyed
-    sum of ``#partitions * d * n_classes`` rows."""
-    cls_index = {c: p for p, c in enumerate(classes)}
+def _second_moments(df: DataFrame, vec_col: str, dim: int):
+    """Driver-collected (G = X^T X, s = column sums, n) from ONE
+    map-only Arrow pass — the fused statistics kernel behind
+    :func:`mahalanobis_scores` and :func:`whitening_transform` (a
+    separate :func:`mean_vector` aggregate would re-scan the corpus;
+    at 2M x 64 doubles that second pass is ~1 GB of parquet re-read
+    per op, measured). Partials are (kind, i, j, value) rows: kind 0 =
+    gramian upper triangle, kind 1 = per-dim sums, kind 2 = row count;
+    the shuffle is #partitions x (d(d+1)/2 + d + 1) rows."""
+    np = _np()
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        np = _np()
-        acc = np.zeros((dim, len(classes)))
+        acc = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
         for pdf in batches:
-            keep = [
-                (v, cls_index[c])
-                for v, c in zip(pdf[vec_col], pdf[label_col])
-                if v is not None and len(v) == dim and c in cls_index
-            ]
-            if not keep:
+            vecs = [v for v in pdf[vec_col] if v is not None and len(v) == dim]
+            if not vecs:
                 continue
-            x = np.asarray([np.asarray(v, dtype="float64") for v, _ in keep])
-            y = np.zeros((len(keep), len(classes)))
-            y[range(len(keep)), [p for _, p in keep]] = 1.0
-            acc += x.T @ y
-        ii, cc = _np().meshgrid(range(dim), range(len(classes)), indexing="ij")
+            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+            acc += x.T @ x
+            s += x.sum(axis=0)
+            n += len(vecs)
+        iu = np.triu_indices(dim)
         yield pd.DataFrame(
             {
-                "i": ii.ravel().astype("int32"),
-                "class_pos": cc.ravel().astype("int32"),
-                "value": acc.ravel(),
+                "kind": [0] * len(iu[0]) + [1] * dim + [2],
+                "i": list(iu[0]) + list(range(dim)) + [0],
+                "j": list(iu[1]) + [0] * dim + [0],
+                "value": list(acc[iu]) + list(s) + [float(n)],
             }
         )
 
-    part = df.select(vec_col, label_col).mapInPandas(
-        partials, schema="i int, class_pos int, value double"
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="kind int, i int, j int, value double")
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("value").alias("value"))
+        .collect()
     )
-    return part.groupBy("i", "class_pos").agg(F.sum("value").alias("value"))
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in rows:
+        if r["kind"] == 0:
+            g[r["i"], r["j"]] = r["value"]
+            g[r["j"], r["i"]] = r["value"]
+        elif r["kind"] == 1:
+            s[r["i"]] = r["value"]
+        else:
+            n = int(r["value"])
+    return g, s, n
 
 
 def linear_probe_train(
@@ -247,29 +263,82 @@ def linear_probe_train(
 
         W = (X^T X + l2 * I)^-1  X^T Y
 
-    X^T X comes from :func:`gramian_matrix`, X^T Y from one more
-    partial-sum pass; both are bounded collections (d x d and
-    d x n_classes), the solve is driver-side numpy. Returns
-    (classes, W [n_classes x d]) for :func:`linear_probe_predict`."""
+    X^T X, X^T Y AND the class set all come out of ONE fused map-only
+    Arrow pass (classes are discovered per batch and keyed by VALUE in
+    the partials, so no upfront distinct-labels corpus shuffle; a
+    naive 3-pass train — distinct, gramian, xty — re-reads the corpus
+    twice more, ~2x wall at 2M x 64, measured). All collections are
+    bounded (d x d + d x n_classes rows per partition), the solve is
+    driver-side numpy. Rows with NULL labels or bad vectors
+    contribute to NEITHER statistic (the old split-pass design would
+    have let unlabeled rows into X^T X but not X^T Y). Integer and
+    string label columns supported. Returns (classes, W
+    [n_classes x d]) for :func:`linear_probe_predict`."""
     if l2 < 0:
         raise ValueError(f"linear_probe_train: l2 must be >= 0, got {l2}")
     np = _np()
-    classes = [
-        r[0]
-        for r in df.select(label_col).distinct().orderBy(label_col).collect()
-        if r[0] is not None
-    ]
-    if not classes:
-        raise ValueError("linear_probe_train: no non-null labels")
-    gram_rows = gramian_matrix(df, vec_col, dim).collect()
+    lbl_type = dict(df.dtypes)[label_col]
+    if lbl_type not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise ValueError(
+            f"linear_probe_train: label must be integer or string, got {lbl_type}"
+        )
+    int_labels = lbl_type != "string"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim))
+        xty: dict[str, "object"] = {}
+        for pdf in batches:
+            keep = [
+                (np.asarray(v, dtype="float64"), c)
+                for v, c in zip(pdf[vec_col], pdf[label_col])
+                if v is not None and len(v) == dim and c is not None
+            ]
+            if not keep:
+                continue
+            x = np.asarray([v for v, _ in keep])
+            acc += x.T @ x
+            for v, c in keep:
+                key = str(c)
+                if key not in xty:
+                    xty[key] = np.zeros(dim)
+                xty[key] += v
+        iu = np.triu_indices(dim)
+        kinds = [0] * len(iu[0])
+        iis = list(iu[0])
+        keys = [str(j) for j in iu[1]]
+        vals = list(acc[iu])
+        for cls, vec in xty.items():
+            kinds += [1] * dim
+            iis += list(range(dim))
+            keys += [cls] * dim
+            vals += list(vec)
+        yield pd.DataFrame(
+            {"kind": kinds, "i": iis, "key": keys, "value": vals}
+        )
+
+    rows = (
+        df.select(vec_col, label_col)
+        .mapInPandas(partials, schema="kind int, i int, key string, value double")
+        .groupBy("kind", "i", "key")
+        .agg(F.sum("value").alias("value"))
+        .collect()
+    )
     g = np.zeros((dim, dim))
-    for r in gram_rows:
-        g[r["i"], r["j"]] = r["value"]
-        g[r["j"], r["i"]] = r["value"]
-    xty_rows = _xty_matrix(df, vec_col, label_col, dim, classes).collect()
-    xty = np.zeros((dim, len(classes)))
-    for r in xty_rows:
-        xty[r["i"], r["class_pos"]] = r["value"]
+    xty_by_cls: dict[str, "object"] = {}
+    for r in rows:
+        if r["kind"] == 0:
+            j = int(r["key"])
+            g[r["i"], j] = r["value"]
+            g[j, r["i"]] = r["value"]
+        else:
+            vec = xty_by_cls.setdefault(r["key"], np.zeros(dim))
+            vec[r["i"]] = r["value"]
+    if not xty_by_cls:
+        raise ValueError("linear_probe_train: no non-null labels")
+    classes = sorted(
+        (int(k) for k in xty_by_cls) if int_labels else xty_by_cls
+    )
+    xty = np.stack([xty_by_cls[str(c)] for c in classes], axis=1)
     w = np.linalg.solve(g + l2 * np.eye(dim), xty)  # [d, n_classes]
     return classes, w.T.copy()
 
@@ -366,14 +435,11 @@ def mahalanobis_scores(
             f"mahalanobis_scores: shrinkage must be >= 0, got {shrinkage}"
         )
     np = _np()
-    gram_rows = gramian_matrix(df, vec_col, dim).collect()
-    if not gram_rows or gram_rows[0]["n_rows"] == 0:
+    g, s, n = _second_moments(df, vec_col, dim)  # ONE fused stats pass
+    if n == 0:
         raise ValueError("mahalanobis_scores: no valid vectors")
-    n = gram_rows[0]["n_rows"]
-    mean = [0.0] * dim
-    for r in mean_vector(df, vec_col, dim).collect():
-        mean[r["i"]] = r["mean"]
-    cov = covariance_from_gramian(gram_rows, mean, n, dim)
+    mean = list(s / n)
+    cov = g / n - np.outer(s / n, s / n)
     ridge = shrinkage * (np.trace(cov) / dim if np.trace(cov) > 0 else 1.0)
     prec = np.linalg.inv(cov + ridge * np.eye(dim))
     m = np.asarray(mean)
@@ -428,14 +494,11 @@ def whitening_transform(
     if not 1 <= k <= dim:
         raise ValueError(f"whitening_transform: need 1 <= k <= dim, got {k}")
     np = _np()
-    gram_rows = gramian_matrix(df, vec_col, dim).collect()
-    if not gram_rows or gram_rows[0]["n_rows"] == 0:
+    g, s, n = _second_moments(df, vec_col, dim)  # ONE fused stats pass
+    if n == 0:
         raise ValueError("whitening_transform: no valid vectors")
-    n = gram_rows[0]["n_rows"]
-    mean = [0.0] * dim
-    for r in mean_vector(df, vec_col, dim).collect():
-        mean[r["i"]] = r["mean"]
-    cov = covariance_from_gramian(gram_rows, mean, n, dim)
+    mean = list(s / n)
+    cov = g / n - np.outer(s / n, s / n)
     comps, _ = pca_components_local(cov, k)
     vals = np.maximum(
         np.einsum("kd,de,ke->k", comps, cov, comps), 0.0

@@ -66,9 +66,16 @@ def write_vectors(spark, n: int) -> str:
 
 
 def timed(fn):
-    t0 = time.monotonic()
-    r = fn()
-    return round(time.monotonic() - t0, 2), r
+    """Best of 2 (bench.py's convention): the first run pays the cold
+    read of the just-written corpus file + codegen; min() measures the
+    engine, not the page cache."""
+    best, r = None, None
+    for _ in range(2):
+        t0 = time.monotonic()
+        r = fn()
+        el = time.monotonic() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 2), r
 
 
 def release_shuffles(spark) -> None:
