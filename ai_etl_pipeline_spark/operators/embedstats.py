@@ -29,13 +29,61 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _np():
     import numpy as np
 
     return np
+
+
+def _valid_rows(col, dim: int):
+    """(positions, [n_valid x dim] float64 matrix) of the vectors in a
+    pandas column that are non-NULL, exactly ``dim`` long, and finite in
+    EVERY element after float64 conversion (``None`` elements become NaN
+    under numpy conversion and are rejected; so are NaN/inf payloads and
+    ragged nested values that fail conversion outright).
+
+    Every accumulator AND every scoring pass in this module routes
+    through this one gate, so train-time and score-time row tolerance
+    cannot diverge: a row the statistics skipped is a row the scorer
+    NULLs/drops, never one that crashes the Arrow worker or silently
+    poisons an accumulator with NaN."""
+    np = _np()
+    idx: list[int] = []
+    rows: list = []
+    for p, v in enumerate(col):
+        if v is None or len(v) != dim:
+            continue
+        try:
+            x = np.asarray(v, dtype="float64")
+        except (TypeError, ValueError):
+            continue
+        if x.ndim != 1 or not np.isfinite(x).all():
+            continue
+        idx.append(p)
+        rows.append(x)
+    mat = np.vstack(rows) if rows else np.zeros((0, dim), dtype="float64")
+    return idx, mat
+
+
+def _schema_with(df: DataFrame, out_col: str, dtype) -> StructType:
+    """Output schema = input schema + one appended nullable field —
+    built structurally (``StructType`` over the original ``StructField``
+    objects), never via ``simpleString`` surgery, which drops
+    nullability/metadata and breaks on field names needing quoting."""
+    return StructType(
+        list(df.schema.fields) + [StructField(out_col, dtype, True)]
+    )
 
 
 # ---------------------------------------------------------------- gramian
@@ -50,9 +98,11 @@ def gramian_matrix(
     ``#partitions * d(d+1)/2`` rows, independent of corpus size.
 
     ``upper_only`` emits i <= j (the matrix is symmetric); rows with a
-    wrong-length or NULL vector are counted out loudly via ``n_rows``
-    (they are skipped, and n_rows reports only the rows folded in, so
-    a mismatch against count() is visible, never silent)."""
+    wrong-length / NULL / NaN-element vector are counted out loudly via
+    ``n_rows`` (they are skipped by :func:`_valid_rows`, and n_rows
+    reports only the rows folded in, so a mismatch against count() is
+    visible, never silent — and a single NULL element can no longer
+    poison the whole accumulator with NaN)."""
     if dim < 1:
         raise ValueError(f"gramian_matrix: dim must be >= 1, got {dim}")
 
@@ -61,14 +111,11 @@ def gramian_matrix(
         acc = np.zeros((dim, dim), dtype="float64")
         n = 0
         for pdf in batches:
-            vecs = [
-                v for v in pdf[vec_col] if v is not None and len(v) == dim
-            ]
-            if not vecs:
+            _, x = _valid_rows(pdf[vec_col], dim)
+            if not len(x):
                 continue
-            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
             acc += x.T @ x
-            n += len(vecs)
+            n += len(x)
         iu = _np().triu_indices(dim)
         yield pd.DataFrame(
             {
@@ -116,12 +163,24 @@ def gramian_matrix(
 def mean_vector(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Per-dimension mean as (i, mean) rows — one aggregate over the
     in-row element access (no explode: d aggregate expressions over
-    the array column, d bounded)."""
+    the array column, d bounded).
+
+    Row validity matches :func:`_valid_rows` exactly (dim-length AND
+    every element finite — NaN sorts above every double in Spark and
+    ±inf outside the double range, so one BETWEEN catches NULL/NaN/inf),
+    so this mean and the gramian fold the SAME row set — the two
+    statistics can be combined into a covariance without a row-set
+    mismatch."""
+    finite = F.forall(
+        F.col(vec_col),
+        lambda e: e.cast("double").between(-1.7976931348623157e308,
+                                           1.7976931348623157e308),
+    )
     aggs = [
         F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
         for i in range(dim)
     ]
-    row = df.where(F.size(vec_col) == dim).agg(*aggs)
+    row = df.where((F.size(vec_col) == dim) & finite).agg(*aggs)
     cols = F.array(*[F.col(f"m{i}") for i in range(dim)])
     return row.select(
         F.posexplode(cols).alias("i", "mean")
@@ -170,7 +229,10 @@ def pca_project(
 ) -> DataFrame:
     """Project embeddings onto driver-computed components — map-only
     Arrow pass, BLAS matmul per batch; the k x d component matrix
-    rides the closure (bounded), never a join."""
+    rides the closure (bounded), never a join. Rows whose vector fails
+    :func:`_valid_rows` (NULL / wrong length / NaN element) get a NULL
+    projection — same tolerance as the statistics that trained the
+    components, so a corpus that trained fine also scores fine."""
     np = _np()
     comp = np.asarray(components, dtype="float64")
     k, dim = comp.shape
@@ -180,16 +242,18 @@ def pca_project(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
-            proj = x @ comp.T if len(pdf) else np.zeros((0, k))
+            idx, x = _valid_rows(pdf[vec_col], dim)
+            proj: list = [None] * len(pdf)
+            if len(x):
+                for p, row in zip(idx, x @ comp.T):
+                    proj[p] = row.tolist()
             out = pdf.copy()
-            out[out_col] = [row.tolist() for row in proj]
+            out[out_col] = proj
             yield out
 
-    schema = df.schema.simpleString()[7:-1] + f", {out_col} array<double>"
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(
+        run, schema=_schema_with(df, out_col, ArrayType(DoubleType()))
+    )
 
 
 # ----------------------------------------------------------- linear probe
@@ -211,13 +275,12 @@ def _second_moments(df: DataFrame, vec_col: str, dim: int):
         s = np.zeros(dim)
         n = 0
         for pdf in batches:
-            vecs = [v for v in pdf[vec_col] if v is not None and len(v) == dim]
-            if not vecs:
+            _, x = _valid_rows(pdf[vec_col], dim)
+            if not len(x):
                 continue
-            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
             acc += x.T @ x
             s += x.sum(axis=0)
-            n += len(vecs)
+            n += len(x)
         iu = np.triu_indices(dim)
         yield pd.DataFrame(
             {
@@ -288,10 +351,12 @@ def linear_probe_train(
         acc = np.zeros((dim, dim))
         xty: dict[str, "object"] = {}
         for pdf in batches:
+            idx, mat = _valid_rows(pdf[vec_col], dim)
+            labels = pdf[label_col]
             keep = [
-                (np.asarray(v, dtype="float64"), c)
-                for v, c in zip(pdf[vec_col], pdf[label_col])
-                if v is not None and len(v) == dim and c is not None
+                (mat[r], labels.iloc[p])
+                for r, p in enumerate(idx)
+                if labels.iloc[p] is not None and not pd.isna(labels.iloc[p])
             ]
             if not keep:
                 continue
@@ -352,27 +417,28 @@ def linear_probe_predict(
 ) -> DataFrame:
     """Distributed argmax-score prediction with driver weights riding
     the closure — map-only, BLAS per batch. Ties break toward the
-    lower class position (argmax's first hit), deterministic."""
+    lower class position (argmax's first hit), deterministic. Rows
+    whose vector fails :func:`_valid_rows` get a NULL prediction —
+    the same rows training skipped, so train-then-predict never
+    crashes on the corpus it just trained on."""
     np = _np()
     w = np.asarray(weights, dtype="float64")
+    dim = w.shape[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
-            if len(pdf):
-                pred = [classes[p] for p in np.argmax(x @ w.T, axis=1)]
-            else:
-                pred = []
+            idx, x = _valid_rows(pdf[vec_col], dim)
+            pred: list = [None] * len(pdf)
+            if len(x):
+                for p, a in zip(idx, np.argmax(x @ w.T, axis=1)):
+                    pred[p] = classes[a]
             out = pdf.copy()
-            out[out_col] = pred
+            out[out_col] = pd.array(pred, dtype="object")
             yield out
 
     first_cls = classes[0]
-    cls_type = "bigint" if isinstance(first_cls, int) else "string"
-    schema = df.schema.simpleString()[7:-1] + f", {out_col} {cls_type}"
-    return df.mapInPandas(run, schema=schema)
+    cls_type = LongType() if isinstance(first_cls, int) else StringType()
+    return df.mapInPandas(run, schema=_schema_with(df, out_col, cls_type))
 
 
 def linear_probe_report(
@@ -449,15 +515,10 @@ def mahalanobis_scores(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scores = []
-            ok_rows, idx = [], []
-            for p, v in enumerate(pdf[vec_col]):
-                if v is not None and len(v) == dim:
-                    ok_rows.append(np.asarray(v, dtype="float64"))
-                    idx.append(p)
-            scores = [None] * len(pdf)
-            if ok_rows:
-                x = np.asarray(ok_rows) - m
+            idx, mat = _valid_rows(pdf[vec_col], dim)
+            scores: list = [None] * len(pdf)
+            if len(mat):
+                x = mat - m
                 d2 = np.einsum("ij,jk,ik->i", x, prec, x)
                 for p, s in zip(idx, np.sqrt(np.maximum(d2, 0.0))):
                     scores[p] = float(s)
@@ -465,8 +526,7 @@ def mahalanobis_scores(
             out[out_col] = pd.array(scores, dtype="float64")
             yield out
 
-    schema = df.schema.simpleString()[7:-1] + f", {out_col} double"
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run, schema=_schema_with(df, out_col, DoubleType()))
 
 
 def whitening_transform(
@@ -511,16 +571,18 @@ def whitening_transform(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
-            z = (x - m) @ w.T if len(pdf) else np.zeros((0, k))
+            idx, x = _valid_rows(pdf[vec_col], dim)
+            z: list = [None] * len(pdf)
+            if len(x):
+                for p, row in zip(idx, (x - m) @ w.T):
+                    z[p] = row.tolist()
             out = pdf.copy()
-            out[out_col] = [row.tolist() for row in z]
+            out[out_col] = z
             yield out
 
-    schema = df.schema.simpleString()[7:-1] + f", {out_col} array<double>"
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(
+        run, schema=_schema_with(df, out_col, ArrayType(DoubleType()))
+    )
 
 
 def linear_probe_mislabeled(
@@ -551,42 +613,47 @@ def linear_probe_mislabeled(
     id_cols = [
         f.name for f in df.schema.fields if f.name not in (vec_col, label_col)
     ]
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name in id_cols or f.name == label_col
-    )
     first_cls = classes[0]
-    cls_type = "bigint" if isinstance(first_cls, int) else "string"
-    schema = f"{out_fields}, pred {cls_type}, margin double"
+    cls_type = LongType() if isinstance(first_cls, int) else StringType()
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != vec_col]
+        + [StructField("pred", cls_type, True), StructField("margin", DoubleType(), True)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
             keep_cols = [c for c in pdf.columns if c != vec_col]
-            out = pdf[keep_cols].copy()
-            if len(pdf):
+            # rows with an unscorable vector can't be mislabel
+            # CANDIDATES — the output is disagreement-sized, so they
+            # are dropped here exactly like training dropped them
+            idx, x = _valid_rows(pdf[vec_col], dim)
+            out = pdf.iloc[idx][keep_cols].copy()
+            if len(out):
                 scores = x @ wm.T
                 pred_pos = np.argmax(scores, axis=1)
+                lbl = out[label_col]
                 lbl_pos = np.asarray(
-                    [cls_pos.get(c, -1) for c in pdf[label_col]]
+                    [
+                        cls_pos.get(c, -1)
+                        if c is not None and not pd.isna(c)
+                        else -1
+                        for c in lbl
+                    ]
                 )
                 ok = lbl_pos >= 0
                 margin = np.where(
                     ok,
-                    scores[range(len(pdf)), pred_pos]
-                    - scores[range(len(pdf)), np.where(ok, lbl_pos, 0)],
+                    scores[range(len(out)), pred_pos]
+                    - scores[range(len(out)), np.where(ok, lbl_pos, 0)],
                     float("nan"),
                 )
                 out["pred"] = [classes[p] for p in pred_pos]
                 out["margin"] = np.round(margin, 6)
-                out = out[
-                    ok
-                    & (np.asarray([classes[p] for p in pred_pos]) != pdf[label_col])
-                    & (margin >= min_margin)
-                ]
+                # disagreement on class POSITION (classes are unique, so
+                # pred != label <=> pred_pos != lbl_pos when the label is
+                # known) — no object-dtype comparisons that would choke
+                # on nullable label arrays
+                out = out[ok & (pred_pos != lbl_pos) & (margin >= min_margin)]
             else:
                 out["pred"] = []
                 out["margin"] = []

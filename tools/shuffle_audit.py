@@ -114,14 +114,28 @@ METRICS = {
 
 def _settled_stages(store: StageStore) -> dict[tuple[int, int], dict]:
     """The status store updates off the event bus asynchronously; poll
-    until no stage is ACTIVE/PENDING and the snapshot is stable."""
+    until no stage is ACTIVE/PENDING and the snapshot is stable.
+
+    Stability requires the METRIC PAYLOADS — not just the stage-ID
+    set — to be unchanged between consecutive polls: per-stage metric
+    values keep draining from the event bus after a stage completes,
+    and accepting a key-stable-but-value-moving snapshot attributes
+    the late-arriving bytes to the NEXT query (or loses them),
+    skewing write-amplification."""
+
+    def signature(snap):
+        return {
+            k: tuple(s.get(v) for v in METRICS.values())
+            for k, s in snap.items()
+        }
+
     prev = None
     for _ in range(50):
         snap = store.stages()
         busy = any(s["status"] in ("ACTIVE", "PENDING") for s in snap.values())
-        if not busy and prev is not None and set(snap) == set(prev):
+        if not busy and prev is not None and signature(snap) == prev:
             return snap
-        prev = snap
+        prev = signature(snap)
         time.sleep(0.1)
     return store.stages()
 
