@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ai_etl_pipeline_spark.functions.portable import md5_i64, md5_i64_sql, tokens_col
 from ai_etl_pipeline_spark.operators import cdc, clean, dedup, distinct, enrich, linkage, mapping
 from ai_etl_pipeline_spark.operators import multimodal, packing, relational, sampling, similarity, textstats
-from ai_etl_pipeline_spark.operators import behavior, graph, layout, validate
+from ai_etl_pipeline_spark.operators import behavior, embedstats, graph, layout, validate
 from ai_etl_pipeline_spark.streaming import windows as stream_windows
 
 
@@ -12021,10 +12021,509 @@ FROM a ORDER BY pos
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding sufficient-statistics tier (embedstats family — r13 rotation)
+# ---------------------------------------------------------------------------
+
+def _micro_vec(col: str, length: int | None = None):
+    """Embedding elements as exact-integer micro-units
+    (``round(e * 1e6)`` kept as double) — float64 sums of integer-valued
+    doubles are EXACT below 2^53 regardless of accumulation order, so
+    the Spark-side BLAS partials and the DuckDB oracle's plain SQL sums
+    are bit-identical under ANY partitioning (the q_embed_mean_pool
+    precedent). ``length`` slices a prefix of the vector first."""
+    src = F.slice(F.col(col), 1, length) if length else F.col(col)
+    return F.transform(
+        src, lambda e: F.round(e.cast("double") * 1000000).cast("double")
+    )
+
+
+def q_embed_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding gramian X^T X as a relational (i, j, value, n_rows)
+    upper triangle (embedstats.gramian_matrix): ONE map-only Arrow pass
+    of per-batch BLAS partials, then an (i, j)-keyed sum whose shuffle
+    volume is #partitions x d(d+1)/2 rows — independent of corpus size
+    (the 100 TB shape: the corpus reduces to d x d before any driver
+    math). Inputs are micro-int quantized so every partial is an exact
+    integer under float64 (safe below ~50M rows at this value scale);
+    the hash gate is bit-exact and the oracle a pairwise-product SQL
+    aggregate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        _micro_vec("embedding").alias("vec")
+    )
+    g = embedstats.gramian_matrix(emb, "vec", 64)
+    return g.select(
+        "i", "j", F.col("value").cast("bigint").alias("value"), "n_rows"
+    ).orderBy("i", "j")
+
+
+_EMBED_GRAMIAN_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64
+),
+elems AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM e
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e)
+SELECT a.pos AS i, b.pos AS j,
+       CAST(sum(a.v * b.v) AS BIGINT) AS value,
+       n.n_rows AS n_rows
+FROM elems a JOIN elems b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+CROSS JOIN n
+GROUP BY a.pos, b.pos, n.n_rows
+ORDER BY i, j
+"""
+
+
+def _emb2_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First two embedding dims, micro-int quantized — the 2-d probe
+    feature set whose ridge solve has a CLOSED-FORM 2x2 inverse the
+    DuckDB oracle can replay exactly (a d=64 solve is driver-numpy
+    only — covered by pytest numpy replays; the registry gate runs the
+    same distributed machinery at a SQL-expressible width)."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _micro_vec("embedding", 2).alias("vec")
+    )
+
+
+# shared oracle prefix: micro-int 2-d features, exact-integer sufficient
+# statistics, closed-form 2x2 ridge solve (l2 = 1), per-class scores and
+# argmax prediction with the engine's tie-break (score DESC, class ASC),
+# margin = score(pred) - score(label)
+_PROBE2_CTE = """
+v AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e0,
+         CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS e1
+  FROM embeddings WHERE len(embedding) = 64 AND label IS NOT NULL
+),
+g AS (
+  SELECT CAST(sum(e0 * e0) AS DOUBLE) AS g00,
+         CAST(sum(e0 * e1) AS DOUBLE) AS g01,
+         CAST(sum(e1 * e1) AS DOUBLE) AS g11
+  FROM v
+),
+xty AS (
+  SELECT label AS cls,
+         CAST(sum(e0) AS DOUBLE) AS t0, CAST(sum(e1) AS DOUBLE) AS t1
+  FROM v GROUP BY label
+),
+w AS (
+  SELECT cls,
+         ((g11 + 1) * t0 - g01 * t1)
+           / ((g00 + 1) * (g11 + 1) - g01 * g01) AS w0,
+         ((g00 + 1) * t1 - g01 * t0)
+           / ((g00 + 1) * (g11 + 1) - g01 * g01) AS w1
+  FROM xty CROSS JOIN g
+),
+scores AS (
+  SELECT v.vec_id, v.label, w.cls, v.e0 * w.w0 + v.e1 * w.w1 AS s
+  FROM v CROSS JOIN w
+),
+pred AS (
+  SELECT vec_id, label, cls AS pred, s - lbl_s AS margin FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cls ASC) AS rn,
+           max(CASE WHEN cls = label THEN s END) OVER (PARTITION BY vec_id) AS lbl_s
+    FROM scores
+  ) WHERE rn = 1
+)
+"""
+
+
+def q_embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge linear-probe accuracy report (embedstats.linear_probe_report
+    — the FineWeb-Edu-style quality-classifier recipe): ONE fused
+    map-only pass collects X^T X, X^T Y and the class set together
+    (bounded d x d + d x classes rows per partition — no upfront
+    distinct-labels shuffle), a driver numpy solve, then one distributed
+    argmax-predict pass and a per-class aggregate. Runs the full
+    machinery at a 2-d micro-int feature width so the oracle can replay
+    the ridge solve closed-form — exact-integer statistics make both
+    sides partition-independent."""
+    rep = embedstats.linear_probe_report(
+        _emb2_micro(spark, sf_dir), "vec", "label", 2, l2=1.0
+    )
+    return rep.select(
+        F.col("label").cast("bigint").alias("label"), "n", "correct", "accuracy"
+    )
+
+
+_EMBED_LINEAR_PROBE_SQL = f"""
+WITH {_PROBE2_CTE}
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       round(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS accuracy
+FROM pred GROUP BY label ORDER BY label
+"""
+
+
+def q_embed_mislabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise candidates via the probe (Confident-Learning-lite,
+    embedstats.linear_probe_mislabeled): rows where the probe's argmax
+    disagrees with the stored label, with margin = score(pred) -
+    score(label). Disagreement-sized output, two sufficient-statistic
+    passes + one scoring pass; same 2-d micro-int width so the oracle
+    replays prediction AND margin closed-form."""
+    out = embedstats.linear_probe_mislabeled(
+        _emb2_micro(spark, sf_dir), "vec", "label", 2, l2=1.0, min_margin=0.0
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "pred", "margin"
+    )
+
+
+_EMBED_MISLABELED_SQL = f"""
+WITH {_PROBE2_CTE}
+SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+       round(margin, 6) AS margin
+FROM pred
+WHERE pred <> label AND margin >= 0
+ORDER BY margin DESC, vec_id
+"""
+
+
+def q_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening verified by its DEFINING property: the whitened
+    corpus' covariance is the k x k identity. whitening_transform is one
+    fused second-moments pass + driver eigh (deterministic signs) + one
+    map-only BLAS transform; composing gramian_matrix over the whitened
+    column computes cov(z) = W C W^T in a second bounded-shuffle pass.
+    Any eigensolve/centering/scaling bug breaks the identity, so the
+    closed-form oracle (1 on the diagonal, 0 off it, to 6dp) is a real
+    end-to-end gate — and it is float-noise-safe: off-diagonal residuals
+    are ~1e-13 against a 5e-7 rounding window, and kept top-8
+    eigenvalues dwarf the 1e-9 eps."""
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    wh = embedstats.whitening_transform(emb, "embedding", 64, k=8)
+    g = embedstats.gramian_matrix(wh.select("whitened"), "whitened", 8)
+    return g.select(
+        "i", "j",
+        # + 0.0 folds IEEE -0.0 (round of a tiny negative residual)
+        # into 0.0 so both engines stringify identically
+        (F.round(F.col("value") / F.col("n_rows"), 6) + F.lit(0.0)).alias("cov"),
+        "n_rows",
+    ).orderBy("i", "j")
+
+
+_EMBED_WHITENING_SQL = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows
+  FROM embeddings WHERE len(embedding) = 64
+)
+SELECT CAST(i.range AS INTEGER) AS i, CAST(j.range AS INTEGER) AS j,
+       CAST(CASE WHEN i.range = j.range THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov,
+       n.n_rows AS n_rows
+FROM range(8) i CROSS JOIN range(8) j CROSS JOIN n
+WHERE i.range <= j.range
+ORDER BY i, j
+"""
+
+
+def q_embed_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis outlier scores (embedstats.mahalanobis_scores) over a
+    correlated 2-d numeric cloud — lineitem (quantity, price-hundreds):
+    one fused second-moments pass reduces the corpus to d x d, the
+    driver inverts the trace-ridged covariance, one map-only BLAS pass
+    scores every row. Integer-valued inputs make G/s/n exact in float64
+    on BOTH engines, so the only cross-engine noise is the 2x2 inverse's
+    low bits (~1e-11 abs) — absorbed by unit-wide score buckets and 2dp
+    min/max (measured boundary margin >= 2e-6 at every SF)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.round(F.col("l_extendedprice") / 100).cast("double"),
+        ).alias("vec")
+    )
+    scored = embedstats.mahalanobis_scores(
+        li, "vec", 2, shrinkage=1e-6, out_col="score"
+    )
+    return (
+        scored.groupBy(F.floor("score").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("score"), 2).alias("min_score"),
+            F.round(F.max("score"), 2).alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EMBED_MAHALANOBIS_SQL = """
+WITH v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x0,
+         CAST(round(l_extendedprice / 100) AS DOUBLE) AS x1
+  FROM lineitem
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x0 * x0) AS g00, sum(x0 * x1) AS g01, sum(x1 * x1) AS g11,
+         sum(x0) AS s0, sum(x1) AS s1
+  FROM v
+),
+c AS (
+  SELECT g00 / n - (s0 / n) * (s0 / n) AS c00,
+         g01 / n - (s0 / n) * (s1 / n) AS c01,
+         g11 / n - (s1 / n) * (s1 / n) AS c11,
+         s0 / n AS m0, s1 / n AS m1
+  FROM st
+),
+p AS (SELECT *, 0.000001 * ((c00 + c11) / 2) AS ridge FROM c),
+pi AS (
+  SELECT m0, m1,
+         (c11 + ridge) / ((c00 + ridge) * (c11 + ridge) - c01 * c01) AS p00,
+         -c01 / ((c00 + ridge) * (c11 + ridge) - c01 * c01) AS p01,
+         (c00 + ridge) / ((c00 + ridge) * (c11 + ridge) - c01 * c01) AS p11
+  FROM p
+),
+scores AS (
+  SELECT sqrt(greatest(
+           (x0 - m0) * ((x0 - m0) * p00 + (x1 - m1) * p01)
+           + (x1 - m1) * ((x0 - m0) * p01 + (x1 - m1) * p11), 0)) AS s
+  FROM v CROSS JOIN pi
+)
+SELECT CAST(floor(s) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(s), 2) AS min_score, round(max(s), 2) AS max_score
+FROM scores GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_pipeline_probe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedstats capstone — probe-gated mixture sampling: train the
+    ridge probe, keep only rows the probe AGREES with (pred == label,
+    the cheap quality gate a curation pipeline puts before mixing), then
+    epoch-weight the survivors per class with deterministic hash-split
+    up-sampling (sampling.mixture_sample: label 3 x2.5, 6 x0.5, 9 x2).
+    Every stage is replayed by the oracle: closed-form probe, equality
+    gate, md5-threshold mixture."""
+    df = _emb2_micro(spark, sf_dir)
+    classes, w = embedstats.linear_probe_train(df, "vec", "label", 2, l2=1.0)
+    pred = embedstats.linear_probe_predict(df, "vec", classes, w)
+    gated = pred.where(F.col("pred") == F.col("label")).select("vec_id", "label")
+    out = sampling.mixture_sample(
+        gated, "vec_id", "label", {3: 2.5, 6: 0.5, 9: 2.0}, salt="probegate"
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "copy_no"
+    )
+
+
+_PIPELINE_PROBE_GATE_SQL = f"""
+WITH {_PROBE2_CTE},
+gated AS (SELECT vec_id, label FROM pred WHERE pred = label),
+wn AS (
+  SELECT vec_id, label,
+         CASE label WHEN 3 THEN 2 WHEN 6 THEN 0 WHEN 9 THEN 2 ELSE 1 END
+         + CASE WHEN CAST('0x' || substr(md5('probegate|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1000000
+                < CASE label WHEN 3 THEN 500000 WHEN 6 THEN 500000 ELSE 0 END
+           THEN 1 ELSE 0 END AS n
+  FROM gated
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(copy_no AS INTEGER) AS copy_no
+FROM (SELECT vec_id, label, unnest(generate_series(1, n)) AS copy_no
+      FROM wn WHERE n > 0)
+"""
+
+
+def q_validate_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level schema drift between two snapshots
+    (validate.schema_drift_report): added / removed / type_changed /
+    kept per column plus exact null-ppm and distinct counts from ONE
+    aggregate pass per side (all columns together — 2 scans total,
+    output O(columns)). The after-side mutates orders four ways: drops
+    o_orderstatus, adds o_flag, retypes o_totalprice to string, nulls
+    every 7th o_custkey. ``approx_distinct=False`` so the distinct
+    counts are exact and SQL-replayable."""
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    after = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        (F.col("o_orderkey") % 3).alias("o_flag"),
+    )
+    return validate.schema_drift_report(before, after, approx_distinct=False)
+
+
+_VALIDATE_SCHEMA_DRIFT_SQL = """
+WITH b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_key,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_price
+  FROM orders
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_key,
+         CAST(count(DISTINCT CASE WHEN o_custkey % 7 = 0 THEN NULL
+                                  ELSE o_custkey END) AS BIGINT) AS d_cust,
+         CAST(sum(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_cust,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_price,
+         CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) AS d_flag
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_custkey' AS "column", 'kept' AS status,
+         'bigint' AS before_type, 'bigint' AS after_type,
+         CAST(0 AS BIGINT) AS before_null_ppm,
+         (a.null_cust * 1000000) // a.n AS after_null_ppm,
+         (a.null_cust * 1000000) // a.n AS null_ppm_delta,
+         b.d_cust AS before_distinct, a.d_cust AS after_distinct
+  FROM a, b
+  UNION ALL
+  SELECT 'o_flag', 'added', NULL, 'bigint', NULL, 0, NULL, NULL, a.d_flag
+  FROM a, b
+  UNION ALL
+  SELECT 'o_orderkey', 'kept', 'bigint', 'bigint', 0, 0, 0, b.d_key, a.d_key
+  FROM a, b
+  UNION ALL
+  SELECT 'o_orderstatus', 'removed', 'string', NULL, 0, NULL, NULL,
+         b.d_status, NULL
+  FROM a, b
+  UNION ALL
+  SELECT 'o_totalprice', 'type_changed', 'double', 'string', 0, 0, 0,
+         b.d_price, a.d_price
+  FROM a, b
+)
+ORDER BY "column"
+"""
+
+
+def q_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRATION receipt (versioned.vacuum — Delta VACUUM /
+    Iceberg expire_snapshots): build a 3-version copy-on-write store
+    (initial cohort, two upserts), expire everything but the newest 2,
+    then prove the store is STILL EXACTLY RIGHT by reading both kept
+    versions post-vacuum and hashing their logical contents against an
+    oracle that replays the upserts relationally. The GC rule is pure
+    manifest arithmetic (expired-files minus kept-files — a file carried
+    forward BY REFERENCE survives any expiry), asserted here via loud
+    invariant guards before the hash gate runs: a vacuum that deleted a
+    carried-forward file would crash the v2 read or change its sum."""
+    import os
+
+    from ai_etl_pipeline_spark.sources import versioned
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1_df = orders.where(F.col("o_orderkey") % 3 == 0)
+    upd1 = (
+        v1_df.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 30 == 1).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    upd2 = (
+        orders.where(F.col("o_orderkey") % 15 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("V").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 30 == 7).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("P").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    base = _scratch_dir("vacuum", sf_dir)
+    versioned.drop_snapshot_store(base)  # idempotent re-runs
+    versioned.versioned_write(v1_df, base, n_files=4)
+    versioned.versioned_upsert(spark, base, upd1, ["o_orderkey"])
+    versioned.versioned_upsert(spark, base, upd2, ["o_orderkey"])
+    report = versioned.vacuum(base, keep_versions=2)
+    # invariant guards — fail LOUDLY before the hash gate ever runs
+    if report["expired_versions"] != [1] or report["kept_versions"] != [2, 3]:
+        raise AssertionError(f"vacuum retired the wrong versions: {report}")
+    overlap = set(report["removed_files"]) & set(report["kept_files"])
+    if overlap:
+        raise AssertionError(f"vacuum removed live files: {sorted(overlap)}")
+    missing = [f for f in report["kept_files"] if not os.path.exists(f)]
+    if missing:
+        raise AssertionError(f"kept files missing after vacuum: {missing}")
+    frames = []
+    for v in (2, 3):
+        snap = versioned.snapshot_read(spark, base, v)
+        frames.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.expr("cast(round(o_totalprice * 100) as bigint)")
+                ).alias("cents_sum"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "n_rows", "cents_sum")
+        )
+    return frames[0].unionByName(frames[1]).orderBy("version")
+
+
+_CDC_VACUUM_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM base
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 30 = 1
+),
+v3 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice * 3
+              WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM base
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 30 = 1
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 30 = 7
+)
+SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM v2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+FROM v3
+ORDER BY version
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-12 driver window: every query whose code changed since
-    #     the r11 verdict commit (tools/window_audit.py) sits in the
+    # --- round-13 driver window: every query whose code changed since
+    #     the r12 verdict commit (tools/window_audit.py) sits in the
     #     first 50 positions; unchanged driver-green entries rotated back ---
+    "q_embed_gramian": (q_embed_gramian, _EMBED_GRAMIAN_SQL),
+    "q_embed_linear_probe": (q_embed_linear_probe, _EMBED_LINEAR_PROBE_SQL),
+    "q_embed_whitening": (q_embed_whitening, _EMBED_WHITENING_SQL),
+    "q_embed_mislabeled": (q_embed_mislabeled, _EMBED_MISLABELED_SQL),
+    "q_embed_mahalanobis": (q_embed_mahalanobis, _EMBED_MAHALANOBIS_SQL),
+    "q_pipeline_probe_gate": (q_pipeline_probe_gate, _PIPELINE_PROBE_GATE_SQL),
+    "q_validate_schema_drift": (q_validate_schema_drift, _VALIDATE_SCHEMA_DRIFT_SQL),
+    "q_cdc_vacuum": (q_cdc_vacuum, _CDC_VACUUM_SQL),
     "q_validate_referential": (q_validate_referential, _VALIDATE_REFERENTIAL_SQL),
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
     "q_cdc_change_feed": (q_cdc_change_feed, _CDC_CHANGE_FEED_SQL),
