@@ -11463,11 +11463,16 @@ FROM b GROUP BY bin ORDER BY bin
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE detection via banded perceptual hash
     (multimodal.average_hash_bmp + phash_near_duplicates — the
-    multimodal sibling of MinHash banding: 4 × 16-bit bands generate
-    candidates by pigeonhole, exact bit_count(xor) verifies
-    Hamming ≤ 3). Fixtures: 16×16 gray-gradient BMPs; every 3rd image
-    also ships a near-dup copy (one sampled cell +128) at id + 1000.
-    The oracle recomputes the 8×8 luma grid, both hash halves, the
+    multimodal sibling of MinHash banding), exercised through the
+    SCALE path: 2 × 32-bit bands with single-bit-flip Hamming
+    multiprobe (pigeonhole: hamming ≤ 3 ⇒ some band differs in ≤ 1
+    bit), which cuts the random band-collision term from 4·n²/2^16 to
+    66·n²/2^32 — the r12 verdict's unbounded-candidate fix. Output is
+    identical to the 16-bit scheme (both complete, exact
+    bit_count(xor) verify; pytest asserts set equality vs brute
+    force). Fixtures: 16×16 gray-gradient BMPs; every 3rd image also
+    ships a near-dup copy (one sampled cell +128) at id + 1000. The
+    oracle recomputes the 8×8 luma grid, both hash halves, a complete
     band join and the Hamming verify from the closed form."""
     import pandas as pd
 
@@ -11504,7 +11509,7 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.select("doc_id").mapInPandas(synth, schema=payload_schema)
     hashes = multimodal.phash_features(media)
-    pairs = multimodal.phash_near_duplicates(hashes, max_hamming=3)
+    pairs = multimodal.phash_near_duplicates(hashes, max_hamming=3, band_bits=32)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("id_a", "id_b")
@@ -12524,6 +12529,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_probe_gate": (q_pipeline_probe_gate, _PIPELINE_PROBE_GATE_SQL),
     "q_validate_schema_drift": (q_validate_schema_drift, _VALIDATE_SCHEMA_DRIFT_SQL),
     "q_cdc_vacuum": (q_cdc_vacuum, _CDC_VACUUM_SQL),
+    "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
     "q_validate_referential": (q_validate_referential, _VALIDATE_REFERENTIAL_SQL),
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),
     "q_cdc_change_feed": (q_cdc_change_feed, _CDC_CHANGE_FEED_SQL),
@@ -12589,7 +12595,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_cdc_time_travel": (q_cdc_time_travel, _CDC_TIME_TRAVEL_SQL),
     "q_agg_approx": (q_agg_approx, _AGG_APPROX_SQL),
     "q_profile_lineitem": (q_profile_lineitem, _PROFILE_LINEITEM_SQL),
-    "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
     "q_media_audio_trim": (q_media_audio_trim, _MEDIA_AUDIO_TRIM_SQL),
     "q_embed_standardize": (q_embed_standardize, _EMBED_STANDARDIZE_SQL),
     "q_media_video_frames": (q_media_video_frames, _MEDIA_VIDEO_FRAMES_SQL),

@@ -2442,39 +2442,84 @@ def phash_features(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def phash_near_duplicates(
-    hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    band_bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate IMAGES via banded aHash — the multimodal sibling
-    of MinHash-LSH banding: the 64-bit hash splits into 4 × 16-bit
-    bands; two hashes within Hamming distance ``max_hamming ≤ 3``
-    differ in at most 3 bands, so by pigeonhole they COLLIDE on at
-    least one band — the band self-join generates candidates (never
-    the O(n²) cross join), and an exact ``bit_count(xor)`` verifies.
-    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    of MinHash-LSH banding. Two complete candidate schemes (identical
+    output — every (id_a, id_b, hamming ≤ max_hamming) pair, id_a <
+    id_b — verified by exact ``bit_count(xor)`` either way):
+
+    - ``band_bits=16``: 4 × 16-bit bands; Hamming ≤ 3 differs in ≤ 3
+      bands, so by pigeonhole at least one band collides EXACTLY.
+      Cheapest per row, but random band collisions scale as
+      ``4·n²/2^16`` — fine to ~1M images, a scale-killer past it
+      (measured: 413k → 37.8M candidate pairs across one decade,
+      BENCH_SCALE_r12_media).
+    - ``band_bits=32``: 2 × 32-bit bands with HAMMING MULTIPROBE —
+      pigeonhole now guarantees some band differs in ≤ 1 BIT, so the
+      probe side emits each band value plus its 32 single-bit flips
+      and joins against exact values. Linear blowup (66 probe rows
+      per image) buys a ``2^16/~4000×`` smaller random-collision term:
+      ``66·n²/2^32`` expected junk pairs — sub-1% of the 16-bit term,
+      the 100 TB path.
+
+    True-duplicate clusters still pair quadratically WITHIN the
+    cluster in both schemes — that term is the answer, not overhead."""
+    if band_bits not in (16, 32):
+        raise ValueError(f"band_bits must be 16 or 32, got {band_bits}")
     if not 0 <= max_hamming <= 3:
         raise ValueError(
-            f"max_hamming must be in [0, 3] (4-band pigeonhole), got {max_hamming}"
+            f"max_hamming must be in [0, 3] (pigeonhole bound for both"
+            f" band layouts), got {max_hamming}"
         )
+    if band_bits == 16:
+        band_exprs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(phash_{'lo' if b < 2 else 'hi'} >> {16 * (b % 2)})"
+                    " & 65535"
+                ).alias("val"),
+            )
+            for b in range(4)
+        ]
+    else:
+        # two 32-bit bands: the stored halves themselves (mask to keep
+        # the value in [0, 2^32) — the halves are already 32-bit)
+        band_exprs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"phash_{'lo' if b == 0 else 'hi'} & 4294967295").alias(
+                    "val"
+                ),
+            )
+            for b in range(2)
+        ]
     bands = hashes.select(
         F.col(id_col),
         "phash_lo",
         "phash_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"(phash_{'lo' if b < 2 else 'hi'} >> {16 * (b % 2)})"
-                            " & 65535"
-                        ).alias("val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_exprs)).alias("bk"),
     ).select(id_col, "phash_lo", "phash_hi", "bk.band", "bk.val")
-    a, b = bands.alias("a"), bands.alias("b")
+    if band_bits == 16:
+        probes = bands
+    else:
+        # multiprobe side: the value itself + all 32 single-bit flips.
+        # A pair within Hamming 1 on a band is caught probing from
+        # EITHER endpoint, so one asymmetric probes×exact join (with
+        # the id_a < id_b residual) is complete — no symmetric blowup.
+        variants = ", ".join(["val"] + [f"val ^ {1 << k}" for k in range(32)])
+        probes = bands.select(
+            id_col,
+            "phash_lo",
+            "phash_hi",
+            "band",
+            F.explode(F.expr(f"array({variants})")).alias("val"),
+        )
+    a, b = probes.alias("a"), bands.alias("b")
     cands = (
         a.join(
             b,

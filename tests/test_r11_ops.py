@@ -424,3 +424,56 @@ def test_language_mix_report_shares_and_ties(spark):
     assert rows[2]["dominant_share_micro"] == 500_000
     assert rows[3]["dominant_lang"] == "und"
     assert rows[3]["dominant_share_micro"] is None
+
+
+def test_phash_multiprobe_band_scheme_equivalent(spark):
+    """The 32-bit-band + 1-flip multiprobe candidate scheme (the 100 TB
+    path: ~4000x fewer random band collisions) must return EXACTLY the
+    16-bit-band pair set — both are complete for hamming <= 3 and both
+    verify with exact bit_count(xor)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        lo = rng.getrandbits(32)
+        hi = rng.getrandbits(32)
+        rows.append((i, lo, hi))
+        if i % 7 == 0:  # near-dup: flip 1-3 bits across both halves
+            nl, nh = lo, hi
+            for b in rng.sample(range(64), rng.randint(1, 3)):
+                if b < 32:
+                    nl ^= 1 << b
+                else:
+                    nh ^= 1 << (b - 32)
+            rows.append((i + 10_000, nl, nh))
+        if i % 11 == 0:  # exact dup
+            rows.append((i + 20_000, lo, hi))
+    hashes = spark.createDataFrame(
+        rows, "media_id long, phash_lo long, phash_hi long"
+    )
+    p16 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_near_duplicates(hashes, band_bits=16).collect()
+    }
+    p32 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_near_duplicates(hashes, band_bits=32).collect()
+    }
+    assert p16 == p32
+    assert len(p16) >= 29 * 2 // 2  # every injected near/exact dup found
+    # brute-force ground truth on the collected hashes
+    hs = {r[0]: (r[1], r[2]) for r in rows}
+    want = set()
+    ids = sorted(hs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if ham <= 3:
+                want.add((a, b, ham))
+    assert p16 == want
+    with pytest.raises(ValueError, match="band_bits"):
+        multimodal.phash_near_duplicates(hashes, band_bits=8)
