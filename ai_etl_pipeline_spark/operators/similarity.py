@@ -163,6 +163,28 @@ def hash_ranked_sample(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build (and cache) the IVF INVERTED LISTS once: every corpus
+    vector assigned to its nearest cell via the Arrow/BLAS pass, norms
+    computed in the same pass. This is the index a deployment
+    materializes ONCE (at 100 TB: a table partitioned by ``cell``) and
+    amortizes over every query batch — pass the result to
+    :func:`ivf_knn` via ``index=`` so repeated query batches never
+    re-run the O(n·cells) assignment. Columns: (neighbor_id, cv, __cn,
+    cell)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    return ivf_assign_cells(
+        c, "cv", centroids, nprobe=1, out_col="cell", norm_col="__cn"
+    ).select("neighbor_id", "cv", "__cn", "cell").cache()
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -174,6 +196,7 @@ def ivf_knn(
     train_iterations: int | None = 2,
     train_corpus: DataFrame | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into
     ``num_centroids`` cells by nearest centroid, then answer each query
@@ -201,6 +224,19 @@ def ivf_knn(
     materialize ``assigned`` partitioned by ``cell`` once, and each
     query batch probes only nprobe/num_centroids of the data via a
     broadcast equi-join on cell. Recall is tunable via nprobe.
+
+    SIZE the cell count with :func:`ivf_cells_for` (cells ~ √n,
+    nprobe fixed) — a fixed cell count makes the probe a constant
+    FRACTION of the corpus (the r12 receipt measured ~25% at every
+    size), while √n cells shrink the fraction every decade. At ≥ 64
+    pretrained centroids the assignment flips from the broadcast-
+    crossJoin argmax (O(n·cells) interpreted rows) to one Arrow/BLAS
+    pass per batch (:func:`ivf_assign_cells`) — same rounding and
+    tie-break, dgemm speed. BUILD ONCE, QUERY MANY: pass a prebuilt
+    :func:`ivf_index` via ``index=`` and a query batch pays only its
+    probe + scoring — assignment is index-build cost, paid once per
+    corpus, exactly like a real deployment's persisted cell-partitioned
+    table.
     """
     from pyspark.sql import Window
 
@@ -230,56 +266,107 @@ def ivf_knn(
     # HOF folds are interpreted — never re-fold a norm per pair)
     cents = cents.withColumn("__ctn", norm_expr("centroid_vec"))
 
-    # inverted lists: nearest centroid per corpus vector (argmax cosine,
-    # ties to the smallest centroid_id for engine-portable determinism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
     ).withColumn("__cn", norm_expr("cv"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cos_c").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cos_c",
-            F.round(
-                dot_expr("cv", "centroid_vec")
-                / (F.col("__cn") * F.col("__ctn")),
-                6,
-            ),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
-        .select("neighbor_id", "cv", "__cn", F.col("centroid_id").alias("cell"))
-        # the inverted lists ARE the IVF index — materialize once
-        # (cache) so probes hit an InMemoryRelation leaf instead of
-        # re-planning/re-running the assignment pass (r12; at cluster
-        # scale this is the `assigned` table a real deployment
-        # persists partitioned by cell)
-        .cache()
-    )
-
-    # probe set: nprobe nearest centroids per query
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
     ).withColumn("__qn", norm_expr("qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cos_q").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cos_q",
-            F.round(
-                dot_expr("qv", "centroid_vec")
-                / (F.col("__qn") * F.col("__ctn")),
-                6,
-            ),
+
+    if index is not None:
+        # prebuilt inverted lists (ivf_index) — the amortized path: a
+        # query batch pays ONLY its probe + scoring, never the
+        # O(n·cells) assignment
+        assigned = index
+        if centroids is not None and len(centroids) >= 64:
+            probes = ivf_assign_cells(
+                q, "qv", centroids, nprobe=nprobe, out_col="cell"
+            ).drop("probe_rank")
+        else:
+            w_probe = Window.partitionBy("query_id").orderBy(
+                F.col("cos_q").desc(), F.col("centroid_id").asc()
+            )
+            probes = (
+                q.crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "cos_q",
+                    F.round(
+                        dot_expr("qv", "centroid_vec")
+                        / (F.col("__qn") * F.col("__ctn")),
+                        6,
+                    ),
+                )
+                .withColumn("prn", F.row_number().over(w_probe))
+                .where(F.col("prn") <= nprobe)
+                .select(
+                    "query_id", "qv", "__qn", F.col("centroid_id").alias("cell")
+                )
+            )
+    elif centroids is not None and len(centroids) >= 64:
+        # LARGE cell counts (the √n sizing rule, ivf_cells_for): the
+        # broadcast-crossJoin argmax below materializes n·cells rows
+        # and folds every dot interpreted — O(n^1.5) interpreted work
+        # once cells ~ √n. One Arrow/BLAS pass assigns cells instead
+        # (same 6dp rounding + smallest-id tie-break; see
+        # ivf_assign_cells), norms in the same pass (norm_col) so no
+        # second interpreted fold over the corpus. Only reachable on
+        # the pretrained-quantizer path, so the small-cell
+        # SQL-replayable plans stay bit-exact.
+        assigned = ivf_assign_cells(
+            c.drop("__cn"), "cv", centroids, nprobe=1, out_col="cell",
+            norm_col="__cn",
+        ).select("neighbor_id", "cv", "__cn", "cell").cache()
+        probes = ivf_assign_cells(
+            q, "qv", centroids, nprobe=nprobe, out_col="cell"
+        ).drop("probe_rank")
+    else:
+        # inverted lists: nearest centroid per corpus vector (argmax
+        # cosine, ties to the smallest centroid_id for engine-portable
+        # determinism)
+        w_assign = Window.partitionBy("neighbor_id").orderBy(
+            F.col("cos_c").desc(), F.col("centroid_id").asc()
         )
-        .withColumn("prn", F.row_number().over(w_probe))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "__qn", F.col("centroid_id").alias("cell"))
-    )
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos_c",
+                F.round(
+                    dot_expr("cv", "centroid_vec")
+                    / (F.col("__cn") * F.col("__ctn")),
+                    6,
+                ),
+            )
+            .withColumn("arn", F.row_number().over(w_assign))
+            .where(F.col("arn") == 1)
+            .select(
+                "neighbor_id", "cv", "__cn", F.col("centroid_id").alias("cell")
+            )
+            # the inverted lists ARE the IVF index — materialize once
+            # (cache) so probes hit an InMemoryRelation leaf instead of
+            # re-planning/re-running the assignment pass (r12; at
+            # cluster scale this is the `assigned` table a real
+            # deployment persists partitioned by cell)
+            .cache()
+        )
+
+        # probe set: nprobe nearest centroids per query
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("cos_q").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos_q",
+                F.round(
+                    dot_expr("qv", "centroid_vec")
+                    / (F.col("__qn") * F.col("__ctn")),
+                    6,
+                ),
+            )
+            .withColumn("prn", F.row_number().over(w_probe))
+            .where(F.col("prn") <= nprobe)
+            .select("query_id", "qv", "__qn", F.col("centroid_id").alias("cell"))
+        )
 
     # search only the probed cells: broadcast equi-join on cell
     scored = (
@@ -696,6 +783,160 @@ def kmeans_centroids_local(
             for label, vec in cents
         ]
     return cents
+
+
+def ivf_cells_for(
+    n: int, min_cells: int = 8, max_cells: int = 1 << 18
+) -> int:
+    """The standard IVF sizing rule (FAISS guideline: cells ~ c·√n):
+    cell count = √n rounded DOWN to a power of two (stable against
+    small count jitter), clamped to [min_cells, max_cells]. With nprobe
+    FIXED, the probed fraction nprobe/cells then falls ~1/√n per decade
+    and per-query scanned rows grow only ~√n — a fixed cell count
+    instead degenerates into a constant-fraction corpus scan (the r12
+    ANN receipt measured it at ~25% of the corpus at EVERY size)."""
+    import math
+
+    if n < 1:
+        return min_cells
+    cells = 1 << int(math.log2(max(math.isqrt(n), 1)))
+    return max(min_cells, min(cells, max_cells))
+
+
+def kmeans_centroids_local_np(
+    rows: list[tuple], k: int = 8, iterations: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Vectorized numpy twin of :func:`kmeans_centroids_local` for the
+    LARGE cell counts the √n sizing rule produces (k in the hundreds/
+    thousands, where the bit-lockstep trainer's pure-Python sequential
+    folds are O(sample · k · d) interpreted ops — minutes at k=1024).
+    Same hash-ranked init, same ``round(v·v − 2 v·c + c·c, 6)``
+    distances with (d, label) tie-break, same ``round(mean, 6)``
+    update, empty clusters keep their centroid — but BLAS matmuls
+    reorder float sums, so this trainer is NOT bit-lockstep with the
+    SQL-replayable path: hash-gated receipts train with
+    :func:`kmeans_centroids_local`; scale paths train here."""
+    import numpy as np
+
+    from ..functions.portable import md5_i64_py
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    data = sorted(
+        ((rid, [float(v) for v in vec]) for rid, vec in rows),
+        key=lambda r: r[0],
+    )
+    ranked = sorted(data, key=lambda r: (md5_i64_py(str(r[0])), r[0]))
+    x = np.asarray([v for _, v in data], dtype="float64")
+    cents = np.asarray([vec for _, vec in ranked[:k]], dtype="float64")
+    kk = cents.shape[0]
+    for _ in range(iterations - 1):
+        d2 = np.round(
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :],
+            6,
+        )
+        lbl = np.argmin(d2, axis=1)  # first min = smallest label on ties
+        for c in range(kk):
+            mask = lbl == c
+            if mask.any():
+                cents[c] = np.round(x[mask].mean(axis=0), 6)
+    return [(c, cents[c].tolist()) for c in range(kk)]
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+    out_col: str = "cell",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Cell assignment against a DRIVER-SIDE centroid matrix as one
+    map-only Arrow/BLAS pass — the scale path for large cell counts.
+    The broadcast-crossJoin argmax inside :func:`ivf_knn` materializes
+    n·cells ROWS and folds every dot interpreted; with √n-sized cell
+    counts that is O(n^1.5) interpreted work (~1.3e11 ops at 2M×1024),
+    while this pass is one dgemm per Arrow batch (the centroid matrix
+    rides the closure; nothing shuffles).
+
+    Matches the crossJoin path's semantics exactly where it matters:
+    cosine rounded to 6dp (realized as a monotonic scaled floor —
+    half-up like F.round for positive cosines; an exact .5e-6 boundary
+    is measure-zero in float and this path is documented as not
+    bit-lockstep with the SQL oracle anyway), ties to the SMALLEST
+    centroid_id (centroids are sorted by id; argsort/argmax
+    first-hit). Emits one row per input row for ``nprobe=1`` (column
+    ``out_col``), else ``nprobe`` rows (nearest cells, best first,
+    ``probe_rank`` added). Zero-norm vectors get cosine 0 against
+    every centroid (the engine's 0/0→0 convention never arises: norms
+    are clamped). ``norm_col`` additionally emits each row's vector
+    norm (already computed for the cosine) — callers that need it for
+    downstream scoring skip a second interpreted HOF fold over the
+    corpus."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cents = sorted(centroids, key=lambda c: c[0])
+    ids = np.asarray([c[0] for c in cents], dtype="int64")
+    cm = np.asarray([list(map(float, c[1])) for c in cents], dtype="float64")
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    cn[cn == 0] = 1.0
+    cmu = cm / cn[:, None]  # unit centroids: one dgemm gives cosine
+    dim = cm.shape[1]
+    fields = list(df.schema.fields)
+    if norm_col:
+        fields.append(StructField(norm_col, DoubleType(), True))
+    fields.append(StructField(out_col, IntegerType(), True))
+    if nprobe > 1:
+        fields.append(StructField("probe_rank", IntegerType(), True))
+    schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"ivf_assign_cells: expected dim-{dim} vectors"
+                )
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0] = 1.0
+            # 6dp-rounded cosine, kept SCALED (x 1e6): floor(c*1e6 + .5)
+            # is monotonic in the rounded value, so argmax/argsort over
+            # it equal argmax/argsort over round(c, 6) — without
+            # materializing a second n x cells float pass (np.round on
+            # the full matrix was 8x the dgemm cost, measured)
+            cos6 = np.floor((x / xn[:, None]) @ cmu.T * 1e6 + 0.5)
+            if nprobe == 1:
+                best = np.argmax(cos6, axis=1)  # first hit = smallest id
+                out = pdf.copy()
+                if norm_col:
+                    out[norm_col] = xn
+                out[out_col] = ids[best].astype("int32")
+                yield out
+            else:
+                # per row: nprobe best cells, (cos desc, centroid_id asc)
+                order = np.argsort(-cos6, axis=1, kind="stable")[:, :nprobe]
+                reps = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+                if norm_col:
+                    reps[norm_col] = np.repeat(xn, nprobe)
+                reps[out_col] = ids[order.ravel()].astype("int32")
+                reps["probe_rank"] = np.tile(
+                    np.arange(1, nprobe + 1, dtype="int32"), len(pdf)
+                )
+                yield reps
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def pq_train_local(

@@ -18,6 +18,11 @@ plan shapes:
 - ppl_sec:     add-k bigram LM perplexity (CCNet idiom) — LM build is
                one bigram aggregate + one context re-aggregate,
                scoring one hash-spread join.
+- ppl_fixedvocab_sec: the same perplexity over the BASE docs (no
+               doc-unique fillers — bounded 16-word vocabulary). The
+               r13 attribution run: this curve tracking the scan
+               decade pins the O(n)-vocab curve's extra growth on the
+               fixture's rare-token tail, not the operator's plan.
 
 Each op is forced end-to-end through an aggregate OVER ITS COMPUTED
 COLUMNS (sum/avg of the scores) — a bare count() would let Catalyst
@@ -81,6 +86,22 @@ def release_shuffles(spark) -> None:
     time.sleep(2)
 
 
+def fixed_vocab_corpus(spark, n: int):
+    """The same synthetic docs WITHOUT the doc-unique fillers — a
+    bounded (16-word) vocabulary, so the bigram table and df aggregate
+    stay O(1)-sized while the corpus decades. The r12 verdict asked for
+    this attribution run: if ppl over a FIXED vocabulary tracks the
+    scan decade, the O(n)-vocab curve's extra growth belongs to the
+    fixture's rare-token tail, not the operator's plan."""
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", n)
+        .option("partitions", 32)
+        .load()
+        .select("doc_id", "text")
+    )
+
+
 def run_size(spark, n: int) -> dict:
     out: dict = {"n_docs": n}
     docs = corpus(spark, n)
@@ -141,10 +162,27 @@ def run_size(spark, n: int) -> dict:
     out["ppl_sec"], row = timed(ppl)
     out["ppl_avg"] = float(row["avg_ppl"])
     release_shuffles(spark)
+
+    fdocs = fixed_vocab_corpus(spark, n)
+
+    def ppl_fixed():
+        return (
+            textstats.lm_perplexity(fdocs, "doc_id", "text")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("ppl"), 3).alias("avg_ppl"),
+            )
+            .collect()[0]
+        )
+
+    out["ppl_fixedvocab_sec"], row = timed(ppl_fixed)
+    release_shuffles(spark)
     return out
 
 
-OPS = ("langid_sec", "gopher_sec", "tfidf_sec", "ppl_sec")
+OPS = (
+    "langid_sec", "gopher_sec", "tfidf_sec", "ppl_sec", "ppl_fixedvocab_sec"
+)
 
 
 def main() -> None:
