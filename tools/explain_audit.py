@@ -227,7 +227,10 @@ PLAN_CHECKS: dict[str, dict] = {
         "note": "ASSERTED: exactly ONE corpus-side Arrow pass "
         "(MapInPandas) — the n_rows spread is a window over the "
         "d(d+1)/2 aggregated rows, never a second scan.",
-        "count_eq": [("ArrowEvalPython|MapInPandas", 1)],
+        # counted in the AQE FINAL plan tree only (formatted explain
+        # also prints the Initial Plan and a details section, both of
+        # which repeat every operator)
+        "count_eq": [(r"(?:ArrowEvalPython|MapInPandas)", 1)],
     },
     "q_embed_mahalanobis": {
         "note": "ASSERTED: the scoring pass is map-only Arrow work — "
@@ -256,11 +259,20 @@ def _check_plan(name: str, plan: str) -> None:
             raise AssertionError(f"{name}: forbidden operator {needle} in plan")
     import re
 
+    # count_eq applies to the AQE FINAL plan tree only — formatted
+    # explain repeats operators in the Initial Plan and details blocks
+    tree = plan
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==", 1)[1]
+        for stop in ("== Initial Plan ==", "\n\n("):
+            if stop in tree:
+                tree = tree.split(stop, 1)[0]
     for pattern, want in spec.get("count_eq", []):
-        got = len(re.findall(pattern, plan))
+        got = len(re.findall(pattern, tree))
         if got != want:
             raise AssertionError(
-                f"{name}: expected {want} of /{pattern}/, found {got}"
+                f"{name}: expected {want} of /{pattern}/ in the final"
+                f" plan tree, found {got}"
             )
 
 
