@@ -57,8 +57,29 @@ def _valid_rows(col, dim: int):
     through this one gate, so train-time and score-time row tolerance
     cannot diverge: a row the statistics skipped is a row the scorer
     NULLs/drops, never one that crashes the Arrow worker or silently
-    poisons an accumulator with NaN."""
+    poisons an accumulator with NaN.
+
+    Fast path: when every value stacks into one rectangular float
+    matrix (the overwhelmingly common clean-batch case — Arrow hands
+    uniform ndarrays), validity is ONE vectorized isfinite mask instead
+    of a per-row Python loop (~10× on wide batches; the loop remains as
+    the fallback for batches holding NULLs/raggedness/objects)."""
     np = _np()
+    try:
+        mat = np.stack(col.to_numpy() if hasattr(col, "to_numpy") else list(col))
+        if (
+            mat.ndim == 2
+            and mat.shape[1] == dim
+            and mat.dtype.kind in "fi"
+        ):
+            mat = mat.astype("float64", copy=False)
+            ok = np.isfinite(mat).all(axis=1)
+            if ok.all():
+                return list(range(len(mat))), mat
+            idx_arr = np.flatnonzero(ok)
+            return idx_arr.tolist(), mat[idx_arr]
+    except (TypeError, ValueError):
+        pass  # NULLs / ragged rows / non-numeric cells: row-wise below
     idx: list[int] = []
     rows: list = []
     for p, v in enumerate(col):
