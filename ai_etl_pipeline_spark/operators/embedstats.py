@@ -675,10 +675,9 @@ def linear_probe_mislabeled(
                 # known) — no object-dtype comparisons that would choke
                 # on nullable label arrays
                 out = out[ok & (pred_pos != lbl_pos) & (margin >= min_margin)]
-            else:
-                out["pred"] = []
-                out["margin"] = []
-            yield out
+                yield out
+            # empty batches yield nothing — an all-NA empty frame
+            # would poison the Arrow writer's concat dtypes
 
     return (
         df.mapInPandas(run, schema=schema)

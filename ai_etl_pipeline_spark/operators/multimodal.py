@@ -2436,7 +2436,11 @@ def phash_features(df: DataFrame, content_col: str = "content") -> DataFrame:
                 except ValueError:
                     continue
                 rows.append((mid, lo, hi))
-            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+            if rows:  # an empty all-NA frame would poison the Arrow
+                # writer's concat dtypes (pandas FutureWarning)
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+                )
 
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
