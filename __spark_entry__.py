@@ -12517,6 +12517,40 @@ ORDER BY version
 """
 
 
+
+def q_validate_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts for a data-card release
+    (validate.dp_noisy_counts — the two-sided geometric mechanism,
+    derandomized through salted md5 uniforms so the release is a
+    seeded, replayable artifact): order counts per priority at
+    epsilon = 0.5. The oracle replays the inverse-CDF draws
+    (floor(ln(u)/−epsilon), u = (hash % 1e6 + 0.5)/1e6) exactly; a
+    wrong mechanism, wrong seed wiring, or a lost group breaks the
+    hash."""
+    orders = _t(spark, sf_dir, "orders")
+    out = validate.dp_noisy_counts(
+        orders, ["o_orderpriority"], epsilon=0.5, salt="release1"
+    )
+    return out.orderBy("o_orderpriority")
+
+
+_VALIDATE_DP_COUNTS_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS tc
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(tc
+            + floor(ln((CAST('0x' || substr(md5('release1|1|' || o_orderpriority), 1, 15) AS BIGINT)
+                        % 1000000 + 0.5) / 1000000.0) / (-0.5))
+            - floor(ln((CAST('0x' || substr(md5('release1|2|' || o_orderpriority), 1, 15) AS BIGINT)
+                        % 1000000 + 0.5) / 1000000.0) / (-0.5))
+            AS BIGINT) AS noisy_count
+FROM c
+ORDER BY o_orderpriority
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-13 driver window: every query whose code changed since
     #     the r12 verdict commit (tools/window_audit.py) sits in the
@@ -12529,6 +12563,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_pipeline_probe_gate": (q_pipeline_probe_gate, _PIPELINE_PROBE_GATE_SQL),
     "q_validate_schema_drift": (q_validate_schema_drift, _VALIDATE_SCHEMA_DRIFT_SQL),
     "q_cdc_vacuum": (q_cdc_vacuum, _CDC_VACUUM_SQL),
+    "q_validate_dp_counts": (q_validate_dp_counts, _VALIDATE_DP_COUNTS_SQL),
     "q_media_phash_dedup": (q_media_phash_dedup, _MEDIA_PHASH_SQL),
     "q_validate_referential": (q_validate_referential, _VALIDATE_REFERENTIAL_SQL),
     "q_cdc_join_delta": (q_cdc_join_delta, _CDC_JOIN_DELTA_SQL),

@@ -331,6 +331,61 @@ def k_anonymity_report(
     )
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: int = 1,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private per-group counts for a data-release /
+    data-card surface: the two-sided GEOMETRIC mechanism (Ghosh et al.
+    2009 — the discrete analogue of Dwork et al.'s Laplace mechanism):
+    ``noisy = count + G1 − G2`` with ``G_i ~ Geometric``,
+    ``P(G ≥ k) = alpha^k``, ``alpha = exp(−epsilon/sensitivity)``.
+
+    DERANDOMIZED for engine-portable receipts: each geometric draw
+    comes from an md5-hash uniform of (salt, draw index, group key)
+    through the inverse CDF ``floor(ln(u)/ln(alpha))`` — and since
+    ``ln(alpha) = −epsilon/sensitivity`` exactly, no exp/log roundtrip
+    enters the plan. The salt is the seed: rotate it per release
+    exactly as a seeded PRNG release would. Replayable in plain SQL.
+
+    Cost shape: ONE group aggregate over the corpus (map-side combine),
+    then per-group scalar math — output is group-sized. At 100 TB the
+    scan is the floor; nothing here adds a second pass."""
+    from ..functions.portable import md5_i64
+
+    if epsilon <= 0:
+        raise ValueError(f"dp_noisy_counts: epsilon must be > 0, got {epsilon}")
+    if sensitivity < 1:
+        raise ValueError(
+            f"dp_noisy_counts: sensitivity must be >= 1, got {sensitivity}"
+        )
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tc")
+    )
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    neg_eps = -(epsilon / sensitivity)  # = ln(alpha), exactly
+
+    def geometric(idx: int):
+        u = (
+            F.pmod(
+                md5_i64(F.concat(F.lit(f"{salt}|{idx}|"), key)),
+                F.lit(1_000_000),
+            )
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+        return F.floor(F.log(u) / F.lit(neg_eps))
+
+    return counts.select(
+        *group_cols,
+        (F.col("__tc") + geometric(1) - geometric(2))
+        .cast("bigint")
+        .alias("noisy_count"),
+    )
+
+
 def auc_report(
     df: DataFrame,
     score_col: str,
