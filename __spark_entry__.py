@@ -1496,17 +1496,31 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+# r14 (r13 verdict #1): every MinHash-LSH registry query runs with the
+# oversized-bucket cap so the hash gate PROVES the Spark split and the
+# oracle split agree bit-for-bit. The value is deliberately tiny because
+# the synthetic corpus's band buckets top out at 3–4 members (measured:
+# sf0.01 has ten 3-member buckets, sf0.001 seven 4-member ones) — a cap
+# that never fires would make the lockstep claim vacuous. Production
+# corpora would run 10^3–10^4 (the boilerplate-family bound, see
+# dedup._split_oversized_buckets).
+_LSH_MAX_BUCKET = 2
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: 3-word shingles → 16 portable md5 minhashes
-    → 8 bands → bucket-join candidates → exact-Jaccard verify ≥ 0.5.
-    The oracle replays the identical signature/banding arithmetic."""
+    → 8 bands → bucket-join candidates (oversized buckets hash-split at
+    _LSH_MAX_BUCKET — the boilerplate-family n² bound) → exact-Jaccard
+    verify ≥ 0.5. The oracle replays the identical signature / banding /
+    bucket-split arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_bucket: int | None = _LSH_MAX_BUCKET) -> str:
     mh_cols = ",\n         ".join(f"{_mh_expr(i, 'shingle')} AS mh{i}" for i in range(16))
     band_selects = "\n    UNION ALL\n".join(
         "    SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
@@ -1514,6 +1528,25 @@ def _minhash_sql() -> str:
         )
         for b in range(8)
     )
+    if max_bucket is None:
+        cap_ctes, cand_src, sub_pred = "", "banded", ""
+    else:
+        # replay of dedup._split_oversized_buckets: oversized (band, sig)
+        # buckets get sub = md5_i64(doc_id) % ceil(n / cap), others 0
+        cap_ctes = f""",
+lshover AS (
+  SELECT band, sig, count(*) AS n FROM banded GROUP BY band, sig
+  HAVING count(*) > {max_bucket}
+),
+bandedsub AS (
+  SELECT b.doc_id, b.band, b.sig,
+         CASE WHEN o.n IS NULL THEN 0
+              ELSE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % ((o.n + {max_bucket - 1}) // {max_bucket})
+         END AS sub
+  FROM banded b LEFT JOIN lshover o ON o.band = b.band AND o.sig = b.sig
+)"""
+        cand_src, sub_pred = "bandedsub", " AND a.sub = b.sub"
     return f"""
 WITH {_SHINGLES_CTE},
 sigs AS (
@@ -1523,11 +1556,11 @@ sigs AS (
 ),
 banded AS (
 {band_selects}
-),
+){cap_ctes},
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM {cand_src} a JOIN {cand_src} b
+    ON a.band = b.band AND a.sig = b.sig{sub_pred} AND a.doc_id < b.doc_id
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
@@ -1553,7 +1586,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE — fully independent of the Spark iteration."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     return dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
 
@@ -1948,19 +1982,17 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _knn_ivf_sql(train_where: str = "") -> str:
-    """Oracle for the TRAINED IVF: replay _KMEANS_SQL's training chain
-    (init + one Lloyd update) as the centroid table, then cell
-    assignment, nprobe probing and scoring. ``train_where`` (a full
-    ``WHERE ...`` clause) restricts the TRAINING relation — init pick,
-    Lloyd assignment, mean update — to the engine's hash-ranked sample
-    (ivf_knn's ``train_corpus``, r11 verdict #1); assignment, probing
-    and scoring always cover the full corpus. With ``train_where`` empty
-    the training relation IS the corpus — semantically identical to the
-    pre-r12 spliced-_KMEANS_SQL chain (q_knn_ivf's oracle)."""
+def _ivf_cells_sql(train_where: str = "") -> str:
+    """The IVF coarse-quantizer WITH-chain (no leading ``WITH``): train
+    the 8 centroids (_KMEANS_SQL's init + one Lloyd update, restricted
+    to ``train_where`` when given), assign every corpus vector to its
+    cell, and probe the 2 nearest cells per query (``q.vec_id < 5``) —
+    ends at CTEs ``cents`` / ``assigned`` / ``probes``. Shared by
+    _knn_ivf_sql (exact scoring of probed cells) and _knn_ivfpq_sql
+    (ADC scoring of probed cells over PQ codes)."""
     h = _KMEANS_HASH
     head = f"""
-WITH v AS (
+v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
   FROM embeddings
 ),
@@ -2023,7 +2055,21 @@ probes AS (
     FROM v q CROSS JOIN cents ct
     WHERE q.vec_id < 5
   ) WHERE prn <= 2
-),
+)"""
+
+
+def _knn_ivf_sql(train_where: str = "") -> str:
+    """Oracle for the TRAINED IVF: replay _KMEANS_SQL's training chain
+    (init + one Lloyd update) as the centroid table, then cell
+    assignment, nprobe probing and scoring. ``train_where`` (a full
+    ``WHERE ...`` clause) restricts the TRAINING relation — init pick,
+    Lloyd assignment, mean update — to the engine's hash-ranked sample
+    (ivf_knn's ``train_corpus``, r11 verdict #1); assignment, probing
+    and scoring always cover the full corpus. With ``train_where`` empty
+    the training relation IS the corpus — semantically identical to the
+    pre-r12 spliced-_KMEANS_SQL chain (q_knn_ivf's oracle)."""
+    return f"""
+WITH {_ivf_cells_sql(train_where)},
 scored AS (
   SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.cv')} AS cosine
   FROM assigned a JOIN probes p ON a.cell = p.cell
@@ -2164,6 +2210,77 @@ FROM (
 """
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (IVFADC, r13 verdict missing #1): the coarse
+    quantizer (8 cells, kmeans_centroids_local) prunes to nprobe=2
+    cells per query, and ONLY those inverted lists are ADC-scanned over
+    4×16 PQ codes — flat pq_knn's exhaustive compressed scan becomes a
+    cells/nprobe-fraction scan. Both quantizers train driver-side on
+    the shared top-256 hash-ranked sample (the recall-report
+    precedent); the oracle replays the coarse training + assignment +
+    probes (_ivf_cells_sql), all four codebook chains
+    (_pq_kmeans_chain_sql) and the ADC arithmetic in lockstep."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(emb, "vec_id", 256).collect()
+    ]
+    cents = similarity.kmeans_centroids_local(rows, k=8, iterations=2)
+    books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
+    return similarity.ivfpq_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+        centroids=cents, codebooks=books,
+    )
+
+
+def _knn_ivfpq_sql(
+    m: int = 4, dim: int = 64, k_codes: int = 16,
+    train_where: str = "",
+) -> str:
+    """IVFADC oracle: the IVF chain (cents/assigned/probes —
+    _ivf_cells_sql) + the m codebook training/encoding chains
+    (_pq_kmeans_chain_sql) + ADC scoring restricted to probed cells.
+    The ADC grouping matches _knn_pq_sql exactly (sub-dots summed
+    left-to-right in subspace order, 6-dp round on the final cosine)."""
+    sub = dim // m
+    chains = ",\n".join(
+        _pq_kmeans_chain_sql(j, sub, k_codes, train_where) for j in range(m)
+    )
+    code_joins = " ".join(f"JOIN k{j} USING (vec_id)" for j in range(1, m))
+    book_joins = " ".join(
+        f"JOIN c1{j} b{j} ON b{j}.cluster = k{j}.code" for j in range(m)
+    )
+    book_cols = ", ".join(f"b{j}.c AS c{j}" for j in range(m))
+    dot_terms = " + ".join(
+        f"list_dot_product(p.qv[{j * sub + 1}:{(j + 1) * sub}], r.c{j})"
+        for j in range(m)
+    )
+    rr_terms = " + ".join(f"list_dot_product(r.c{j}, r.c{j})" for j in range(m))
+    return f"""
+WITH {_ivf_cells_sql(train_where)},
+{chains},
+recon AS (
+  SELECT k0.vec_id, {book_cols}
+  FROM k0 {code_joins} {book_joins}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(({dot_terms})
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt({rr_terms})), 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND p.query_id <> a.neighbor_id
+  JOIN recon r ON r.vec_id = a.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall receipt (r8 verdict task #5): recall@5 of the three
     approximate tiers (sign-LSH, trained IVF, PQ/ADC) against
@@ -2218,6 +2335,11 @@ def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
         "ivf": similarity.ivf_knn(emb, qs, k=5, nprobe=2, centroids=cents),
         "pq": similarity.pq_knn(emb, qs, k=5, codebooks=books),
+        # r14: the IVFADC composition measured against the same truth —
+        # its recall floor is min(ivf pruning, pq quantization)
+        "ivfpq": similarity.ivfpq_knn(
+            emb, qs, k=5, nprobe=2, centroids=cents, codebooks=books
+        ),
     }
     return similarity.recall_report(exact, tiers)
 
@@ -2255,6 +2377,7 @@ def _knn_recall_report_sql() -> str:
             ("ivf", _knn_ivf_sql(train_where=_KNN_TRAIN_WHERE)),
             ("lsh", _KNN_LSH_SQL),
             ("pq", _knn_pq_sql(train_where=_KNN_TRAIN_WHERE)),
+            ("ivfpq", _knn_ivfpq_sql(train_where=_KNN_TRAIN_WHERE)),
         ]
     )
     rows = "\nUNION ALL\n".join(
@@ -2265,7 +2388,7 @@ def _knn_recall_report_sql() -> str:
         WHERE EXISTS (SELECT 1 FROM res_exact e
                       WHERE e.query_id = t.query_id
                         AND e.neighbor_id = t.neighbor_id)) AS hits"""
-        for name in ["ivf", "lsh", "pq"]
+        for name in ["ivf", "lsh", "pq", "ivfpq"]
     )
     return f"""
 WITH {ctes}
@@ -2626,7 +2749,8 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source pairs via least/greatest; candidate-sized joins only."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
     sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
@@ -3255,7 +3379,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays pair generation plus the same closure."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     return graph.triangle_count(pairs, "id_a", "id_b")
 
@@ -3291,7 +3416,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed nothing)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     return graph.k_core(pairs, 2, "id_a", "id_b", iterations=4)
 
@@ -5173,7 +5299,8 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the fixed-round semantics themselves."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     lab = graph.label_propagation(
         pairs, "id_a", "id_b", iterations=8, mode="components", change_receipt=True
@@ -6059,7 +6186,8 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-function rules, hash predicate)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     clusters = dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
     non_canon = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -6688,7 +6816,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.where(F.col("doc_id") % 5 == 0)
     return dedup.minhash_lsh_incremental(
         corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
-        threshold=0.5,
+        threshold=0.5, max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -6730,6 +6858,7 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_incremental(
         corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
         threshold=0.5, corpus_bands=spark.table("__band_index_documents"),
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -7574,7 +7703,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, the recursive-CTE closure AND the ranking."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_near_duplicates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     clusters = dedup.near_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
     scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -10411,7 +10541,8 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = (
         dedup.minhash_lsh_near_duplicates(
-            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5
+            docs, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8, threshold=0.5,
+            max_bucket=_LSH_MAX_BUCKET,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
@@ -10491,10 +10622,23 @@ sigs AS (
 banded AS (
 {band_selects}
 ),
+lshover AS (
+  SELECT band, sig, count(*) AS n FROM banded GROUP BY band, sig
+  HAVING count(*) > {_LSH_MAX_BUCKET}
+),
+bandedsub AS (
+  SELECT b.doc_id, b.band, b.sig,
+         CASE WHEN o.n IS NULL THEN 0
+              ELSE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % ((o.n + {_LSH_MAX_BUCKET - 1}) // {_LSH_MAX_BUCKET})
+         END AS sub
+  FROM banded b LEFT JOIN lshover o ON o.band = b.band AND o.sig = b.sig
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM bandedsub a JOIN bandedsub b
+    ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+   AND a.doc_id < b.doc_id
 ),
 interm AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -12519,16 +12663,19 @@ ORDER BY version
 
 
 def q_validate_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private group counts for a data-card release
-    (validate.dp_noisy_counts — the two-sided geometric mechanism,
-    derandomized through salted md5 uniforms so the release is a
-    seeded, replayable artifact): order counts per priority at
-    epsilon = 0.5. The oracle replays the inverse-CDF draws
-    (floor(ln(u)/−epsilon), u = (hash % 1e6 + 0.5)/1e6) exactly; a
-    wrong mechanism, wrong seed wiring, or a lost group breaks the
+    """SEEDED noisy group counts (validate.seeded_noisy_counts — the
+    two-sided geometric mechanism derandomized through salted md5
+    uniforms, NULL-safe group-key rendering): order counts per priority
+    at epsilon = 0.5. This registry rendering publishes its salt ON
+    PURPOSE so the oracle can replay the inverse-CDF draws
+    (floor(ln(u)/−epsilon), u = (hash % 1e6 + 0.5)/1e6) exactly —
+    it demonstrates the MECHANISM and is explicitly NOT a private
+    release (a replayable receipt and a secret seed are mutually
+    exclusive; see the operator docstring for the honest guarantee).
+    A wrong mechanism, wrong seed wiring, or a lost group breaks the
     hash."""
     orders = _t(spark, sf_dir, "orders")
-    out = validate.dp_noisy_counts(
+    out = validate.seeded_noisy_counts(
         orders, ["o_orderpriority"], epsilon=0.5, salt="release1"
     )
     return out.orderBy("o_orderpriority")
@@ -12538,15 +12685,21 @@ _VALIDATE_DP_COUNTS_SQL = """
 WITH c AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS tc
   FROM orders GROUP BY o_orderpriority
+),
+k AS (
+  SELECT o_orderpriority, tc,
+         CASE WHEN o_orderpriority IS NULL THEN 'n'
+              ELSE 'v|' || CAST(o_orderpriority AS VARCHAR) END AS gk
+  FROM c
 )
 SELECT o_orderpriority,
        CAST(tc
-            + floor(ln((CAST('0x' || substr(md5('release1|1|' || o_orderpriority), 1, 15) AS BIGINT)
+            + floor(ln((CAST('0x' || substr(md5('release1|1|' || gk), 1, 15) AS BIGINT)
                         % 1000000 + 0.5) / 1000000.0) / (-0.5))
-            - floor(ln((CAST('0x' || substr(md5('release1|2|' || o_orderpriority), 1, 15) AS BIGINT)
+            - floor(ln((CAST('0x' || substr(md5('release1|2|' || gk), 1, 15) AS BIGINT)
                         % 1000000 + 0.5) / 1000000.0) / (-0.5))
             AS BIGINT) AS noisy_count
-FROM c
+FROM k
 ORDER BY o_orderpriority
 """
 
@@ -12579,6 +12732,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_graph_components": (q_graph_components, _graph_components_sql()),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
+    "q_knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_sql(train_where=_KNN_TRAIN_WHERE)),
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),

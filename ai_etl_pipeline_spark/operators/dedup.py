@@ -124,13 +124,70 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _split_oversized_buckets(
+    banded: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Annotate a (id, band, sig) relation with a deterministic sub-bucket
+    column ``__sub`` that hash-splits buckets larger than ``max_bucket``.
+
+    The band self-join emits B²/2 pairs for a bucket of B members, so one
+    boilerplate/template family with a million near-identical documents
+    would dominate the entire job (the same n²-in-one-bucket failure the
+    phash band join and SemDeDup's ``max_block_rows`` already bound).
+    The cap:
+
+    - aggregates bucket sizes with map-side partial aggregation (the
+      shuffle carries distinct (band, sig) rows, not the corpus);
+    - keeps ONLY oversized buckets, a relation bounded by
+      ``|banded| / max_bucket`` rows (every member has ≥ max_bucket
+      siblings), and broadcasts it — the corpus-sized side never
+      shuffles for the annotation;
+    - assigns ``__sub = md5_i64(id) % ceil(n / max_bucket)`` inside
+      oversized buckets (0 elsewhere), so expected sub-bucket size is
+      ~max_bucket and the pair term per bucket falls from B² to
+      ~B·max_bucket.
+
+    RECALL TRADE (documented, deliberate — the SemDeDup precedent): two
+    members of a split bucket pair up only if they land in the same
+    sub-bucket (probability ~1/ceil(n/max_bucket) per band). True
+    near-duplicates collide in MANY bands, so they get bands× chances;
+    chance collisions inside mega-buckets — overwhelmingly template
+    boilerplate — are what gets dropped. The split is a pure function of
+    (band, sig, bucket size, id), so the DuckDB oracle replays it
+    bit-for-bit.
+    """
+    sizes = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.where(F.col("__n") > max_bucket)
+    n_splits = F.expr(f"(__n + {max_bucket - 1}) div {max_bucket}")
+    return (
+        banded.join(F.broadcast(over), ["band", "sig"], "left")
+        .withColumn(
+            "__sub",
+            F.when(F.col("__n").isNull(), F.lit(0).cast("bigint")).otherwise(
+                md5_i64(F.col(id_col).cast("string")) % n_splits
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands × rows-per-band), bucket-join per band,
     emit candidate (a, b) pairs with a < b. The self-join key is
     (band_index, band_hash) — collision probability follows the classic
-    S-curve, and the join never materializes non-colliding pairs."""
+    S-curve, and the join never materializes non-colliding pairs.
+
+    ``max_bucket`` bounds the per-bucket quadratic: buckets larger than
+    the cap are deterministically hash-split into ~max_bucket-sized
+    sub-buckets before the self-join (see _split_oversized_buckets for
+    the shuffle shape and the documented recall trade). None = uncapped
+    (the pre-r14 behavior)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -149,16 +206,17 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.sig")
+    join_cols = ["band", "sig"]
+    if max_bucket is not None:
+        banded = _split_oversized_buckets(banded, id_col, max_bucket)
+        join_cols.append("__sub")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            on=[
-                F.col(f"a.band") == F.col(f"b.band"),
-                F.col(f"a.sig") == F.col(f"b.sig"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+            on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_cols]
+            + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -236,9 +294,12 @@ def minhash_lsh_near_duplicates(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → signature → band-bucket
     candidates → exact-Jaccard verify. Output (id_a, id_b, jaccard).
+    ``max_bucket`` caps the per-bucket candidate quadratic (see
+    lsh_candidate_pairs / _split_oversized_buckets).
 
     Persistence strategy (the 100 TB posture): the corpus-sized shingle
     relation is NEVER cached — it flows through exactly one
@@ -251,7 +312,7 @@ def minhash_lsh_near_duplicates(
     sigs = minhash_signatures(
         doc_shingles(df, id_col, text_col, shingle_k), id_col, "shingle", num_hashes
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -769,6 +830,7 @@ def minhash_lsh_incremental(
     bands: int = 8,
     threshold: float = 0.5,
     corpus_bands: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup: pairs TOUCHING the delta only — each new
     batch checks itself against the already-indexed corpus (and within
@@ -818,15 +880,63 @@ def minhash_lsh_incremental(
     # the corpus probe and the delta self-probe are SEPARATE joins (not a
     # union of the index sides): a union would discard the corpus index's
     # bucketed output partitioning and force the corpus side to shuffle
-    cand_corpus = probe.join(
-        corpus_bands.withColumnRenamed(id_col, "__id_x"), ["band", "sig"]
+    corpus_x = corpus_bands.withColumnRenamed(id_col, "__id_x")
+    probe_x = probe.select(
+        F.col("__id_d").alias("__id_x"), F.col("band"), F.col("sig")
     )
-    cand_delta = probe.join(
-        probe.select(
-            F.col("__id_d").alias("__id_x"), F.col("band"), F.col("sig")
-        ),
-        ["band", "sig"],
-    )
+    if max_bucket is None:
+        cand_corpus = probe.join(corpus_x, ["band", "sig"])
+        cand_delta = probe.join(probe_x, ["band", "sig"])
+    else:
+        # max_bucket semantics must equal the capped FULL RERUN
+        # (lsh_candidate_pairs over corpus ∪ delta) so the incremental
+        # contract — "union with indexed corpus pairs = full answer" —
+        # survives the cap. Bucket sizes are therefore counted over the
+        # COMBINED band relation (corpus index ∪ delta probe): a
+        # map-side-partial aggregate whose shuffle carries distinct
+        # buckets, not rows; at index time a deployment persists the
+        # corpus-side counts next to the index and only the delta's
+        # partial is fresh. The join then runs in two tiers so the
+        # bucketed no-corpus-Exchange fast path survives:
+        #   fast — probe rows in NORMAL buckets join the index on
+        #     (band, sig) exactly as before (no corpus-side Exchange;
+        #     corpus rows in oversized buckets simply find no probe);
+        #   slow — probe/corpus rows in OVERSIZED buckets (a relation
+        #     bounded by |bands|/max_bucket, broadcast both ways) are
+        #     annotated with the same __sub = md5(id) % ceil(n/cap)
+        #     the full rerun computes and join on (band, sig, __sub) —
+        #     only the hot-bucket slice pays the re-shuffle.
+        keys = probe.select("band", "sig").unionAll(
+            corpus_bands.select("band", "sig")
+        )
+        over = (
+            keys.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+        )
+        n_splits = F.expr(f"(__n + {max_bucket - 1}) div {max_bucket}")
+
+        def _annot(frame: DataFrame, idname: str) -> DataFrame:
+            return (
+                frame.join(F.broadcast(over), ["band", "sig"])
+                .withColumn(
+                    "__sub", md5_i64(F.col(idname).cast("string")) % n_splits
+                )
+                .drop("__n")
+            )
+
+        probe_fast = probe.join(F.broadcast(over), ["band", "sig"], "left_anti")
+        probe_slow = _annot(probe, "__id_d")
+        cand_corpus = probe_fast.join(corpus_x, ["band", "sig"]).unionByName(
+            _annot(corpus_x, "__id_x")
+            .join(probe_slow, ["band", "sig", "__sub"])
+            .drop("__sub")
+        )
+        cand_delta = probe_fast.join(probe_x, ["band", "sig"]).unionByName(
+            _annot(probe_x, "__id_x")
+            .join(probe_slow, ["band", "sig", "__sub"])
+            .drop("__sub")
+        )
     # candidate pairs are delta-sized by contract: materialize them once
     # (eager localCheckpoint truncates lineage, so the probe frames can
     # be released NOW instead of leaking for the session's lifetime —

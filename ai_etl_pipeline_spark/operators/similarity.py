@@ -240,6 +240,17 @@ def ivf_knn(
     """
     from pyspark.sql import Window
 
+    if index is not None and centroids is None:
+        # r14 (ADVICE): a prebuilt index encodes the BUILD-time quantizer;
+        # training fresh probe-side centroids here would probe cell ids
+        # from a different k-means run than the one that filled the
+        # inverted lists — silently wrong/empty neighbors. The build and
+        # query quantizer must be the same object.
+        raise ValueError(
+            "ivf_knn: index= requires centroids= (the exact centroid list "
+            "the index was built with); training a fresh quantizer for the "
+            "probe side would diverge from the index's cell assignment"
+        )
     if centroids is not None:
         # pretrained quantizer (e.g. kmeans_centroids_local over a
         # collected hash-ranked sample) — skip training entirely
@@ -865,9 +876,13 @@ def ivf_assign_cells(
 
     Matches the crossJoin path's semantics exactly where it matters:
     cosine rounded to 6dp (realized as a monotonic scaled floor —
-    half-up like F.round for positive cosines; an exact .5e-6 boundary
-    is measure-zero in float and this path is documented as not
-    bit-lockstep with the SQL oracle anyway), ties to the SMALLEST
+    half-up like F.round for positive cosines; for NEGATIVE cosines
+    landing exactly on a .5e-6 boundary floor(c·1e6+.5) rounds toward
+    +inf where F.round's HALF_UP rounds away from zero — both the
+    positive and negative boundary cases are measure-zero in float and
+    this path is documented as not bit-lockstep with the SQL oracle
+    anyway; use floor(|c|·1e6+.5)·sign(c) if adversarial bit-parity
+    ever matters), ties to the SMALLEST
     centroid_id (centroids are sorted by id; argsort/argmax
     first-hit). Emits one row per input row for ``nprobe=1`` (column
     ``out_col``), else ``nprobe`` rows (nearest cells, best first,
@@ -884,6 +899,12 @@ def ivf_assign_cells(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents = sorted(centroids, key=lambda c: c[0])
+    # r14 (ADVICE): clamp the effective probe width — nprobe > |cells|
+    # previously sliced argsort to |cells| columns while repeating rows
+    # nprobe×, a shape-mismatch ValueError; the crossJoin path just
+    # returns every cell, so match that. The declared schema still keys
+    # off the REQUESTED nprobe (probe_rank present iff nprobe > 1).
+    npe = min(nprobe, len(cents))
     ids = np.asarray([c[0] for c in cents], dtype="int64")
     cm = np.asarray([list(map(float, c[1])) for c in cents], dtype="float64")
     cn = np.sqrt((cm * cm).sum(axis=1))
@@ -925,14 +946,14 @@ def ivf_assign_cells(
                 out[out_col] = ids[best].astype("int32")
                 yield out
             else:
-                # per row: nprobe best cells, (cos desc, centroid_id asc)
-                order = np.argsort(-cos6, axis=1, kind="stable")[:, :nprobe]
-                reps = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+                # per row: npe best cells, (cos desc, centroid_id asc)
+                order = np.argsort(-cos6, axis=1, kind="stable")[:, :npe]
+                reps = pdf.loc[pdf.index.repeat(npe)].reset_index(drop=True)
                 if norm_col:
-                    reps[norm_col] = np.repeat(xn, nprobe)
+                    reps[norm_col] = np.repeat(xn, npe)
                 reps[out_col] = ids[order.ravel()].astype("int32")
                 reps["probe_rank"] = np.tile(
-                    np.arange(1, nprobe + 1, dtype="int32"), len(pdf)
+                    np.arange(1, npe + 1, dtype="int32"), len(pdf)
                 )
                 yield reps
 
@@ -1422,6 +1443,231 @@ def pq_rerank_knn(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFADC index ONCE: ``(neighbor_id, cell, pq_codes,
+    __rr)`` — the billion-vector layout (Jégou et al. 2011 §V) where the
+    coarse quantizer prunes and PQ compresses WITHIN each inverted list.
+
+    - ``cell``: nearest coarse centroid, the exact semantics of
+      :func:`ivf_knn`'s assignment (6-dp rounded cosine, ties to the
+      smallest centroid_id); one Arrow/BLAS pass at ≥ 64 centroids
+      (:func:`ivf_assign_cells`, the √n sizing tier), else the
+      SQL-replayable broadcast-crossJoin argmax.
+    - ``pq_codes``: m per-subspace argmin codes (:func:`pq_encode`'s
+      projection, inlined on the assigned frame so no self-join).
+    - ``__rr``: ‖recon‖² via m literal lookups (pq_knn's precompute).
+
+    Repartitioned by ``cell`` and cached — at 100 TB this is the table a
+    deployment persists partitioned by cell, m bytes + 1 int per vector
+    (vs 4·d float bytes), and a query batch READS only its nprobe cells.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    if len(centroids) >= 64:
+        assigned = ivf_assign_cells(
+            c, "cv", centroids, nprobe=1, out_col="cell"
+        ).select("neighbor_id", "cv", "cell")
+    else:
+        cents = corpus.sparkSession.createDataFrame(
+            [(label, [float(x) for x in vec]) for label, vec in centroids],
+            "centroid_id int, centroid_vec array<double>",
+        ).withColumn("__ctn", norm_expr("centroid_vec"))
+        w_assign = Window.partitionBy("neighbor_id").orderBy(
+            F.col("cos_c").desc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            c.withColumn("__cn", norm_expr("cv"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos_c",
+                F.round(
+                    dot_expr("cv", "centroid_vec")
+                    / (F.col("__cn") * F.col("__ctn")),
+                    6,
+                ),
+            )
+            .withColumn("arn", F.row_number().over(w_assign))
+            .where(F.col("arn") == 1)
+            .select("neighbor_id", "cv", F.col("centroid_id").alias("cell"))
+        )
+    sliced = assigned.select(
+        "neighbor_id",
+        "cell",
+        *[F.slice(F.col("cv"), j * sub + 1, sub).alias(f"__s{j}") for j in range(m)],
+    )
+    enc = sliced.select(
+        "neighbor_id",
+        "cell",
+        F.array(*[_argmin_code(f"__s{j}", codebooks[j]) for j in range(m)]).alias(
+            "pq_codes"
+        ),
+    )
+    rr_terms = []
+    for j, book in enumerate(codebooks):
+        ccs = ",".join(
+            f"cast({_seq_dot(vec, vec)!r} as double)" for _, vec in sorted(book)
+        )
+        rr_terms.append(
+            f"element_at(array({ccs}), element_at(pq_codes, {j + 1}) + 1)"
+        )
+    idx = enc.select(
+        "neighbor_id", "cell", "pq_codes", F.expr(" + ".join(rr_terms)).alias("__rr")
+    )
+    return idx.repartition(F.col("cell")).cache()
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    index: DataFrame | None = None,
+    rerank_candidates: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composed (IVFADC) — prune cells FIRST, ADC-scan only the
+    probed inverted lists: flat :func:`pq_knn` is a compressed but
+    EXHAUSTIVE scan (candidates = the whole corpus per query), while
+    this is the shape everyone actually runs at billion-vector scale —
+    candidates per query ≈ corpus · nprobe / cells, falling per decade
+    under √n cell sizing (:func:`ivf_cells_for`).
+
+    Both quantizers are build-time parameters: ``centroids`` (coarse)
+    and ``codebooks`` (PQ) are REQUIRED so the probe side can never
+    diverge from the lists (the ivf_knn index/centroids contract).
+    Pass a prebuilt :func:`ivfpq_index` via ``index=`` to amortize the
+    encode+assign pass across query batches.
+
+    Scoring is pq_knn's ADC bit-for-bit: per query one m×k lookup
+    table (codebooks broadcast onto the query panel only), per pair
+    m lookups + 3 scalar ops, cosine = Σ qd[code] / (‖q‖·√‖recon‖²)
+    rounded at 6 dp — so the DuckDB oracle replays cells, codes and
+    ADC in lockstep. ``rerank_candidates`` adds the exact-tier rerank
+    on top (pq_rerank_knn's shape): ADC retrieves that many, the float
+    column rescores candidate-sized data only.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None or codebooks is None:
+        raise ValueError(
+            "ivfpq_knn: centroids= and codebooks= are required (build-time "
+            "quantizers; train with kmeans_centroids_local / pq_train_local "
+            "over a hash_ranked_sample)"
+        )
+    if rerank_candidates is not None and rerank_candidates < k:
+        raise ValueError(
+            f"ivfpq_knn: rerank_candidates ({rerank_candidates}) must be >= k ({k})"
+        )
+    if index is None:
+        index = ivfpq_index(corpus, centroids, codebooks, id_col, vec_col)
+    m_eff = len(codebooks)
+    sub = len(codebooks[0][0][1])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_dbl(vec_col)).alias("qv")
+    )
+    if len(centroids) >= 64:
+        probes = ivf_assign_cells(
+            q, "qv", centroids, nprobe=nprobe, out_col="cell"
+        ).select("query_id", "qv", "cell")
+    else:
+        cents = corpus.sparkSession.createDataFrame(
+            [(label, [float(x) for x in vec]) for label, vec in centroids],
+            "centroid_id int, centroid_vec array<double>",
+        ).withColumn("__ctn", norm_expr("centroid_vec"))
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("cos_q").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            q.withColumn("__qn", norm_expr("qv"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos_q",
+                F.round(
+                    dot_expr("qv", "centroid_vec")
+                    / (F.col("__qn") * F.col("__ctn")),
+                    6,
+                ),
+            )
+            .withColumn("prn", F.row_number().over(w_probe))
+            .where(F.col("prn") <= nprobe)
+            .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        )
+
+    # ADC lookup tables on the query panel (pq_knn's rendering: the
+    # codebooks ride as broadcast DATA on |Q| rows, never the corpus)
+    spark = corpus.sparkSession
+    packed = spark.createDataFrame(
+        [([[(label, vec) for label, vec in sorted(book)] for book in codebooks],)],
+        "books array<array<struct<c:int,v:array<double>>>>",
+    )
+    qtab = q.crossJoin(F.broadcast(packed)).select(
+        "query_id",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        ).alias("__qq"),
+        F.expr(
+            f"transform(books, (bk, j) -> transform(bk, s -> "
+            f"aggregate(zip_with(slice(qv, j * {sub} + 1, {sub}), s.v,"
+            " (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)))"
+        ).alias("__qd"),
+    )
+    probe_tab = probes.select("query_id", "cell").join(qtab, "query_id")
+    adc_dot = " + ".join(
+        f"element_at(element_at(__qd, {j + 1}), element_at(pq_codes, {j + 1}) + 1)"
+        for j in range(m_eff)
+    )
+    scored = (
+        index.join(F.broadcast(probe_tab), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(f"({adc_dot}) / (sqrt(__qq) * sqrt(__rr))"), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    n_keep = rerank_candidates if rerank_candidates is not None else k
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_keep)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+    if rerank_candidates is None:
+        return top
+    # exact rerank tier (pq_rerank_knn's shape): candidate-sized only
+    cand = top.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_dbl(vec_col)).alias("cv")
+    )
+    exact = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine_expr("qv", "cv"), 6))
     )
     return (
         exact.withColumn("rn", F.row_number().over(w))

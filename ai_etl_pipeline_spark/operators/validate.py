@@ -331,25 +331,43 @@ def k_anonymity_report(
     )
 
 
-def dp_noisy_counts(
+def seeded_noisy_counts(
     df: DataFrame,
     group_cols: Sequence[str],
     epsilon: float = 1.0,
     sensitivity: int = 1,
     salt: str = "dp",
 ) -> DataFrame:
-    """Differentially-private per-group counts for a data-release /
-    data-card surface: the two-sided GEOMETRIC mechanism (Ghosh et al.
-    2009 — the discrete analogue of Dwork et al.'s Laplace mechanism):
+    """SEEDED-noise per-group counts — the two-sided GEOMETRIC mechanism
+    (Ghosh et al. 2009, the discrete analogue of Dwork et al.'s Laplace
+    mechanism) derandomized through a salted hash:
     ``noisy = count + G1 − G2`` with ``G_i ~ Geometric``,
     ``P(G ≥ k) = alpha^k``, ``alpha = exp(−epsilon/sensitivity)``.
 
-    DERANDOMIZED for engine-portable receipts: each geometric draw
-    comes from an md5-hash uniform of (salt, draw index, group key)
-    through the inverse CDF ``floor(ln(u)/ln(alpha))`` — and since
-    ``ln(alpha) = −epsilon/sensitivity`` exactly, no exp/log roundtrip
-    enters the plan. The salt is the seed: rotate it per release
-    exactly as a seeded PRNG release would. Replayable in plain SQL.
+    WHAT THIS IS AND IS NOT (r14, renamed from ``dp_noisy_counts``):
+    the noise is a deterministic function of ``(salt, group key)``, so
+    the guarantee is AT BEST computational DP under a SECRET seed —
+    anyone who learns the salt recomputes the noise and recovers the
+    exact counts. The salt must be treated as a secret key and must
+    NEVER appear in published receipts or replay plans of an actual
+    release; conversely, the registry rendering of this operator
+    publishes its salt ON PURPOSE so the DuckDB oracle can replay the
+    mechanism bit-for-bit — that rendering demonstrates the MECHANISM
+    and is explicitly not a private release. Two further honest
+    caveats: (a) the 1e-6 uniform granularity bounds each draw at
+    ``floor(ln(5e-7)/ln(alpha))`` ≈ 14.5·sensitivity/epsilon, so the
+    unbounded tails pure eps-DP requires are truncated; (b) for actual
+    releases use real randomness (or a keyed PRF with the key managed
+    like any other secret).
+
+    Each geometric draw comes from an md5-hash uniform of (salt, draw
+    index, group key) through the inverse CDF ``floor(ln(u)/ln(alpha))``
+    — and since ``ln(alpha) = −epsilon/sensitivity`` exactly, no
+    exp/log roundtrip enters the plan. The group key hashes NULL-SAFELY
+    (r14 ADVICE): every column renders as ``'n'`` for NULL vs
+    ``'v|' || value`` otherwise, so ('a', NULL) and ('a') can no longer
+    collide into identical noise the way bare concat_ws (which DROPS
+    NULLs) allowed.
 
     Cost shape: ONE group aggregate over the corpus (map-side combine),
     then per-group scalar math — output is group-sized. At 100 TB the
@@ -357,15 +375,23 @@ def dp_noisy_counts(
     from ..functions.portable import md5_i64
 
     if epsilon <= 0:
-        raise ValueError(f"dp_noisy_counts: epsilon must be > 0, got {epsilon}")
+        raise ValueError(f"seeded_noisy_counts: epsilon must be > 0, got {epsilon}")
     if sensitivity < 1:
         raise ValueError(
-            f"dp_noisy_counts: sensitivity must be >= 1, got {sensitivity}"
+            f"seeded_noisy_counts: sensitivity must be >= 1, got {sensitivity}"
         )
     counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).cast("bigint").alias("__tc")
     )
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat_ws(
+        "|",
+        *[
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v|"), F.col(c).cast("string"))
+            )
+            for c in group_cols
+        ],
+    )
     neg_eps = -(epsilon / sensitivity)  # = ln(alpha), exactly
 
     def geometric(idx: int):
