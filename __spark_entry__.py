@@ -10993,6 +10993,107 @@ ORDER BY window_start, event_type
 """
 
 
+def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC SINK (r13 verdict missing #4): a three-micro-batch
+    file stream drives ``foreachBatch`` + ``cdc.merge_upsert`` into a
+    parquet snapshot — the standard 'streaming upsert into a keyed
+    latest-state table' deployment shape. Batch b holds the cohort's
+    events with ``event_id % 3 = b`` (mtime-pinned files, one per
+    trigger); each trigger compacts its batch per user (max ts, ties to
+    the larger event_id — one deterministic window over batch-sized
+    data) and merges latest-wins into the snapshot (ts ties break
+    toward the incoming batch, merge_upsert's contract). The final
+    snapshot must therefore hold, per user, the event that wins
+    ``(ts, batch index, event_id)`` lexicographically — which the
+    oracle states as ONE batch window over the original table: any
+    dropped batch, wrong tie direction, or state row resurrected from
+    a stale snapshot breaks the hash."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ai_etl_pipeline_spark.operators import cdc as _cdc
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    state_dir = os.path.join(base, "state")
+    try:
+        src = os.path.join(base, "src")
+        tmp = os.path.join(base, "_all")
+        ev.select(
+            (F.col("event_id") % 3).cast("string").alias("__batch"), *cols
+        ).repartition("__batch").write.mode("overwrite").partitionBy(
+            "__batch"
+        ).parquet(tmp)
+        os.makedirs(src)
+        for i in range(3):
+            part = sorted(
+                _glob.glob(os.path.join(tmp, f"__batch={i}", "part-*.parquet"))
+            )[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(part, dst)
+            # FileStreamSource orders micro-batches by modification time
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        shutil.rmtree(tmp)
+
+        def upsert(batch_df, batch_id):
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            changes = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            try:
+                snap = batch_df.sparkSession.read.parquet(state_dir)
+            except Exception:
+                snap = changes.limit(0)
+            merged = _cdc.merge_upsert(snap, changes, ["user_id"], "ts")
+            merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+            batch_df.sparkSession.read.parquet(state_dir + ".tmp").write.mode(
+                "overwrite"
+            ).parquet(state_dir)
+
+        stream = stream_windows.read_events_stream(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(state_dir)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            # snapshot is user-sized by construction; pin it before the
+            # temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+_EVENTS_STREAM_UPSERT_SQL = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events WHERE user_id % 10 = 0
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ts DESC, (event_id % 3) DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_id, ts, event_type, value
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape report (mean / variance / skewness / excess
     kurtosis) per order status from EXACT integer power sums — the
@@ -12372,6 +12473,127 @@ ORDER BY i, j
 """
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct PCA (r13 verdict missing #4): gramian + mean → driver-side
+    covariance (covariance_from_gramian) → eigh with deterministic signs
+    (pca_components_local) → corpus-wide BLAS projection (pca_project),
+    over the same correlated 2-d integer lineitem cloud as
+    q_embed_mahalanobis, where the ORACLE can replay the eigensolve
+    CLOSED-FORM: λ = (a+c)/2 ± sqrt(((a−c)/2)² + b²), v = (b, λ−a)
+    normalized, pivot-positive sign convention. Integer-valued inputs
+    make G/s/n bit-exact on both engines, so the only cross-engine noise
+    is eigh-vs-closed-form low bits — absorbed by unit-wide buckets and
+    2-dp min/max (the mahalanobis rendering; measured boundary margins
+    ≥ 5.5e-5 at sf0.01 AND sf0.1 against ~1e-9 expected noise). Output:
+    pc1-projection histogram + both components and the
+    explained-variance ratio as micro-int constants."""
+    import math
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.round(F.col("l_extendedprice") / 100).cast("double"),
+        ).alias("vec")
+    )
+    g = embedstats.gramian_matrix(li, "vec", 2).collect()
+    mean = [
+        r["mean"]
+        for r in embedstats.mean_vector(li, "vec", 2).orderBy("i").collect()
+    ]
+    n = g[0]["n_rows"]
+    cov = embedstats.covariance_from_gramian(g, mean, n, 2)
+    comps, ratios = embedstats.pca_components_local(cov, k=2)
+
+    def micro(v: float) -> int:
+        # half-away-from-zero, matching DuckDB round()
+        return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+    proj = embedstats.pca_project(li, "vec", comps, "pca")
+    p = F.element_at("pca", 1)
+    return (
+        proj.groupBy(F.floor(p).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(p), 2).alias("min_p"),
+            F.round(F.max(p), 2).alias("max_p"),
+        )
+        .select(
+            "bucket", "n", "min_p", "max_p",
+            F.lit(micro(comps[0][0])).cast("bigint").alias("v00_micro"),
+            F.lit(micro(comps[0][1])).cast("bigint").alias("v01_micro"),
+            F.lit(micro(comps[1][0])).cast("bigint").alias("v10_micro"),
+            F.lit(micro(comps[1][1])).cast("bigint").alias("v11_micro"),
+            F.lit(micro(ratios[0])).cast("bigint").alias("evr1_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EMBED_PCA_SQL = """
+WITH v AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x0,
+         CAST(round(l_extendedprice / 100) AS DOUBLE) AS x1
+  FROM lineitem
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x0 * x0) AS g00, sum(x0 * x1) AS g01, sum(x1 * x1) AS g11,
+         sum(x0) AS s0, sum(x1) AS s1
+  FROM v
+),
+c AS (
+  SELECT g00 / n - (s0 / n) * (s0 / n) AS a,
+         g01 / n - (s0 / n) * (s1 / n) AS b,
+         g11 / n - (s1 / n) * (s1 / n) AS cc
+  FROM st
+),
+e AS (
+  SELECT a, b, cc,
+         (a + cc) / 2 + sqrt(((a - cc) / 2) * ((a - cc) / 2) + b * b) AS l1,
+         (a + cc) / 2 - sqrt(((a - cc) / 2) * ((a - cc) / 2) + b * b) AS l2
+  FROM c
+),
+-- eigenvector for λ: (b, λ − a) normalized, then the pivot (largest
+-- |coordinate|, first-wins ties) made positive — pca_components_local's
+-- deterministic sign convention
+comp AS (
+  SELECT l1, l2,
+         CASE WHEN abs(w10) >= abs(w11) THEN CASE WHEN w10 < 0 THEN -1 ELSE 1 END
+              ELSE CASE WHEN w11 < 0 THEN -1 ELSE 1 END END * w10 AS v00,
+         CASE WHEN abs(w10) >= abs(w11) THEN CASE WHEN w10 < 0 THEN -1 ELSE 1 END
+              ELSE CASE WHEN w11 < 0 THEN -1 ELSE 1 END END * w11 AS v01,
+         CASE WHEN abs(w20) >= abs(w21) THEN CASE WHEN w20 < 0 THEN -1 ELSE 1 END
+              ELSE CASE WHEN w21 < 0 THEN -1 ELSE 1 END END * w20 AS v10,
+         CASE WHEN abs(w20) >= abs(w21) THEN CASE WHEN w20 < 0 THEN -1 ELSE 1 END
+              ELSE CASE WHEN w21 < 0 THEN -1 ELSE 1 END END * w21 AS v11
+  FROM (
+    SELECT l1, l2,
+           b / sqrt(b * b + (l1 - a) * (l1 - a)) AS w10,
+           (l1 - a) / sqrt(b * b + (l1 - a) * (l1 - a)) AS w11,
+           b / sqrt(b * b + (l2 - a) * (l2 - a)) AS w20,
+           (l2 - a) / sqrt(b * b + (l2 - a) * (l2 - a)) AS w21
+    FROM e
+  )
+),
+proj AS (
+  SELECT v.x0 * comp.v00 + v.x1 * comp.v01 AS p
+  FROM v CROSS JOIN comp
+)
+SELECT CAST(floor(p) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(p), 2) AS min_p,
+       round(max(p), 2) AS max_p,
+       (SELECT CAST(round(v00 * 1000000) AS BIGINT) FROM comp) AS v00_micro,
+       (SELECT CAST(round(v01 * 1000000) AS BIGINT) FROM comp) AS v01_micro,
+       (SELECT CAST(round(v10 * 1000000) AS BIGINT) FROM comp) AS v10_micro,
+       (SELECT CAST(round(v11 * 1000000) AS BIGINT) FROM comp) AS v11_micro,
+       (SELECT CAST(round((l1 / (l1 + l2)) * 1000000) AS BIGINT) FROM comp) AS evr1_micro
+FROM proj
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 def q_embed_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mahalanobis outlier scores (embedstats.mahalanobis_scores) over a
     correlated 2-d numeric cloud — lineitem (quantity, price-hundreds):
@@ -12712,6 +12934,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_linear_probe": (q_embed_linear_probe, _EMBED_LINEAR_PROBE_SQL),
     "q_embed_whitening": (q_embed_whitening, _EMBED_WHITENING_SQL),
     "q_embed_mislabeled": (q_embed_mislabeled, _EMBED_MISLABELED_SQL),
+    "q_embed_pca": (q_embed_pca, _EMBED_PCA_SQL),
     "q_embed_mahalanobis": (q_embed_mahalanobis, _EMBED_MAHALANOBIS_SQL),
     "q_pipeline_probe_gate": (q_pipeline_probe_gate, _PIPELINE_PROBE_GATE_SQL),
     "q_validate_schema_drift": (q_validate_schema_drift, _VALIDATE_SCHEMA_DRIFT_SQL),
@@ -12726,6 +12949,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_embed_hard_negatives": (q_embed_hard_negatives, _EMBED_HARD_NEG_SQL),
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
+    "q_events_stream_upsert": (q_events_stream_upsert, _EVENTS_STREAM_UPSERT_SQL),
     "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
     "q_layout_compaction": (q_layout_compaction, _LAYOUT_COMPACTION_SQL),
     "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
