@@ -1532,7 +1532,8 @@ def _minhash_sql(max_bucket: int | None = _LSH_MAX_BUCKET) -> str:
         cap_ctes, cand_src, sub_pred = "", "banded", ""
     else:
         # replay of dedup._split_oversized_buckets: oversized (band, sig)
-        # buckets get sub = md5_i64(doc_id) % ceil(n / cap), others 0
+        # buckets get sub = md5_i64(doc_id) % pow2(ceil(n / cap)), others 0
+        # (power-of-two splits nest across bands — dedup._n_splits_expr)
         cap_ctes = f""",
 lshover AS (
   SELECT band, sig, count(*) AS n FROM banded GROUP BY band, sig
@@ -1542,7 +1543,7 @@ bandedsub AS (
   SELECT b.doc_id, b.band, b.sig,
          CASE WHEN o.n IS NULL THEN 0
               ELSE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-                   % ((o.n + {max_bucket - 1}) // {max_bucket})
+                   % CAST(power(2, ceil(log2((o.n + {max_bucket - 1}) // {max_bucket}))) AS BIGINT)
          END AS sub
   FROM banded b LEFT JOIN lshover o ON o.band = b.band AND o.sig = b.sig
 )"""
@@ -10630,7 +10631,7 @@ bandedsub AS (
   SELECT b.doc_id, b.band, b.sig,
          CASE WHEN o.n IS NULL THEN 0
               ELSE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-                   % ((o.n + {_LSH_MAX_BUCKET - 1}) // {_LSH_MAX_BUCKET})
+                   % CAST(power(2, ceil(log2((o.n + {_LSH_MAX_BUCKET - 1}) // {_LSH_MAX_BUCKET}))) AS BIGINT)
          END AS sub
   FROM banded b LEFT JOIN lshover o ON o.band = b.band AND o.sig = b.sig
 ),
@@ -12927,9 +12928,10 @@ ORDER BY o_orderpriority
 
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-13 driver window: every query whose code changed since
-    #     the r12 verdict commit (tools/window_audit.py) sits in the
-    #     first 50 positions; unchanged driver-green entries rotated back ---
+    # --- round-14 driver window: every query whose code changed since
+    #     the r13 verdict commit (tools/window_audit.py: 18 affected,
+    #     all at positions <= 48, violations []) sits in the first 50;
+    #     unchanged driver-green entries stay rotated back ---
     "q_embed_gramian": (q_embed_gramian, _EMBED_GRAMIAN_SQL),
     "q_embed_linear_probe": (q_embed_linear_probe, _EMBED_LINEAR_PROBE_SQL),
     "q_embed_whitening": (q_embed_whitening, _EMBED_WHITENING_SQL),

@@ -124,6 +124,24 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _n_splits_expr(max_bucket: int) -> "F.Column":
+    """Splits count for an oversized bucket of ``__n`` members:
+    ``2^ceil(log2(ceil(__n / max_bucket)))`` — ceil(n/cap) rounded UP to
+    a power of two. Power-of-two counts make sub-assignments NEST across
+    bands: ``md5(id) % 512 equal ⇒ md5(id) % 256 equal``, so when the
+    same template family lands in slightly-different-sized buckets in
+    different bands (near-identical docs always do), the bands' pair
+    sets coincide-or-refine instead of being ~independent partitions —
+    measured on the 1M-doc skew receipt, the raw ceil(n/cap) scheme's
+    cross-band union inflated candidates toward the ×|bands| worst case
+    (145M) while the pow2 scheme stays at ~one band's worth. Exact in
+    float64: log2 of an exact power of two is exact, other inputs sit
+    between integers with margin >> eps, and 2^k for k ≤ 40 is exact —
+    so both engines compute identical splits."""
+    raw = f"(__n + {max_bucket - 1}) div {max_bucket}"
+    return F.expr(f"cast(power(2, ceil(log2({raw}))) as bigint)")
+
+
 def _split_oversized_buckets(
     banded: DataFrame, id_col: str, max_bucket: int
 ) -> DataFrame:
@@ -142,29 +160,29 @@ def _split_oversized_buckets(
       ``|banded| / max_bucket`` rows (every member has ≥ max_bucket
       siblings), and broadcasts it — the corpus-sized side never
       shuffles for the annotation;
-    - assigns ``__sub = md5_i64(id) % ceil(n / max_bucket)`` inside
-      oversized buckets (0 elsewhere), so expected sub-bucket size is
-      ~max_bucket and the pair term per bucket falls from B² to
-      ~B·max_bucket.
+    - assigns ``__sub = md5_i64(id) % n_splits`` inside oversized
+      buckets (0 elsewhere) with ``n_splits = pow2(ceil(n/max_bucket))``
+      (:func:`_n_splits_expr` — nesting across bands), so expected
+      sub-bucket size is ~max_bucket/2..max_bucket and the pair term
+      per bucket falls from B² to ~B·max_bucket.
 
     RECALL TRADE (documented, deliberate — the SemDeDup precedent): two
     members of a split bucket pair up only if they land in the same
-    sub-bucket (probability ~1/ceil(n/max_bucket) per band). True
-    near-duplicates collide in MANY bands, so they get bands× chances;
-    chance collisions inside mega-buckets — overwhelmingly template
+    sub-bucket (probability ~1/n_splits per band). True near-duplicates
+    collide in MANY bands, so they get bands× chances; chance
+    collisions inside mega-buckets — overwhelmingly template
     boilerplate — are what gets dropped. The split is a pure function of
     (band, sig, bucket size, id), so the DuckDB oracle replays it
     bit-for-bit.
     """
     sizes = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__n"))
     over = sizes.where(F.col("__n") > max_bucket)
-    n_splits = F.expr(f"(__n + {max_bucket - 1}) div {max_bucket}")
     return (
         banded.join(F.broadcast(over), ["band", "sig"], "left")
         .withColumn(
             "__sub",
             F.when(F.col("__n").isNull(), F.lit(0).cast("bigint")).otherwise(
-                md5_i64(F.col(id_col).cast("string")) % n_splits
+                md5_i64(F.col(id_col).cast("string")) % _n_splits_expr(max_bucket)
             ),
         )
         .drop("__n")
@@ -914,13 +932,14 @@ def minhash_lsh_incremental(
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > max_bucket)
         )
-        n_splits = F.expr(f"(__n + {max_bucket - 1}) div {max_bucket}")
 
         def _annot(frame: DataFrame, idname: str) -> DataFrame:
             return (
                 frame.join(F.broadcast(over), ["band", "sig"])
                 .withColumn(
-                    "__sub", md5_i64(F.col(idname).cast("string")) % n_splits
+                    "__sub",
+                    md5_i64(F.col(idname).cast("string"))
+                    % _n_splits_expr(max_bucket),
                 )
                 .drop("__n")
             )

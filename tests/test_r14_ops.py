@@ -53,26 +53,28 @@ def test_lsh_sub_bucket_assignment_replays_the_formula(skewed_corpus):
     # every pair the cap keeps must share md5(id) % ceil(n/cap) in some
     # band — check the family block structure against the driver-side
     # twin of the hash (the oracle replays the same arithmetic)
-    cap = 8
     fam = list(range(60))
     n = 60  # family bucket size in every band (identical docs)
-    n_splits = math.ceil(n / cap)
-    blocks: dict[int, set[int]] = {}
-    for i in fam:
-        blocks.setdefault(md5_i64_py(str(i)) % n_splits, set()).add(i)
-    allowed = {
-        (a, b)
-        for blk in blocks.values()
-        for a in blk
-        for b in blk
-        if a < b
-    }
-    capped = {
-        (r.id_a, r.id_b)
-        for r in _cand_pairs(skewed_corpus, cap).collect()
-        if r.id_a < 60 and r.id_b < 60
-    }
-    assert capped == allowed
+    # cap=8: ceil(60/8)=8, already a power of two; cap=7: ceil(60/7)=9
+    # rounds UP to 16 — exercises the pow2 branch of _n_splits_expr
+    for cap in (8, 7):
+        n_splits = 1 << max(0, math.ceil(math.log2(math.ceil(n / cap))))
+        blocks: dict[int, set[int]] = {}
+        for i in fam:
+            blocks.setdefault(md5_i64_py(str(i)) % n_splits, set()).add(i)
+        allowed = {
+            (a, b)
+            for blk in blocks.values()
+            for a in blk
+            for b in blk
+            if a < b
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in _cand_pairs(skewed_corpus, cap).collect()
+            if r.id_a < 60 and r.id_b < 60
+        }
+        assert capped == allowed, cap
 
 
 def test_lsh_capped_incremental_equals_capped_full_rerun(spark, skewed_corpus):

@@ -146,6 +146,29 @@ def run_size(spark, n: int) -> dict:
     out["pq_query_sec"] = t
     release_shuffles(spark)
 
+    # IVFPQ (r13 verdict missing #1): compose the two indexes — coarse
+    # cells prune, ADC scans ONLY the probed lists. Build = one
+    # assignment+encode pass (vs ivf_build's assignment-only); query
+    # cost should track the probed fraction (falling per decade under
+    # √n cells), unlike flat PQ's full-corpus ADC scan.
+    def build_ivfpq():
+        ix = similarity.ivfpq_index(emb, cents, books)
+        ix.count()  # materialize the cell-partitioned code table
+        return ix
+
+    out["ivfpq_build_sec"], pq_index = timed(build_ivfpq)
+    release_shuffles(spark)
+
+    t, _ = timed(
+        lambda: similarity.ivfpq_knn(
+            emb, panel, k=K, nprobe=NPROBE,
+            centroids=cents, codebooks=books, index=pq_index,
+        ).count()
+    )
+    out["ivfpq_query_sec"] = t
+    pq_index.unpersist()
+    release_shuffles(spark)
+
     t, _ = timed(lambda: similarity.brute_force_knn(emb, panel, k=K).count())
     out["bf_query_sec"] = t
     release_shuffles(spark)
@@ -186,7 +209,10 @@ def run_size(spark, n: int) -> dict:
     )
     out["ivf_cand_per_query"] = round(float(row["c"]), 1)
     out["ivf_cand_frac"] = round(float(row["c"]) / n_rows, 4)
-    out["pq_cand_per_query"] = n_rows  # ADC scans every code by design
+    out["pq_cand_per_query"] = n_rows  # flat ADC scans every code by design
+    # IVFPQ probes the same nprobe cells as IVF — its ADC candidate set
+    # IS the probed-cell row count (the falling column flat PQ lacks)
+    out["ivfpq_cand_per_query"] = out["ivf_cand_per_query"]
     emb.unpersist()
     release_shuffles(spark)
     return out

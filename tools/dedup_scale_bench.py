@@ -129,7 +129,56 @@ ALL_OPS = (
     "wpagerank", "labelprop", "lpa_comm", "hits", "khop",
     # round-10: exact-recall prefix-filter join growth curve
     "prefix",
+    # round-14: boilerplate-skew corpus — the oversized-band-bucket
+    # regime the max_bucket cap exists for (r13 verdict #1)
+    "skew",
 )
+
+# r14: three near-identical ~24-word template families. 20% of the skew
+# corpus is drawn from these, so each family forms ONE mega band bucket
+# (members share almost every shingle; one doc-unique token appended
+# keeps them near- rather than exact-duplicates, J >= ~0.9).
+_SKEW_TEMPLATES = [
+    "please unsubscribe from this mailing list by clicking the link below "
+    "all rights reserved copyright notice terms of service apply to every "
+    "subscriber of this newsletter archive",
+    "this page uses cookies to improve your browsing experience accept our "
+    "cookie policy or manage preferences in the settings panel privacy "
+    "statement and legal disclaimer apply throughout",
+    "thank you for your order your package will arrive within five business "
+    "days track your shipment using the reference number provided contact "
+    "customer support with any delivery questions",
+]
+
+_SKEW_MAX_BUCKET = 200  # receipt cap: family buckets are 10-100x larger
+
+
+def build_skew_corpus(spark, n: int):
+    """~80% diverse docs (build_corpus's doc-unique-filler scheme, so
+    chance inter-doc Jaccard ~ 0) + 20% template boilerplate from the 3
+    families above — the real-web shape (footer/cookie/receipt
+    boilerplate) where a fraction of the corpus collapses into a few
+    mega band buckets and the uncapped self-join goes quadratic."""
+    diverse = build_corpus(spark, max(int(n * 0.8 / 1.1), 1))
+    n_tmpl = int(n * 0.2)
+    fam = spark.range(n_tmpl).select(
+        (F.lit(10) * n + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(t) for t in _SKEW_TEMPLATES]),
+                (F.col("id") % 3 + 1).cast("int"),
+            ),
+            F.lit(" zz"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+        ).alias("text"),
+    )
+    return diverse.unionByName(fam)
+
+
+# uncapped candidate generation is measured only while the quadratic is
+# still countable on one box (3 x C(n*0.2/3, 2) pairs: 67M at 100k docs,
+# 6.7e9 at 1M — the receipt extrapolates past this, the phash precedent)
+_SKEW_UNCAPPED_MAX = 150_000
 
 
 def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
@@ -412,6 +461,48 @@ def run_size(spark, n: int, ops: tuple[str, ...] = ALL_OPS) -> dict:
         )
         release_shuffles(spark)
         out["triangles_sec"], out["triangles_found"] = t_tri, n_tri
+
+    if "skew" in ops:
+        skew = build_skew_corpus(spark, n).persist()
+        out["skew_docs"] = skew.count()
+
+        def _sigs():
+            return dedup.minhash_signatures(
+                dedup.doc_shingles(skew, "doc_id", "text", 3),
+                "doc_id", "shingle", 16,
+            )
+
+        t_cap, n_cap = timed(
+            lambda: dedup.lsh_candidate_pairs(
+                _sigs(), "doc_id", 16, 8, max_bucket=_SKEW_MAX_BUCKET
+            ).count()
+        )
+        release_shuffles(spark)
+        out["skew_capped_cand_sec"] = t_cap
+        out["skew_capped_cand_pairs"] = n_cap
+        if n <= _SKEW_UNCAPPED_MAX:
+            t_unc, n_unc = timed(
+                lambda: dedup.lsh_candidate_pairs(
+                    _sigs(), "doc_id", 16, 8, max_bucket=None
+                ).count()
+            )
+            release_shuffles(spark)
+            out["skew_uncapped_cand_sec"] = t_unc
+            out["skew_uncapped_cand_pairs"] = n_unc
+        if n <= 1_200_000:
+            # end-to-end capped near-dup (pair gen + exact verify) —
+            # verified pairs are candidate-bounded, so the verify tier
+            # inherits the cap's linearity
+            t_full, n_full = timed(
+                lambda: dedup.minhash_lsh_near_duplicates(
+                    skew, "doc_id", "text", threshold=THRESHOLD,
+                    max_bucket=_SKEW_MAX_BUCKET,
+                ).count()
+            )
+            release_shuffles(spark)
+            out["skew_minhash_sec"] = t_full
+            out["skew_minhash_pairs"] = n_full
+        skew.unpersist()
 
     if "bm25" in ops:
         # fixed 3-term query from the base vocabulary (every doc has

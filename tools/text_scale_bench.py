@@ -177,11 +177,32 @@ def run_size(spark, n: int) -> dict:
 
     out["ppl_fixedvocab_sec"], row = timed(ppl_fixed)
     release_shuffles(spark)
+
+    # r14 (r13 verdict #6): the same attribution run for TF-IDF — its
+    # 5.3x/decade tail at the 5M step was suspected to come from the
+    # fixture's O(n) vocabulary (doc-unique fillers make |terms| grow
+    # 10x/decade, so the df aggregate and the (doc, term) output decade
+    # faster than the scan). Over the FIXED 16-word vocabulary the df
+    # table is O(1) rows and tfidf must track the scan.
+    def tfidf_fixed():
+        return (
+            textstats.tf_idf(fdocs, "doc_id", "text")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tfidf").alias("mass"),
+            )
+            .collect()[0]
+        )
+
+    out["tfidf_fixedvocab_sec"], row = timed(tfidf_fixed)
+    out["tfidf_fixedvocab_terms"] = int(row["n"])
+    release_shuffles(spark)
     return out
 
 
 OPS = (
-    "langid_sec", "gopher_sec", "tfidf_sec", "ppl_sec", "ppl_fixedvocab_sec"
+    "langid_sec", "gopher_sec", "tfidf_sec", "ppl_sec", "ppl_fixedvocab_sec",
+    "tfidf_fixedvocab_sec",
 )
 
 
