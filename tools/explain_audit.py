@@ -15,6 +15,13 @@ import sys
 sys.path.insert(0, ".")
 
 AUDITED = [
+    # round-14 additions: the IVFADC composition, the direct-PCA and
+    # stream-upsert rotations, and the CAPPED MinHash family (the
+    # max_bucket hash-split changes the band-join plan shape)
+    "q_knn_ivfpq",
+    "q_embed_pca",
+    "q_events_stream_upsert",
+    "q_dedup_incremental_bucketed",
     # round-13 additions: the r12 registry queries the r12 verdict
     # flagged as plan-audit gaps + this round's embedstats rotation
     "q_cdc_join_delta",
