@@ -914,7 +914,10 @@ def minhash_lsh_incremental(
         # map-side-partial aggregate whose shuffle carries distinct
         # buckets, not rows; at index time a deployment persists the
         # corpus-side counts next to the index and only the delta's
-        # partial is fresh. The join then runs in two tiers so the
+        # partial is fresh — HERE the corpus side re-aggregates per
+        # call (visible as ~2x on the sf0.1 receipt: one extra pass
+        # over the index table, or over the in-plan band derivation
+        # when no index is given). The join then runs in two tiers so the
         # bucketed no-corpus-Exchange fast path survives:
         #   fast — probe rows in NORMAL buckets join the index on
         #     (band, sig) exactly as before (no corpus-side Exchange;
