@@ -2234,15 +2234,39 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact rerank — the full production retrieval stack:
+    coarse cells prune, ADC retrieves 15 candidates per query from the
+    probed lists only, then the float column rescores JUST that
+    candidate set and keeps the top 5 (the pq_rerank_knn shape on the
+    composed index). The oracle replays the ADC candidate tier and the
+    exact-cosine rescoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(emb, "vec_id", 256).collect()
+    ]
+    cents = similarity.kmeans_centroids_local(rows, k=8, iterations=2)
+    books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
+    return similarity.ivfpq_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+        centroids=cents, codebooks=books, rerank_candidates=15,
+    )
+
+
 def _knn_ivfpq_sql(
     m: int = 4, dim: int = 64, k_codes: int = 16,
     train_where: str = "",
+    rerank_candidates: int | None = None,
 ) -> str:
     """IVFADC oracle: the IVF chain (cents/assigned/probes —
     _ivf_cells_sql) + the m codebook training/encoding chains
     (_pq_kmeans_chain_sql) + ADC scoring restricted to probed cells.
     The ADC grouping matches _knn_pq_sql exactly (sub-dots summed
-    left-to-right in subspace order, 6-dp round on the final cosine)."""
+    left-to-right in subspace order, 6-dp round on the final cosine).
+    ``rerank_candidates`` adds the exact-rerank tier: top-N by ADC
+    cosine, rescored with the exact cosine (_cos_sql — the brute-force
+    oracle's arithmetic), top-5 of that."""
     sub = dim // m
     chains = ",\n".join(
         _pq_kmeans_chain_sql(j, sub, k_codes, train_where) for j in range(m)
@@ -2257,7 +2281,7 @@ def _knn_ivfpq_sql(
         for j in range(m)
     )
     rr_terms = " + ".join(f"list_dot_product(r.c{j}, r.c{j})" for j in range(m))
-    return f"""
+    head = f"""
 WITH {_ivf_cells_sql(train_where)},
 {chains},
 recon AS (
@@ -2272,12 +2296,36 @@ scored AS (
   FROM probes p
   JOIN assigned a ON a.cell = p.cell AND p.query_id <> a.neighbor_id
   JOIN recon r ON r.vec_id = a.neighbor_id
-)
+)"""
+    if rerank_candidates is None:
+        return f"""{head}
 SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rn
   FROM scored
+) WHERE rn <= 5
+"""
+    return f"""{head},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {rerank_candidates}
+),
+ex AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_cos_sql('q.vv', 'nv.vv')} AS cosine
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM ex
 ) WHERE rn <= 5
 """
 
@@ -12959,6 +13007,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
     "q_graph_triangles": (q_graph_triangles, _graph_triangles_sql()),
     "q_knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_sql(train_where=_KNN_TRAIN_WHERE)),
+    "q_knn_ivfpq_rerank": (
+        q_knn_ivfpq_rerank,
+        _knn_ivfpq_sql(train_where=_KNN_TRAIN_WHERE, rerank_candidates=15),
+    ),
     "q_knn_pq": (q_knn_pq, _knn_pq_sql()),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "q_knn_pq_rerank": (q_knn_pq_rerank, _knn_pq_rerank_sql()),
