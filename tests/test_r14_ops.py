@@ -221,3 +221,32 @@ def test_ivf_assign_cells_nprobe_clamped_to_cell_count(vec_corpus):
     for r in out:
         by_row.setdefault(r.vec_id, []).append(r.probe_rank)
     assert all(sorted(v) == [1, 2, 3] for v in by_row.values())
+
+
+def test_ivfpq_blas_path_all_cells_probed_equals_flat_pq(spark):
+    """At >= 64 centroids ivfpq_index/ivfpq_knn flip to the Arrow/BLAS
+    assignment; probing EVERY cell (nprobe = cells, via the clamp even
+    when asked for more) makes the candidate set the full corpus, so
+    the result must equal flat pq_knn bit-for-bit — one gate over the
+    BLAS assignment, the cell-partitioned index, the probe clamp and
+    the ADC composition."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train_local(rows, m=4, codebook_k=8, iterations=2)
+    cents = similarity.kmeans_centroids_local_np(rows, k=64, iterations=2)
+    qs = df.where(F.col("vec_id") < 4)
+    flat = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rn)
+        for r in similarity.pq_knn(df, qs, k=5, codebooks=books).collect()
+    }
+    composed = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rn)
+        for r in similarity.ivfpq_knn(
+            df, qs, k=5, nprobe=100,  # > 64 cells -> clamped to all
+            centroids=cents, codebooks=books,
+        ).collect()
+    }
+    assert composed == flat
