@@ -6904,10 +6904,18 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_cols=["band", "sig"],
         path=tempfile.mkdtemp(prefix="band_index_"),
     )
+    # the second index-time artifact (r14): per-bucket counts, so the
+    # capped probe never re-scans the corpus bands (the delta's fresh
+    # partial + this table give the combined sizes)
+    counts_path = tempfile.mkdtemp(prefix="band_counts_")
+    dedup.minhash_band_counts(
+        spark.table("__band_index_documents")
+    ).write.mode("overwrite").parquet(counts_path)
     return dedup.minhash_lsh_incremental(
         corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
         threshold=0.5, corpus_bands=spark.table("__band_index_documents"),
         max_bucket=_LSH_MAX_BUCKET,
+        corpus_band_counts=spark.read.parquet(counts_path),
     )
 
 

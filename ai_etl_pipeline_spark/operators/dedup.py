@@ -838,6 +838,18 @@ def minhash_band_relation(
     ).select(id_col, "bk.band", "bk.sig")
 
 
+def minhash_band_counts(bands: DataFrame) -> DataFrame:
+    """(band, sig, n) bucket sizes for a band relation — ONE map-side-
+    partial aggregate. Persist this next to the bucketed band index at
+    build time (the second index artifact): incremental batches running
+    with ``max_bucket`` then derive combined bucket sizes from the
+    delta's fresh partial plus this table (broadcast-semi-probed), never
+    re-scanning the corpus bands."""
+    return bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 def minhash_lsh_incremental(
     corpus: DataFrame,
     delta: DataFrame,
@@ -849,6 +861,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.5,
     corpus_bands: DataFrame | None = None,
     max_bucket: int | None = None,
+    corpus_band_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: pairs TOUCHING the delta only — each new
     batch checks itself against the already-indexed corpus (and within
@@ -864,6 +877,13 @@ def minhash_lsh_incremental(
     Output (id_a, id_b, jaccard), id_a < id_b, every pair containing at
     least one delta document. Union of this with the corpus's own
     indexed pairs = exactly the full-rerun answer.
+
+    ``corpus_band_counts``: optional ``(band, sig, n)`` relation
+    (:func:`minhash_band_counts` over the SAME corpus_bands, persisted
+    at index time) — with ``max_bucket`` set, supplies the corpus side
+    of the combined bucket sizes so the cap never re-scans the corpus
+    bands; the last column is taken as the count by contract. Ignored
+    when ``max_bucket`` is None.
 
     FORMAT BREAK (round 6): ``sig`` changed from the 32-char md5 hex
     STRING to the portable 60-bit BIGINT (quarters the band-join
@@ -910,31 +930,62 @@ def minhash_lsh_incremental(
         # (lsh_candidate_pairs over corpus ∪ delta) so the incremental
         # contract — "union with indexed corpus pairs = full answer" —
         # survives the cap. Bucket sizes are therefore counted over the
-        # COMBINED band relation (corpus index ∪ delta probe): a
-        # map-side-partial aggregate whose shuffle carries distinct
-        # buckets, not rows; at index time a deployment persists the
-        # corpus-side counts next to the index and only the delta's
-        # partial is fresh — HERE the corpus side re-aggregates per
-        # call (visible as ~2x on the sf0.1 receipt: one extra pass
-        # over the index table, or over the in-plan band derivation
-        # when no index is given). The join then runs in two tiers so the
-        # bucketed no-corpus-Exchange fast path survives:
+        # COMBINED band relation (corpus index ∪ delta probe).
+        #
+        # Counting path, by what the caller persisted:
+        # - ``corpus_band_counts`` given (the production shape: one
+        #   (band, sig, n) aggregate written NEXT TO the index at build
+        #   time): only the delta's partial is fresh, and the corpus
+        #   counts table is probed with a broadcast semi-join — no
+        #   corpus-side pass at all. Buckets the delta never touches
+        #   can be ignored outright: they produce no delta-touching
+        #   pairs whichever sub-bucket their members get, so dropping
+        #   them from ``over`` cannot change the output (the fast tier
+        #   finds no probe rows there, the slow tier's corpus rows find
+        #   no probe partner).
+        # - otherwise: one combined map-side-partial aggregate whose
+        #   shuffle carries distinct buckets, not rows — correct but it
+        #   re-scans the corpus bands per call (~2x on the sf0.1
+        #   receipt; pass the counts table to avoid it).
+        #
+        # The join then runs in two tiers so the bucketed
+        # no-corpus-Exchange fast path survives:
         #   fast — probe rows in NORMAL buckets join the index on
         #     (band, sig) exactly as before (no corpus-side Exchange;
         #     corpus rows in oversized buckets simply find no probe);
         #   slow — probe/corpus rows in OVERSIZED buckets (a relation
         #     bounded by |bands|/max_bucket, broadcast both ways) are
-        #     annotated with the same __sub = md5(id) % ceil(n/cap)
-        #     the full rerun computes and join on (band, sig, __sub) —
+        #     annotated with the same __sub = md5(id) % n_splits the
+        #     full rerun computes and join on (band, sig, __sub) —
         #     only the hot-bucket slice pays the re-shuffle.
-        keys = probe.select("band", "sig").unionAll(
-            corpus_bands.select("band", "sig")
-        )
-        over = (
-            keys.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket)
-        )
+        if corpus_band_counts is not None:
+            dc = probe.groupBy("band", "sig").agg(
+                F.count(F.lit(1)).alias("__nd")
+            )
+            touched = corpus_band_counts.select(
+                "band", "sig", F.col(corpus_band_counts.columns[-1]).alias("__nc")
+            ).join(F.broadcast(dc.select("band", "sig")), ["band", "sig"], "left_semi")
+            over = (
+                dc.join(touched, ["band", "sig"], "full")
+                .select(
+                    "band",
+                    "sig",
+                    (
+                        F.coalesce(F.col("__nd"), F.lit(0))
+                        + F.coalesce(F.col("__nc"), F.lit(0))
+                    ).alias("__n"),
+                )
+                .where(F.col("__n") > max_bucket)
+            )
+        else:
+            keys = probe.select("band", "sig").unionAll(
+                corpus_bands.select("band", "sig")
+            )
+            over = (
+                keys.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket)
+            )
 
         def _annot(frame: DataFrame, idname: str) -> DataFrame:
             return (

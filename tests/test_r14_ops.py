@@ -250,3 +250,31 @@ def test_ivfpq_blas_path_all_cells_probed_equals_flat_pq(spark):
         ).collect()
     }
     assert composed == flat
+
+
+def test_lsh_capped_incremental_with_persisted_counts(spark, skewed_corpus):
+    """Passing the index-time (band, sig, n) counts table must change
+    NOTHING in the output — it only replaces the corpus-side rescan of
+    the combined bucket-size aggregate (delta-untouched buckets may be
+    dropped from the oversized list; they produce no delta-touching
+    pairs either way)."""
+    kw = dict(shingle_k=3, num_hashes=16, bands=8, threshold=0.5, max_bucket=8)
+    corpus = skewed_corpus.where("doc_id % 5 != 0")
+    delta = skewed_corpus.where("doc_id % 5 = 0")
+    bands = dedup.minhash_band_relation(corpus, "doc_id", "text", 3, 16, 8)
+    counts = dedup.minhash_band_counts(bands)
+    without = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_incremental(
+            corpus, delta, "doc_id", "text", **kw
+        ).collect()
+    }
+    with_counts = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_incremental(
+            corpus, delta, "doc_id", "text", **kw,
+            corpus_bands=bands, corpus_band_counts=counts,
+        ).collect()
+    }
+    assert with_counts == without
+    assert with_counts  # the template family straddles the split
