@@ -1687,29 +1687,57 @@ FROM inter JOIN sz za ON za.doc_id = inter.id_a JOIN sz zb ON zb.doc_id = inter.
 WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.95
 """
 
-_BUCKET_SQL_BITS = 8
-_BUCKET_SQL = " + ".join(
+# --- r15 scale-safe sign-LSH rendering (r14 verdict #1) ------------------
+# The bucket key is sized from the corpus: bits = ceil(log2(n / 32))
+# (similarity.lsh_bits_for — integer-exact, lockstep with this SQL
+# rendering across a wide n sweep in tests/test_r15_ops.py). The oracle
+# computes a FULL 24-bit bucket once and masks to the low `bits` bits —
+# identical to the engine's direct bits-bit sum because bit j always
+# contributes 2^j (the mask identity, also tested).
+_LSH_TARGET_BUCKET = 32
+_BUCKET_FULL_BITS = 24
+_BUCKET_FULL_SQL = " + ".join(
     f"(CASE WHEN embedding[{2*j+1}] >= embedding[{2*j+2}] THEN 1 ELSE 0 END) * {1 << j}"
-    for j in range(_BUCKET_SQL_BITS)
+    for j in range(_BUCKET_FULL_BITS)
+)
+_LSH_BITS_SQL = (
+    f"SELECT GREATEST(1, LEAST({_BUCKET_FULL_BITS}, "
+    f"CAST(CEIL(LOG2(count(*) / {_LSH_TARGET_BUCKET}.0)) AS INTEGER))) AS bits "
+    "FROM embeddings"
+)
+_BUCKET_AUTO_SQL = (
+    f"CAST(({_BUCKET_FULL_SQL}) % "
+    "(CAST(1 AS BIGINT) << (SELECT bits FROM p)) AS INTEGER)"
 )
 _DOT_SQL = (
     "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
     " list_transform({b}, x -> CAST(x AS DOUBLE)))"
 )
 
+# the bucket-split cap for the embedding block join — small enough to
+# BITE at test scale (sf0.01 buckets run 20-46 members at bits=4, so
+# the split path is actually exercised by the hash gate), the same
+# _LSH_MAX_BUCKET=2 precedent as the minhash cap
+_EMB_MAX_BUCKET = 24
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, sign-LSH-bucket blocked: candidates = same
-    deterministic sign bucket, scored by exact cosine ≥ 0.3."""
+    """Embedding near-dup, sign-LSH-bucket blocked, BOUNDED (r15):
+    bucket bits scale with the corpus (similarity.lsh_bits_for — the
+    fixed-8-bit block join carried an n²/2^bits pair term, linear decay
+    never), and oversized buckets are hash-split by
+    similarity.bounded_bucket_pairs (the minhash max_bucket precedent)
+    so one skewed bucket of near-identical embeddings can't go
+    quadratic. Candidates scored by exact cosine ≥ 0.3; the oracle
+    replays the sizing (count → bits), the mask, the split and the
+    scoring in lockstep."""
     emb = _t(spark, sf_dir, "embeddings")
+    bits = similarity.lsh_bits_for(emb.count(), _LSH_TARGET_BUCKET)
     b = emb.select(
-        F.col("vec_id"), similarity.sign_lsh_bucket("embedding", 8).alias("bucket")
+        F.col("vec_id"), similarity.sign_lsh_bucket("embedding", bits).alias("bucket")
     )
-    pairs = (
-        b.alias("x")
-        .join(b.alias("y"), on="bucket")
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+    pairs = similarity.bounded_bucket_pairs(
+        b, "vec_id", "bucket", max_bucket=_EMB_MAX_BUCKET
     )
     return dedup.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.3, block_pairs=pairs
@@ -1717,15 +1745,26 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_NEARDUP_SQL = f"""
-WITH v AS (
-  SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket,
+WITH p AS ({_LSH_BITS_SQL}),
+v AS (
+  SELECT vec_id, embedding, {_BUCKET_AUTO_SQL} AS bucket,
          sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
   FROM embeddings
+),
+sz AS (SELECT bucket, count(*) AS n FROM v GROUP BY bucket),
+ann AS (
+  SELECT v.vec_id, v.embedding, v.bucket, v.nrm,
+         CASE WHEN sz.n <= {_EMB_MAX_BUCKET} THEN 0
+              ELSE {md5_i64_sql('CAST(v.vec_id AS VARCHAR)')}
+                   % CAST(power(2, ceil(log2((sz.n + {_EMB_MAX_BUCKET - 1}) // {_EMB_MAX_BUCKET}))) AS BIGINT)
+         END AS sub
+  FROM v JOIN sz ON sz.bucket = v.bucket
 ),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round({_DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM ann a JOIN ann b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 """
@@ -1763,9 +1802,14 @@ FROM (
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the query's sign-LSH
-    bucket — the bucketed scale path (equi-join instead of cross join)."""
+    bucket — the bucketed scale path (equi-join instead of cross join).
+    Bucket bits are AUTO-SIZED from the corpus (r15:
+    similarity.lsh_bits_for — ⌈log2(n/32)⌉, the √n-cells precedent), so
+    candidates per query stay ~target_bucket instead of n/2^const; the
+    oracle replays the sizing (count → bits) and masks a full 24-bit
+    bucket down to the same key."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 5), k=5, num_bits=4)
+    return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
 _BUCKET4_SQL = " + ".join(
@@ -1774,7 +1818,8 @@ _BUCKET4_SQL = " + ".join(
 )
 
 _KNN_LSH_SQL = f"""
-WITH v AS (SELECT vec_id, embedding, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+WITH p AS ({_LSH_BITS_SQL}),
+v AS (SELECT vec_id, embedding, {_BUCKET_AUTO_SQL} AS bucket FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL.format(a='q.embedding', b='c.embedding')} /
@@ -1793,32 +1838,38 @@ FROM (
 
 
 def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-5: each query probes its own sign bucket
-    PLUS two Hamming-distance-1 neighbor buckets (flip bit 0, flip
-    bit 1) — near-misses one sign flip away become candidates without
-    rebucketing the corpus (the Lv et al. recall lever, deterministic
-    probe order). Candidate volume grows ×3 on the query side only;
-    the oracle unions the same probe buckets."""
+    """Multi-probe LSH top-5 under the r15 auto sizing: bucket bits =
+    ⌈log2(n/32)⌉ and the probe count WIDENS with them —
+    min(bits, max(2, bits // 2)) Hamming-distance-1 neighbor buckets
+    (flip bit 0, 1, …) — the Lv et al. recall lever scaled so recall
+    holds as auto bits grow while candidates stay ~(1 + bits/2)·32,
+    logarithmic in the corpus. The oracle derives the same bits and
+    probe count from count(*) and unions the same flipped buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_knn(
-        emb, emb.where(F.col("vec_id") < 5), k=5, num_bits=4, multiprobe=2
+        emb, emb.where(F.col("vec_id") < 5), k=5, multiprobe="auto"
     )
 
 
 _KNN_LSH_MULTIPROBE_SQL = f"""
-WITH v AS (SELECT vec_id, embedding, ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+WITH p AS ({_LSH_BITS_SQL}),
+mp AS (SELECT LEAST(bits, GREATEST(2, bits // 2)) AS m FROM p),
+v AS (SELECT vec_id, embedding, {_BUCKET_AUTO_SQL} AS bucket FROM embeddings),
 q AS (SELECT vec_id, embedding, bucket FROM v WHERE vec_id < 5),
+idx AS (SELECT unnest(range(0, {_BUCKET_FULL_BITS})) AS i),
 probes AS (
   SELECT vec_id, embedding, bucket FROM q
-  UNION ALL SELECT vec_id, embedding, xor(bucket, 1) FROM q
-  UNION ALL SELECT vec_id, embedding, xor(bucket, 2) FROM q
+  UNION ALL
+  SELECT q.vec_id, q.embedding,
+         CAST(xor(CAST(q.bucket AS BIGINT), CAST(1 AS BIGINT) << i.i) AS INTEGER)
+  FROM q, idx i WHERE i.i < (SELECT m FROM mp)
 ),
 scored AS (
-  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round({_DOT_SQL.format(a='p.embedding', b='c.embedding')} /
-               (sqrt({_DOT_SQL.format(a='p.embedding', b='p.embedding')}) *
+  SELECT pr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='pr.embedding', b='c.embedding')} /
+               (sqrt({_DOT_SQL.format(a='pr.embedding', b='pr.embedding')}) *
                 sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
-  FROM probes p JOIN v c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+  FROM probes pr JOIN v c ON pr.bucket = c.bucket AND pr.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
 FROM (
@@ -2254,6 +2305,41 @@ def q_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFADC maintenance (r15, FAISS add()): the index is
+    built on the corpus MINUS a delta cohort (vec_id % 10 == 7), the
+    delta is APPENDED against the FROZEN quantizers
+    (similarity.ivfpq_index_append — assign + PQ-encode the delta only,
+    union into the lists; a refresh pays O(delta·cells), never the
+    O(n·cells) rebuild), and the standard panel queries the appended
+    index. The oracle is the FULL-REBUILD replay (_knn_ivfpq_sql on
+    the whole corpus — the q_knn_ivfpq oracle verbatim): append ≡
+    rebuild is the contract, so any divergence — a dropped delta row, a
+    stale quantizer, a re-encoded corpus row — breaks the hash. Both
+    quantizers train on the full-corpus top-256 hash-ranked sample
+    BEFORE the split (frozen means frozen)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(emb, "vec_id", 256).collect()
+    ]
+    cents = similarity.kmeans_centroids_local(rows, k=8, iterations=2)
+    books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    # base lists enter UNCACHED (single-use inside one registry query —
+    # the no-cache-leak hygiene rule); a deployment appends to the
+    # cached/persisted ivfpq_index it already owns (the pytest contract
+    # test exercises exactly that pairing)
+    index = similarity.ivfpq_index_append(
+        similarity._ivfpq_rows(base, cents, books), delta, cents, books
+    )
+    return similarity.ivfpq_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+        centroids=cents, codebooks=books, index=index,
+    )
+
+
 def _knn_ivfpq_sql(
     m: int = 4, dim: int = 64, k_codes: int = 16,
     train_where: str = "",
@@ -2381,7 +2467,9 @@ def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
     exact = similarity.brute_force_knn(emb, qs, k=5)
     tiers = {
-        "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
+        # r15: auto-sized bits (lsh_bits_for); the spliced _KNN_LSH_SQL
+        # derives the same bits from count(*)
+        "lsh": similarity.lsh_knn(emb, qs, k=5),
         "ivf": similarity.ivf_knn(emb, qs, k=5, nprobe=2, centroids=cents),
         "pq": similarity.pq_knn(emb, qs, k=5, codebooks=books),
         # r14: the IVFADC composition measured against the same truth —
@@ -5616,6 +5704,14 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.semantic_decontaminate(corpus, bench, min_similarity=0.3)
     return out.select("vec_id").orderBy("vec_id")
 
+
+# fixed 8-bit rendering — semantic_decontaminate's default blocking
+# (candidates vs a broadcast benchmark are n·|B|/2^bits, LINEAR in the
+# corpus, so fixed bits are not the self-join quadratic r15 resized)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2*j+1}] >= embedding[{2*j+2}] THEN 1 ELSE 0 END) * {1 << j}"
+    for j in range(8)
+)
 
 _DECONTAMINATE_SEMANTIC_SQL = f"""
 WITH v AS (
@@ -11086,11 +11182,20 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(tmp)
         os.makedirs(src)
         for i in range(3):
-            part = sorted(
+            parts = sorted(
                 _glob.glob(os.path.join(tmp, f"__batch={i}", "part-*.parquet"))
-            )[0]
+            )
+            # exactly one part file per batch by construction
+            # (repartition("__batch") puts each residue class in one
+            # task); 0 would mean an empty cohort, >1 would silently
+            # drop rows and desynchronize from the oracle (r14 ADVICE)
+            if len(parts) != 1:
+                raise AssertionError(
+                    f"stream_upsert: batch {i} staged {len(parts)} part "
+                    f"files (want exactly 1): {parts}"
+                )
             dst = os.path.join(src, f"b{i}.parquet")
-            shutil.move(part, dst)
+            shutil.move(parts[0], dst)
             # FileStreamSource orders micro-batches by modification time
             os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
         shutil.rmtree(tmp)
@@ -11954,7 +12059,9 @@ def q_knn_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_train_local(rows, m=4, codebook_k=16, iterations=2)
     exact = similarity.brute_force_knn(emb, qs, k=5)
     tiers = {
-        "lsh": similarity.lsh_knn(emb, qs, k=5, num_bits=4),
+        # r15: auto-sized bits (lsh_bits_for); the spliced _KNN_LSH_SQL
+        # derives the same bits from count(*)
+        "lsh": similarity.lsh_knn(emb, qs, k=5),
         "ivf": similarity.ivf_knn(emb, qs, k=5, nprobe=2, centroids=cents),
         "pq": similarity.pq_knn(emb, qs, k=5, codebooks=books),
     }
@@ -12968,7 +13075,8 @@ WITH c AS (
 k AS (
   SELECT o_orderpriority, tc,
          CASE WHEN o_orderpriority IS NULL THEN 'n'
-              ELSE 'v|' || CAST(o_orderpriority AS VARCHAR) END AS gk
+              ELSE 'v|' || CAST(length(CAST(o_orderpriority AS VARCHAR)) AS VARCHAR)
+                   || '|' || CAST(o_orderpriority AS VARCHAR) END AS gk
   FROM c
 )
 SELECT o_orderpriority,
@@ -12984,10 +13092,14 @@ ORDER BY o_orderpriority
 
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-14 driver window: every query whose code changed since
-    #     the r13 verdict commit (tools/window_audit.py: 18 affected,
-    #     all at positions <= 48, violations []) sits in the first 50;
-    #     unchanged driver-green entries stay rotated back ---
+    # --- round-15 driver window: every query whose code changed since
+    #     the r14 verdict commit (tools/window_audit.py) sits in the
+    #     first 50; unchanged driver-green entries stay rotated back ---
+    "q_knn_ivfpq_incremental": (
+        q_knn_ivfpq_incremental,
+        _knn_ivfpq_sql(train_where=_KNN_TRAIN_WHERE),
+    ),
+    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_embed_gramian": (q_embed_gramian, _EMBED_GRAMIAN_SQL),
     "q_embed_linear_probe": (q_embed_linear_probe, _EMBED_LINEAR_PROBE_SQL),
     "q_embed_whitening": (q_embed_whitening, _EMBED_WHITENING_SQL),
@@ -13008,8 +13120,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_rank_eval": (q_knn_rank_eval, _knn_rank_eval_sql()),
     "q_events_stream_late": (q_events_stream_late, _EVENTS_STREAM_LATE_SQL),
     "q_events_stream_upsert": (q_events_stream_upsert, _EVENTS_STREAM_UPSERT_SQL),
-    "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
-    "q_layout_compaction": (q_layout_compaction, _LAYOUT_COMPACTION_SQL),
     "q_dedup_lsh_recall": (q_dedup_lsh_recall, _lsh_recall_sql()),
     "q_graph_components": (q_graph_components, _graph_components_sql()),
     "q_dedup_cross_source": (q_dedup_cross_source, _cross_source_sql()),
@@ -13043,6 +13153,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_knn_lsh_multiprobe": (q_knn_lsh_multiprobe, _KNN_LSH_MULTIPROBE_SQL),
     "q_knn_lsh": (q_knn_lsh, _KNN_LSH_SQL),
     "q_entity_resolution": (q_entity_resolution, _ENTITY_RESOLUTION_SQL),
+    "q_layout_hilbert": (q_layout_hilbert, _hilbert_sql()),
+    "q_layout_compaction": (q_layout_compaction, _LAYOUT_COMPACTION_SQL),
     "q_embed_kmeans": (q_embed_kmeans, _KMEANS_SQL),
     "q_semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "q_knn_ivf": (q_knn_ivf, _knn_ivf_sql()),
@@ -13177,7 +13289,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q_media_frame_sample": (q_media_frame_sample, _MEDIA_FRAME_SQL),
     "q_sample_topk_stratum": (q_sample_topk_stratum, _SAMPLE_TOPK_SQL),
     "q_pack_overlap_chunks": (q_pack_overlap_chunks, _PACK_OVERLAP_SQL),
-    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, _EMB_NEARDUP_SQL),
     "q_decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "q_corpus_profile": (q_corpus_profile, _CORPUS_PROFILE_SQL),
     "q_sample_mixture": (q_sample_mixture, _SAMPLE_MIXTURE_SQL),

@@ -875,15 +875,26 @@ def minhash_lsh_incremental(
     index build pays anyway.
 
     Output (id_a, id_b, jaccard), id_a < id_b, every pair containing at
-    least one delta document. Union of this with the corpus's own
-    indexed pairs = exactly the full-rerun answer.
+    least one delta document. With ``max_bucket`` unset, the union of
+    this with the corpus's own indexed pairs = exactly the full-rerun
+    answer. With ``max_bucket`` SET, the contract is (r14 ADVICE):
+    DELTA-TOUCHING pairs are exact vs the capped full rerun (bucket
+    sizes are counted over the combined corpus ∪ delta relation, so
+    both compute identical splits), but corpus-corpus pairs carried by
+    an index built BEFORE the delta may be a strict SUPERSET of the
+    capped full rerun's — buckets whose combined size raises the split
+    count have index-time corpus-corpus pairs the rerun's finer split
+    would drop. Pow2 nesting guarantees superset-only (a coarser split
+    never separates what a finer split keeps together), never missing
+    pairs.
 
     ``corpus_band_counts``: optional ``(band, sig, n)`` relation
     (:func:`minhash_band_counts` over the SAME corpus_bands, persisted
     at index time) — with ``max_bucket`` set, supplies the corpus side
     of the combined bucket sizes so the cap never re-scans the corpus
-    bands; the last column is taken as the count by contract. Ignored
-    when ``max_bucket`` is None.
+    bands; the count is read from the ``n`` column by name (the
+    minhash_band_counts contract — a counts table without it fails
+    loudly). Ignored when ``max_bucket`` is None.
 
     FORMAT BREAK (round 6): ``sig`` changed from the 32-char md5 hex
     STRING to the portable 60-bit BIGINT (quarters the band-join
@@ -959,11 +970,17 @@ def minhash_lsh_incremental(
         #     full rerun computes and join on (band, sig, __sub) —
         #     only the hot-bucket slice pays the re-shuffle.
         if corpus_band_counts is not None:
+            if "n" not in corpus_band_counts.columns:
+                raise ValueError(
+                    "corpus_band_counts must carry the bucket size in a "
+                    "column named 'n' (the minhash_band_counts contract); "
+                    f"got columns {corpus_band_counts.columns}"
+                )
             dc = probe.groupBy("band", "sig").agg(
                 F.count(F.lit(1)).alias("__nd")
             )
             touched = corpus_band_counts.select(
-                "band", "sig", F.col(corpus_band_counts.columns[-1]).alias("__nc")
+                "band", "sig", F.col("n").alias("__nc")
             ).join(F.broadcast(dc.select("band", "sig")), ["band", "sig"], "left_semi")
             over = (
                 dc.join(touched, ["band", "sig"], "full")

@@ -107,6 +107,32 @@ def sign_lsh_bucket(vec_col: str, num_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def lsh_bits_for(
+    n: int,
+    target_bucket: int = 32,
+    min_bits: int = 1,
+    max_bits: int = 24,
+) -> int:
+    """Corpus-aware sign-LSH sizing (r14 verdict #1 — the √n-cells
+    precedent applied to the bucket tier): the smallest ``b`` with
+    ``target_bucket · 2^b ≥ n``, i.e. ``⌈log2(n / target_bucket)⌉``,
+    clamped to ``[min_bits, max_bits]``. Fixed bits made expected
+    candidates per query ``n / 2^bits`` — LINEAR in the corpus (the
+    r14 receipt measured 78/778/7831 per decade); under this sizing
+    the expected bucket stays ≤ ``target_bucket`` and the candidate
+    curve goes flat.
+
+    Pure integer arithmetic (no float log), and the DuckDB rendering
+    ``GREATEST(min, LEAST(max, CEIL(LOG2(n / target))))`` is asserted
+    lockstep across a wide n sweep incl. exact powers of two
+    (tests/test_r15_ops.py). Callers must separately cap at
+    ``dim // 2`` (sign_lsh_bucket reads vector positions 2j, 2j+1)."""
+    b = 0
+    while (target_bucket << b) < n and b < max_bits:
+        b += 1
+    return max(min_bits, b)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -404,12 +430,22 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_bits: int = 8,
-    multiprobe: int = 0,
+    num_bits: int | None = None,
+    multiprobe: int | str = 0,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall is
     traded for a bucket-key equi-join instead of a cross join — the
     100 TB path (bucket the corpus once, probe per query).
+
+    ``num_bits=None`` (the default since r15) sizes the bucket key
+    with :func:`lsh_bits_for` — ``⌈log2(n / target_bucket)⌉`` bits,
+    capped at ``dim // 2`` — so expected candidates per query stay
+    ~``target_bucket`` instead of growing linearly with the corpus
+    (the r14 verdict's one weak component). The sizing pass is ONE
+    scalar aggregate over the corpus (count + min vector length); a
+    deployment that knows n from table stats passes ``num_bits``
+    explicitly and skips it.
 
     ``multiprobe`` > 0 additionally probes that many Hamming-distance-1
     neighbor buckets per query (flip bit 0, bit 1, …) — the standard
@@ -419,9 +455,24 @@ def lsh_knn(
     tables. Candidate volume grows ×(1+multiprobe) on the QUERY side
     only; the corpus is still bucketed once. Duplicate (query,
     candidate) pairs from overlapping probes collapse before scoring.
+    ``multiprobe="auto"`` widens with the sizing —
+    ``min(bits, max(2, bits // 2))`` — so recall holds as auto bits
+    grow with the corpus while candidates stay ~``(1 + bits/2) ·
+    target_bucket``, logarithmic in n.
     """
     from pyspark.sql import Window
 
+    if num_bits is None:
+        row = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        dim = int(row["d"]) if row["d"] is not None else 2  # empty corpus
+        num_bits = lsh_bits_for(
+            int(row["n"]), target_bucket, max_bits=min(24, dim // 2)
+        )
+    if multiprobe == "auto":
+        multiprobe = min(num_bits, max(2, num_bits // 2))
     if not 0 <= multiprobe <= num_bits:
         raise ValueError(
             f"lsh_knn: multiprobe must be in [0, num_bits], got {multiprobe}"
@@ -465,6 +516,66 @@ def lsh_knn(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def bounded_bucket_pairs(
+    bucketed: DataFrame,
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+    max_bucket: int = 128,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a single-key block self-join,
+    with oversized buckets deterministically hash-split — the dedup
+    band-bucket cap (dedup._split_oversized_buckets, r14) applied to
+    the sign-LSH block join the r14 verdict flagged (#1): a fixed-key
+    self-join carries an ``n² / 2^bits`` pair term, and ONE skewed
+    bucket (near-identical embeddings always collide) can dominate the
+    whole job. The cap:
+
+    - aggregates bucket sizes map-side (the shuffle carries distinct
+      buckets, not rows), keeps only oversized buckets (a relation
+      bounded by ``n / max_bucket``) and broadcasts it;
+    - assigns ``__sub = md5_i64(id) % n_splits`` inside oversized
+      buckets (0 elsewhere), ``n_splits = pow2(ceil(n / max_bucket))``
+      (dedup._n_splits_expr — pow2 so sub-assignments nest), so the
+      pair term per bucket falls from B² to ~B·max_bucket;
+    - self-joins on (bucket, __sub) with ``id_a < id_b``.
+
+    RECALL TRADE (deliberate, the SemDeDup/minhash-cap precedent): two
+    members of a split bucket pair up only when they share a
+    sub-bucket. The split is a pure function of (bucket size, id), so
+    a SQL oracle replays it bit-for-bit. Each id carries ONE bucket,
+    so no distinct() is needed — the join cannot emit duplicates."""
+    from ..functions.portable import md5_i64
+    from .dedup import _n_splits_expr
+
+    sizes = bucketed.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.where(F.col("__n") > max_bucket)
+    ann = (
+        bucketed.join(F.broadcast(over), [bucket_col], "left")
+        .withColumn(
+            "__sub",
+            F.when(F.col("__n").isNull(), F.lit(0).cast("bigint")).otherwise(
+                md5_i64(F.col(id_col).cast("string")) % _n_splits_expr(max_bucket)
+            ),
+        )
+        .drop("__n")
+    )
+    a, b = ann.alias("a"), ann.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"),
+                F.col("a.__sub") == F.col("b.__sub"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
     )
 
 
@@ -1451,16 +1562,22 @@ def pq_rerank_knn(
     )
 
 
-def ivfpq_index(
+def _ivfpq_rows(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Build the IVFADC index ONCE: ``(neighbor_id, cell, pq_codes,
-    __rr)`` — the billion-vector layout (Jégou et al. 2011 §V) where the
-    coarse quantizer prunes and PQ compresses WITHIN each inverted list.
+    """The IVFADC encode pass as an UNCACHED frame: ``(neighbor_id,
+    cell, pq_codes, __rr)`` — every output row a pure per-row function
+    of (vector, centroids, codebooks), which is what makes incremental
+    maintenance exact (:func:`ivfpq_index_append`: encoding a delta
+    against the FROZEN quantizers and unioning ≡ re-encoding the whole
+    corpus∪delta). :func:`ivfpq_index` adds the cell layout + cache for
+    caller-owned reuse; :func:`ivfpq_knn`'s internal single-use path
+    consumes these rows directly so nothing leaks into the cache
+    (r14 ADVICE).
 
     - ``cell``: nearest coarse centroid, the exact semantics of
       :func:`ivf_knn`'s assignment (6-dp rounded cosine, ties to the
@@ -1470,10 +1587,6 @@ def ivfpq_index(
     - ``pq_codes``: m per-subspace argmin codes (:func:`pq_encode`'s
       projection, inlined on the assigned frame so no self-join).
     - ``__rr``: ‖recon‖² via m literal lookups (pq_knn's precompute).
-
-    Repartitioned by ``cell`` and cached — at 100 TB this is the table a
-    deployment persists partitioned by cell, m bytes + 1 int per vector
-    (vs 4·d float bytes), and a query batch READS only its nprobe cells.
     """
     from pyspark.sql import Window
 
@@ -1529,10 +1642,65 @@ def ivfpq_index(
         rr_terms.append(
             f"element_at(array({ccs}), element_at(pq_codes, {j + 1}) + 1)"
         )
-    idx = enc.select(
+    return enc.select(
         "neighbor_id", "cell", "pq_codes", F.expr(" + ".join(rr_terms)).alias("__rr")
     )
-    return idx.repartition(F.col("cell")).cache()
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFADC index ONCE (rows: :func:`_ivfpq_rows` — the
+    billion-vector layout of Jégou et al. 2011 §V, coarse cells pruning
+    + PQ codes within each inverted list), repartitioned by ``cell``
+    and cached — at 100 TB this is the table a deployment persists
+    partitioned by cell, m bytes + 1 int per vector (vs 4·d float
+    bytes), and a query batch READS only its nprobe cells. The cache is
+    CALLER-owned: unpersist it when the query batches are done (the
+    single-use path inside :func:`ivfpq_knn` never builds one)."""
+    return (
+        _ivfpq_rows(corpus, centroids, codebooks, id_col, vec_col)
+        .repartition(F.col("cell"))
+        .cache()
+    )
+
+
+def ivfpq_index_append(
+    index: DataFrame,
+    delta: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVFADC maintenance (r14 verdict missing #2 — FAISS
+    ``add()``): assign + PQ-encode ONLY the delta batch against the
+    FROZEN quantizers and append it to the existing inverted lists.
+    The full rebuild is O(n·cells) dgemm work (O(n^1.5) under √n
+    sizing); the append is O(delta·cells) — at 100 TB a refresh pays
+    for its new rows, not the corpus.
+
+    CONTRACT: append ≡ full rebuild on corpus ∪ delta, exactly — every
+    index row is a pure per-row function of (vector, centroids,
+    codebooks), so encoding the delta separately cannot diverge
+    (asserted bit-for-bit in tests/test_r15_ops.py). That exactness
+    holds precisely BECAUSE the quantizers are frozen; after heavy
+    drift, retrain + full rebuild (the FAISS guidance) — drift shows
+    up as falling recall in the recall_report receipt, not as wrong
+    results.
+
+    ``delta`` ids must be disjoint from the indexed corpus (the same
+    precondition as minhash_lsh_incremental); the union is NOT
+    re-partitioned — at scale the delta lands as new files appended to
+    the cell-partitioned table, and probe joins stay correct because
+    the query side broadcasts onto whatever layout the lists have."""
+    return index.unionByName(
+        _ivfpq_rows(delta, centroids, codebooks, id_col, vec_col)
+    )
 
 
 def ivfpq_knn(
@@ -1581,7 +1749,11 @@ def ivfpq_knn(
             f"ivfpq_knn: rerank_candidates ({rerank_candidates}) must be >= k ({k})"
         )
     if index is None:
-        index = ivfpq_index(corpus, centroids, codebooks, id_col, vec_col)
+        # single-use path: plain rows, NO cache/repartition — a cached
+        # index here outlived the query and leaked for the session's
+        # lifetime (r14 ADVICE); callers who reuse an index across
+        # query batches own it via ivfpq_index(...)
+        index = _ivfpq_rows(corpus, centroids, codebooks, id_col, vec_col)
     m_eff = len(codebooks)
     sub = len(codebooks[0][0][1])
 

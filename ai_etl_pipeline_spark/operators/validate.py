@@ -364,10 +364,12 @@ def seeded_noisy_counts(
     index, group key) through the inverse CDF ``floor(ln(u)/ln(alpha))``
     — and since ``ln(alpha) = −epsilon/sensitivity`` exactly, no
     exp/log roundtrip enters the plan. The group key hashes NULL-SAFELY
-    (r14 ADVICE): every column renders as ``'n'`` for NULL vs
-    ``'v|' || value`` otherwise, so ('a', NULL) and ('a') can no longer
-    collide into identical noise the way bare concat_ws (which DROPS
-    NULLs) allowed.
+    and INJECTION-SAFELY (r14 + r15 ADVICE): every column renders as
+    ``'n'`` for NULL vs ``'v|' || length(value) || '|' || value``
+    otherwise — the length prefix makes the rendering prefix-free, so
+    values containing the ``'|'`` delimiter can no longer collide
+    across adjacent columns (('a|v','b') vs ('a','v|b') previously
+    both rendered 'v|a|v|v|b' and drew identical noise).
 
     Cost shape: ONE group aggregate over the corpus (map-side combine),
     then per-group scalar math — output is group-sized. At 100 TB the
@@ -387,7 +389,12 @@ def seeded_noisy_counts(
         "|",
         *[
             F.when(F.col(c).isNull(), F.lit("n")).otherwise(
-                F.concat(F.lit("v|"), F.col(c).cast("string"))
+                F.concat(
+                    F.lit("v|"),
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit("|"),
+                    F.col(c).cast("string"),
+                )
             )
             for c in group_cols
         ],

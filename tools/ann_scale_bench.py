@@ -35,6 +35,19 @@ Measured per size, per tier:
   to make the comparison honest).
 - bf_query_sec: brute-force baseline for reference.
 
+r15 additions (the r14 verdict's What's wrong #1 + What's missing #2):
+- The LSH tier now runs under lsh_bits_for(n) auto sizing (bits =
+  ⌈log2(n/32)⌉, the √n-cells precedent) with auto multiprobe
+  (min(bits, max(2, bits//2)) Hamming-1 probes) — lsh_cand_per_query
+  must stop growing linearly. The old fixed-8-bit design is kept as a
+  CONTROL column (lsh_fixed8_*), and recall@5 vs the brute-force truth
+  is recorded for BOTH designs (lsh_recall_micro /
+  lsh_fixed8_recall_micro) so the candidate cut is honest about what
+  it costs in recall.
+- ivfpq_append_sec: appending a 10%-of-corpus delta to the frozen
+  IVFADC index (ivfpq_index_append — assign+encode the delta only)
+  vs ivfpq_build_sec's full O(n·cells) rebuild.
+
 Fresh SparkSession per size (shuffle-dir hygiene), System.gc() between
 ops. Usage: python tools/ann_scale_bench.py [n ...]
 (default 20000 200000 2000000). Prints one JSON line per size plus the
@@ -88,7 +101,14 @@ def run_size(spark, n: int) -> dict:
     emb = build_corpus(spark, n).persist()
     n_rows = emb.count()
     cells = similarity.ivf_cells_for(n_rows)
-    out: dict = {"n_vectors": n_rows, "ivf_cells": cells}
+    lsh_bits = similarity.lsh_bits_for(n_rows)
+    lsh_mp = min(lsh_bits, max(2, lsh_bits // 2))
+    out: dict = {
+        "n_vectors": n_rows,
+        "ivf_cells": cells,
+        "lsh_bits": lsh_bits,
+        "lsh_multiprobe": lsh_mp,
+    }
 
     panel = similarity.hash_ranked_sample(
         emb, "vec_id", PANEL, salt="rq|"
@@ -113,10 +133,21 @@ def run_size(spark, n: int) -> dict:
     release_shuffles(spark)
 
     # --- per-tier end-to-end query cost ------------------------------
+    # LSH under the r15 auto sizing (bits scale with log n, multiprobe
+    # widened) — the column that must stop growing linearly
+    t, _ = timed(
+        lambda: similarity.lsh_knn(
+            emb, panel, k=K, num_bits=lsh_bits, multiprobe=lsh_mp
+        ).count()
+    )
+    out["lsh_query_sec"] = t
+    release_shuffles(spark)
+
+    # CONTROL: the pre-r15 fixed-8-bit single-probe design
     t, _ = timed(
         lambda: similarity.lsh_knn(emb, panel, k=K, num_bits=LSH_BITS).count()
     )
-    out["lsh_query_sec"] = t
+    out["lsh_fixed8_query_sec"] = t
     release_shuffles(spark)
 
     # IVF: index BUILD (the once-per-corpus O(n·cells) assignment —
@@ -166,27 +197,78 @@ def run_size(spark, n: int) -> dict:
         ).count()
     )
     out["ivfpq_query_sec"] = t
+    release_shuffles(spark)
+
+    # incremental maintenance (r15): append a 10% delta against the
+    # FROZEN quantizers — cost must be delta-sized, not a full rebuild
+    delta = build_corpus(spark, n + max(n // 10, 1)).where(f"vec_id >= {n}")
+    t, _ = timed(
+        lambda: similarity.ivfpq_index_append(
+            pq_index, delta, cents, books
+        ).count()
+    )
+    out["ivfpq_append_sec"] = t
     pq_index.unpersist()
     release_shuffles(spark)
 
-    t, _ = timed(lambda: similarity.brute_force_knn(emb, panel, k=K).count())
-    out["bf_query_sec"] = t
+    # brute force doubles as the recall ground truth — collect the
+    # panel-sized result once (64×5 rows) instead of re-running it
+    def bf_truth():
+        return similarity.brute_force_knn(emb, panel, k=K).collect()
+
+    out["bf_query_sec"], truth_rows = timed(bf_truth)
+    truth = {(r.query_id, r.neighbor_id) for r in truth_rows}
+    release_shuffles(spark)
+
+    # --- recall@5 vs brute force (honesty metric for the r15 sizing) --
+    def recall_of(res_rows):
+        hits = sum((r.query_id, r.neighbor_id) in truth for r in res_rows)
+        return hits * 1_000_000 // max(len(truth), 1)
+
+    out["lsh_recall_micro"] = recall_of(
+        similarity.lsh_knn(
+            emb, panel, k=K, num_bits=lsh_bits, multiprobe=lsh_mp
+        ).collect()
+    )
+    out["lsh_fixed8_recall_micro"] = recall_of(
+        similarity.lsh_knn(emb, panel, k=K, num_bits=LSH_BITS).collect()
+    )
     release_shuffles(spark)
 
     # --- candidates per query (honesty metric) -----------------------
-    # LSH: corpus rows sharing each panel vector's bucket
-    bcount = (
-        emb.select(similarity.sign_lsh_bucket("embedding", LSH_BITS).alias("b"))
-        .groupBy("b")
-        .count()
-    )
-    pb = panel.select(similarity.sign_lsh_bucket("embedding", LSH_BITS).alias("b"))
-    row = (
-        pb.join(bcount, "b", "left")
-        .agg(F.avg(F.coalesce(F.col("count"), F.lit(0))).alias("c"))
-        .first()
-    )
-    out["lsh_cand_per_query"] = round(float(row["c"]), 1)
+    # LSH (auto sizing): corpus rows across each panel vector's probed
+    # buckets — the identity probe plus lsh_mp Hamming-1 flips
+    def lsh_cands(bits: int, mp: int) -> float:
+        bcount = (
+            emb.select(similarity.sign_lsh_bucket("embedding", bits).alias("b"))
+            .groupBy("b")
+            .count()
+        )
+        pb = panel.select(
+            similarity.sign_lsh_bucket("embedding", bits).alias("b0")
+        )
+        if mp:
+            probes = F.array(
+                F.col("b0"),
+                *[F.expr(f"cast(b0 ^ {1 << i} as int)") for i in range(mp)],
+            )
+            pb = pb.withColumn("b", F.explode(probes)).select("b")
+        else:
+            pb = pb.select(F.col("b0").alias("b"))
+        row = (
+            pb.join(bcount, "b", "left")
+            .groupBy()
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("count"), F.lit(0))) / F.lit(PANEL)
+                ).alias("c")
+            )
+            .first()
+        )
+        return float(row["c"])
+
+    out["lsh_cand_per_query"] = round(lsh_cands(lsh_bits, lsh_mp), 1)
+    out["lsh_fixed8_cand_per_query"] = round(lsh_cands(LSH_BITS, 0), 1)
     # IVF: rows in each panel vector's nprobe nearest cells. Cell sizes
     # come from one assignment pass (the same Arrow/BLAS argmax the
     # index uses at √n cell counts — ivf_assign_cells).
@@ -248,7 +330,8 @@ def main() -> None:
         sa, sb = out["sizes"][a], out["sizes"][b]
         r: dict = {"data_growth": round(sb["n_vectors"] / sa["n_vectors"], 1)}
         for k in ("train_sec", "lsh_query_sec", "ivf_build_sec",
-                  "ivf_query_sec", "pq_query_sec", "bf_query_sec"):
+                  "ivf_query_sec", "pq_query_sec", "bf_query_sec",
+                  "ivfpq_append_sec"):
             g = round(sb[k] / max(sa[k], 1e-9), 1)
             r[k.replace("_sec", "_growth")] = g
             if g > 12:

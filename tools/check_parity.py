@@ -25,6 +25,14 @@ dedicated file handle. Round-7 lesson: capturing stdout loses lines —
 Spark progress bars interleave carriage returns into the same stream,
 so a shell redirect of this script's output ate 8 of 192 PASS lines.
 The artifact handle never shares a stream with Spark.
+
+Round-15 lesson (r14 verdict What's wrong #2): the r14 committed
+artifact said "0 failures / 294 checked" but held only 284 result
+lines — so the artifact is now SELF-VERIFIED: after closing, the file
+is re-read and the count of PASS/FAIL/okay lines must equal the number
+of queries checked (plus unknown-query FAILs), or the run exits 1 with
+a loud ARTIFACT SELF-CHECK FAILED message instead of committing a
+trailer that overstates its own contents.
 """
 
 from __future__ import annotations
@@ -163,6 +171,24 @@ def main() -> int:
         emit("failed: " + " ".join(failures))
     if art_fh is not None:
         art_fh.close()
+        # artifact self-check (r14 verdict #2): one result line per
+        # checked query must actually be ON DISK — an artifact whose
+        # trailer overstates its contents is worse than no artifact
+        expected = n_checked + len(unknown)
+        with open(artifact) as fh:
+            lines = fh.read().splitlines()
+        got = sum(
+            1 for ln in lines
+            if ln.startswith(("PASS ", "FAIL ", "okay "))
+        )
+        has_trailer = any(" checked" in ln and "failures / " in ln for ln in lines)
+        if got != expected or not has_trailer:
+            print(
+                f"ARTIFACT SELF-CHECK FAILED: {artifact} has {got} result "
+                f"lines (expected {expected}), trailer present: {has_trailer}"
+            )
+            return 1
+        print(f"artifact self-check OK: {got}/{expected} result lines present")
     return 1 if failures else 0
 
 
