@@ -15,6 +15,13 @@ import sys
 sys.path.insert(0, ".")
 
 AUDITED = [
+    # round-15 additions: the auto-sized sign-LSH tier (bits from
+    # lsh_bits_for, multiprobe widening), the bucket-split embedding
+    # block join, and the incremental IVFADC append
+    "q_knn_lsh",
+    "q_knn_lsh_multiprobe",
+    "q_dedup_embedding_cosine",
+    "q_knn_ivfpq_incremental",
     # round-14 additions: the IVFADC composition, the direct-PCA and
     # stream-upsert rotations, and the CAPPED MinHash family (the
     # max_bucket hash-split changes the band-join plan shape)
@@ -243,6 +250,22 @@ PLAN_CHECKS: dict[str, dict] = {
         "note": "ASSERTED: the scoring pass is map-only Arrow work — "
         "no join of the corpus against anything (the d x d precision "
         "matrix rides the closure).",
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_dedup_embedding_cosine": {
+        "note": "ASSERTED (r15): the oversized-bucket list broadcasts "
+        "onto the corpus for the __sub annotation (BroadcastHashJoin — "
+        "the corpus never shuffles for the cap), and the candidate "
+        "join is a keyed (bucket, __sub) equi-join — no cartesian, no "
+        "nested-loop pair blowup.",
+        "require_any": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_knn_lsh": {
+        "note": "ASSERTED (r15): the probe is a bucket-key equi-join "
+        "with the query panel broadcast — never a cross join of the "
+        "corpus (the auto-sized bucket key is the whole point).",
+        "require_any": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
 }
