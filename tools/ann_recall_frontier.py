@@ -58,7 +58,15 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     spark = get_session(
         "ann-recall-frontier",
-        extra_conf={"spark.io.compression.codec": "zstd"},
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            # the 65536-row IVF training sample is a TakeOrderedAndProject:
+            # every scan task ships its LOCAL top-65536 partial to the
+            # driver before the merge, so at >=20M rows the partials total
+            # >1 GiB and trip the 1g default; the merged result itself
+            # stays 65536 x 64 doubles (~34 MB)
+            "spark.driver.maxResultSize": "8g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     emb = build_corpus(spark, n).persist()
