@@ -163,6 +163,7 @@ def hash_ranked_sample(
     id_col: str = "vec_id",
     n: int = 256,
     salt: str = "tr|",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic FIXED-SIZE training sample: the ``n`` rows with the
     smallest ``(md5_i64(salt || id), id)`` rank — a salted variant of
@@ -175,18 +176,35 @@ def hash_ranked_sample(
     Lloyd rounds touch n rows instead of 10^11. The salt keeps the
     sample independent of same-idiom panels (query panels use a
     different salt), and the rank is SQL-replayable
-    (``md5_i64_sql("'tr|' || CAST(id AS VARCHAR)")``)."""
+    (``md5_i64_sql("'tr|' || CAST(id AS VARCHAR)")``).
+
+    ``corpus_rows`` (r15, the ≥10M-row rendering): the bare top-k's
+    driver cost is O(tasks × n) — TakeOrderedAndProject collects every
+    TASK's local top-n partial before the merge, and the 65536-row
+    training sample at 20M corpus rows measured >1 GiB of partials
+    (tripping the default maxResultSize; at 100 TB task counts it is
+    unshippable). When the caller knows the corpus size (table stats,
+    or the count it already took), the hash's uniformity over
+    [0, 2^60) localizes the n-th smallest rank near
+    ``n / corpus_rows × 2^60``, so a pre-filter at 8× that cutoff
+    keeps ~8n rows CORPUS-WIDE (P[< n survivors] ≤ exp(−3n) by
+    Chernoff — never observable for n ≥ 16) and the task partials
+    total ~8n rows regardless of task count. The survivors' top-n is
+    IDENTICAL to the unfiltered top-n whenever ≥ n rows pass (the
+    filter keeps a superset of the true top n — asserted in
+    tests/test_r15_ops.py), and every registry receipt replays the
+    UNFILTERED SQL ``ORDER BY md5 LIMIT n`` — a cutoff-induced
+    divergence would break the hash gate."""
     from ..functions.portable import md5_i64
 
-    return (
-        df.withColumn(
-            "__tr_h",
-            md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        )
-        .orderBy("__tr_h", id_col)
-        .limit(n)
-        .drop("__tr_h")
+    ranked = df.withColumn(
+        "__tr_h",
+        md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
     )
+    if corpus_rows is not None and corpus_rows > 8 * n:
+        cutoff = min(((8 * n) << 60) // corpus_rows + 1, (1 << 60) - 1)
+        ranked = ranked.where(F.col("__tr_h") <= F.lit(cutoff))
+    return ranked.orderBy("__tr_h", id_col).limit(n).drop("__tr_h")
 
 
 def ivf_index(

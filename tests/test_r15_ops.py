@@ -246,6 +246,33 @@ def test_ivfpq_internal_index_is_unpersisted(spark, vectors):
     del py4j
 
 
+# ----------------------------------------------- hash_ranked_sample cutoff
+
+
+def test_hash_ranked_sample_cutoff_equals_bare_topk(spark):
+    """The corpus_rows pre-filter (r15: bounds the driver's
+    TakeOrderedAndProject partials at O(n) instead of O(tasks × n))
+    must return EXACTLY the bare top-k — the filter keeps a superset
+    of the true top n by construction."""
+    from ai_etl_pipeline_spark.operators import similarity
+
+    df = spark.range(50_000).select(F.col("id").alias("vec_id"))
+    for n in (16, 256, 1024):
+        bare = [r.vec_id for r in
+                similarity.hash_ranked_sample(df, "vec_id", n).collect()]
+        cut = [r.vec_id for r in
+               similarity.hash_ranked_sample(
+                   df, "vec_id", n, corpus_rows=50_000
+               ).collect()]
+        assert cut == bare and len(cut) == n
+    # corpus smaller than 8n: the filter must not engage / not truncate
+    small = spark.range(100).select(F.col("id").alias("vec_id"))
+    got = similarity.hash_ranked_sample(
+        small, "vec_id", 64, corpus_rows=100
+    ).count()
+    assert got == 64
+
+
 # --------------------------------------------------------- ADVICE hardening
 
 

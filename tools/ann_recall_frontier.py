@@ -56,23 +56,19 @@ def build_corpus(spark, n: int):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    # no maxResultSize bump needed: both hash_ranked_sample calls below
+    # pass corpus_rows, so the cutoff pre-filter keeps task-local top-k
+    # partials at ~8n rows corpus-wide (the bare top-k's O(tasks × n)
+    # partials tripped the 1 GiB default at 20M rows)
     spark = get_session(
         "ann-recall-frontier",
-        extra_conf={
-            "spark.io.compression.codec": "zstd",
-            # the 65536-row IVF training sample is a TakeOrderedAndProject:
-            # every scan task ships its LOCAL top-65536 partial to the
-            # driver before the merge, so at >=20M rows the partials total
-            # >1 GiB and trip the 1g default; the merged result itself
-            # stays 65536 x 64 doubles (~34 MB)
-            "spark.driver.maxResultSize": "8g",
-        },
+        extra_conf={"spark.io.compression.codec": "zstd"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     emb = build_corpus(spark, n).persist()
     n_rows = emb.count()
     panel = similarity.hash_ranked_sample(
-        emb, "vec_id", PANEL, salt="rq|"
+        emb, "vec_id", PANEL, salt="rq|", corpus_rows=n_rows
     ).localCheckpoint()
 
     truth = {
@@ -140,7 +136,9 @@ def main() -> None:
     sample = min(32 * cells, 65536)
     rows = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in similarity.hash_ranked_sample(emb, "vec_id", sample).collect()
+        for r in similarity.hash_ranked_sample(
+            emb, "vec_id", sample, corpus_rows=n_rows
+        ).collect()
     ]
     cents = similarity.kmeans_centroids_local_np(rows, k=cells, iterations=2)
     index = similarity.ivf_index(emb, cents)

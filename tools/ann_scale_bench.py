@@ -111,7 +111,7 @@ def run_size(spark, n: int) -> dict:
     }
 
     panel = similarity.hash_ranked_sample(
-        emb, "vec_id", PANEL, salt="rq|"
+        emb, "vec_id", PANEL, salt="rq|", corpus_rows=n_rows
     ).localCheckpoint()
 
     # --- training: the O(sample) claim (sample ~ 32/cell, never O(n)) --
@@ -120,7 +120,7 @@ def run_size(spark, n: int) -> dict:
         rows = [
             (r["vec_id"], [float(x) for x in r["embedding"]])
             for r in similarity.hash_ranked_sample(
-                emb, "vec_id", max(ivf_sample, SAMPLE)
+                emb, "vec_id", max(ivf_sample, SAMPLE), corpus_rows=n_rows
             ).collect()
         ]
         cents = similarity.kmeans_centroids_local_np(
