@@ -15,6 +15,8 @@ import sys
 sys.path.insert(0, ".")
 
 AUDITED = [
+    # round-16 addition: the caller-owned prebuilt sign-LSH index
+    "q_knn_lsh_prebuilt",
     # round-15 additions: the auto-sized sign-LSH tier (bits from
     # lsh_bits_for, multiprobe widening), the bucket-split embedding
     # block join, and the incremental IVFADC append
@@ -268,7 +270,36 @@ PLAN_CHECKS: dict[str, dict] = {
         "require_any": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q_knn_lsh_prebuilt": {
+        "note": "ASSERTED (r16): the probe path REUSES the prebuilt "
+        "index — the corpus side is an InMemoryTableScan of "
+        "lsh_index's bucket-sorted cache (with the probed-bucket set "
+        "pushed down for batch pruning), and the ONLY parquet scan in "
+        "the plan is the query panel's; rebucketing the corpus would "
+        "show a second parquet scan + the 24-CASE bucket projection.",
+        "require_any": ["InMemoryTableScan"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "count_eq": [(r"Scan parquet", 1)],
+    },
 }
+
+
+def _build_lsh_prebuilt_probe(spark, sf_dir):
+    """The registry's q_knn_lsh_prebuilt returns a localCheckpoint (it
+    must release its caller-owned cache before the driver consumes the
+    frame), whose plan is an opaque ExistingRDD scan — audit the probe
+    plan itself instead: same index, same probe, no checkpoint. The
+    cache lives until this tool's session exits."""
+    from ai_etl_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = similarity.lsh_index(emb)
+    return similarity.lsh_knn(
+        emb, emb.where("vec_id < 5"), k=5, index=idx
+    )
+
+
+EXTRA_BUILDERS = {"q_knn_lsh_prebuilt": _build_lsh_prebuilt_probe}
 
 
 def _check_plan(name: str, plan: str) -> None:
@@ -328,7 +359,8 @@ def main() -> int:
         "",
     ]
     for name in AUDITED:
-        df = qs[name](spark, sf_dir)
+        fn = EXTRA_BUILDERS.get(name) or qs[name]
+        df = fn(spark, sf_dir)
         df.collect()  # finalize AQE
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -336,7 +368,7 @@ def main() -> int:
             )
         )
         _check_plan(name, plan)
-        doc = (qs[name].__doc__ or "").strip().splitlines()[0]
+        doc = ((EXTRA_BUILDERS.get(name) or qs[name]).__doc__ or "").strip().splitlines()[0]
         out += [f"## {name}", "", doc, ""]
         if name in PLAN_CHECKS:
             out += [PLAN_CHECKS[name]["note"], ""]
