@@ -1852,8 +1852,11 @@ def ivfpq_index_append(
     (asserted bit-for-bit in tests/test_r15_ops.py). That exactness
     holds precisely BECAUSE the quantizers are frozen; after heavy
     drift, retrain + full rebuild (the FAISS guidance) — drift shows
-    up as falling recall in the recall_report receipt, not as wrong
-    results.
+    up as falling recall, not as wrong results, and that detection is
+    MEASURED in ``BENCH_SCALE_r16_ivfpq_drift.json``
+    (tools/ivfpq_drift_receipt.py): a shifted-region query panel falls
+    to recall 0.000 vs the base panel's 0.144 while the base panel is
+    unchanged through the append — the retrain trigger in one row.
 
     ``delta`` ids must be disjoint from the indexed corpus (the same
     precondition as minhash_lsh_incremental) — and that precondition is

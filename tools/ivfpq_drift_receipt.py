@@ -22,6 +22,11 @@ Protocol (all deterministic, hash-derived):
    frozen quantizers collapse the shifted region into few cells and
    code it with out-of-distribution codebooks: THIS number falling
    far below recall_base is the retrain trigger.
+6. RECOVERY: retrain quantizers on a hash-ranked sample of
+   base ∪ delta, full rebuild (the FAISS guidance the append
+   docstring cites), re-measure both panels →
+   ``recall_shifted_retrained`` / ``recall_base_retrained`` — the
+   detect → retrain → recover loop closed in one artifact.
 
 Usage: python tools/ivfpq_drift_receipt.py [n]   (default 200000)
 Prints one JSON line; committed as BENCH_SCALE_r{N}_ivfpq_drift.json.
@@ -65,9 +70,15 @@ def recall(spark, index, cents, books, corpus, panel, nprobe: int) -> int:
         (r.query_id, r.neighbor_id)
         for r in similarity.brute_force_knn(corpus, panel, k=K).collect()
     }
+    # ADC retrieve + exact rerank (the deployment shape): recall then
+    # measures whether the TRUE neighbors reached the candidate set —
+    # i.e. cell routing + code quality, exactly what drift damages —
+    # instead of raw ADC resolution (which is poor on a uniform corpus
+    # at any quantizer quality and would mask the drift signal).
     got = similarity.ivfpq_knn(
         corpus, panel, k=K, nprobe=nprobe,
         centroids=cents, codebooks=books, index=index,
+        rerank_candidates=64,
     ).collect()
     hits = sum((r.query_id, r.neighbor_id) in truth for r in got)
     return hits * 1_000_000 // max(len(truth), 1)
@@ -129,6 +140,25 @@ def main() -> None:
         ).select("cell").distinct().count()
     )
 
+    # recovery: retrain on the combined distribution, full rebuild
+    rows2 = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in similarity.hash_ranked_sample(
+            full, "vec_id", sample, corpus_rows=2 * n
+        ).collect()
+    ]
+    cells2 = similarity.ivf_cells_for(2 * n)
+    cents2 = similarity.kmeans_centroids_local_np(rows2, k=cells2, iterations=2)
+    books2 = similarity.pq_train_local(rows2, m=M_PQ, codebook_k=16, iterations=2)
+    rebuilt = similarity.ivfpq_index(full, cents2, books2)
+    rebuilt.count()
+    recall_shifted_re = recall(
+        spark, rebuilt, cents2, books2, full, panel_shift, nprobe
+    )
+    recall_base_re = recall(
+        spark, rebuilt, cents2, books2, full, panel_base, nprobe
+    )
+
     out = {
         "metric": "ivfpq_drift_detection",
         "n_base": n,
@@ -139,6 +169,9 @@ def main() -> None:
         "recall_base_micro": recall_base,
         "recall_base_after_append_micro": recall_base_after,
         "recall_shifted_micro": recall_shifted,
+        "recall_shifted_retrained_micro": recall_shifted_re,
+        "recall_base_retrained_micro": recall_base_re,
+        "cells_retrained": cells2,
         "delta_cells_occupied": delta_cells,
         "wall_sec": round(time.monotonic() - t_all, 1),
     }
