@@ -539,6 +539,78 @@ def lsh_index(
     return LshIndex(buckets, num_bits)
 
 
+def lsh_index_write(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int | None = None,
+    target_bucket: int = 32,
+    num_buckets: int = 64,
+    path: str | None = None,
+) -> int:
+    """PERSIST the sign-LSH index as a bucketed table (r16 — the
+    durable rendering of :func:`lsh_index`'s cache, the
+    ``write_bucketed_table`` precedent from the MinHash band index):
+    the bucketed, norm-annotated corpus lands hash-clustered AND sorted
+    on ``bucket``, and the sized bits are stored as a TABLE PROPERTY
+    (``spark_graft.lsh.num_bits``) so :func:`lsh_index_read` can never
+    reattach the wrong probe width — the LshIndex bits contract,
+    extended across sessions.
+
+    Why this is the 100 TB shape: ``lsh_knn(index=)`` pushes the
+    probed-bucket set down as an IN filter, and a bucketed table scan
+    BUCKET-PRUNES on exactly that shape (``SelectedBucketsCount: k out
+    of num_buckets`` in the plan) — a query batch READS only the
+    bucket files its probes hash to, so per-batch I/O is bounded by
+    probed buckets, not corpus bytes, with no cache required and no
+    session lifetime. Returns the bits the index was built with."""
+    from ..sources.writers import write_bucketed_table
+
+    if num_bits is None:
+        num_bits = _lsh_auto_bits(corpus, vec_col, target_bucket)
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_dbl(vec_col)).alias("cv"),
+            sign_lsh_bucket(vec_col, num_bits).alias("bucket"),
+        )
+        .withColumn("__cn", norm_expr("cv"))
+    )
+    write_bucketed_table(
+        rows, table, ["bucket"], num_buckets=num_buckets,
+        sort_cols=["bucket"], path=path,
+    )
+    corpus.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES("
+        f"'spark_graft.lsh.num_bits'='{num_bits}')"
+    )
+    return num_bits
+
+
+def lsh_index_read(spark, table: str) -> LshIndex:
+    """Reattach a persisted sign-LSH index (:func:`lsh_index_write`)
+    as an :class:`LshIndex` — bits come from the table's own
+    ``spark_graft.lsh.num_bits`` property (a table written any other
+    way fails loudly rather than probing at a guessed width). The
+    returned ``buckets`` frame is the bucketed table scan itself: no
+    cache to own, and ``lsh_knn(index=)``'s probed-bucket IN filter
+    bucket-prunes the scan (``SelectedBucketsCount`` in the plan)."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    bits = props.get("spark_graft.lsh.num_bits")
+    if bits is None:
+        raise ValueError(
+            f"lsh_index_read: table {table!r} carries no "
+            "spark_graft.lsh.num_bits property — not written by "
+            "lsh_index_write; probing at a guessed bit width would "
+            "silently return wrong neighbors"
+        )
+    return LshIndex(spark.table(table), int(bits))
+
+
 def _lsh_auto_bits(corpus: DataFrame, vec_col: str, target_bucket: int) -> int:
     """The shared auto-sizing aggregate (lsh_index + index-less lsh_knn):
     one scalar pass — corpus count + min vector length — into

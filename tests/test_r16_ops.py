@@ -106,6 +106,56 @@ def test_lsh_index_probe_never_rescans_corpus(spark, tmp_path):
         idx.buckets.unpersist()
 
 
+def test_lsh_index_persisted_roundtrip_and_bucket_pruning(
+    spark, vectors, tmp_path
+):
+    """The durable index: lsh_index_write persists the bucketed corpus
+    as a bucket-clustered table with the sized bits in a table
+    property; lsh_index_read reattaches it; lsh_knn(index=) returns
+    exactly the inline results AND the probed-bucket IN filter
+    BUCKET-PRUNES the table scan (SelectedBucketsCount < total) — the
+    per-batch-I/O-bounded-by-probes contract, on files instead of
+    cache."""
+    import re
+
+    table = "lsh_idx_r16_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bits = similarity.lsh_index_write(
+        vectors, table, path=str(tmp_path / "t"), num_buckets=16
+    )
+    try:
+        idx = similarity.lsh_index_read(spark, table)
+        assert idx.num_bits == bits
+        qs = vectors.where(F.col("vec_id") < 5)
+        for mp in (0, "auto"):
+            inline = similarity.lsh_knn(vectors, qs, k=5, multiprobe=mp)
+            via = similarity.lsh_knn(vectors, qs, k=5, multiprobe=mp, index=idx)
+            assert sorted(map(tuple, via.collect())) == sorted(
+                map(tuple, inline.collect())
+            )
+        pruned = similarity.lsh_knn(vectors, qs, k=5, index=idx)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_lsh_index_read_rejects_foreign_table(spark, tmp_path):
+    """A table not written by lsh_index_write carries no bits property
+    — reattaching it must fail loudly, never probe at a guessed
+    width."""
+    table = "lsh_idx_r16_foreign"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.range(5).write.option("path", str(tmp_path / "f")).saveAsTable(table)
+    try:
+        with pytest.raises(ValueError, match="num_bits property"):
+            similarity.lsh_index_read(spark, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_lsh_knn_rejects_bad_multiprobe_string(spark, vectors):
     with pytest.raises(ValueError, match="'auto'"):
         similarity.lsh_knn(
