@@ -417,7 +417,17 @@ def mad_outliers(
             ).alias(alias)
         return F.percentile(col, F.lit(0.5)).alias(alias)
 
-    meds = df.agg(*[med(F.col(c), f"__med_{c}") for c in cols])
+    # the medians row is consumed TWICE (the MAD aggregate's input and
+    # the final flag projection) — without truncation Catalyst plans two
+    # identical percentile towers and the corpus pays the single-reducer
+    # exact-percentile pass twice (observed in the executed plan: two
+    # ObjectHashAggregate subtrees, zero exchange reuse). A lazy
+    # localCheckpoint of the ONE-ROW frame makes the second reference a
+    # scan of the first's result (r16 optimization; zero driver actions,
+    # identical values by determinism of percentile).
+    meds = df.agg(*[med(F.col(c), f"__med_{c}") for c in cols]).localCheckpoint(
+        eager=False
+    )
     with_med = df.crossJoin(F.broadcast(meds))
     mads = with_med.agg(
         *[

@@ -1501,9 +1501,6 @@ def prefix_filter_join(
     toks = base.select(
         F.col(id_col).alias("__id"), F.col(item).alias("__tok")
     ).localCheckpoint(eager=False)
-    sizes = toks.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__sz")
-    )
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
     # canonical total order = (ascending corpus frequency, token) — but
     # NEVER materialized as a global dense rank: a vocab-wide
@@ -1512,17 +1509,25 @@ def prefix_filter_join(
     # is only ever applied PER DOC (doc-keyed window below), and the
     # candidate join keys on the token itself — same token ⟺ same
     # rank, so the join is equivalent and stays hash-partitioned.
-    ordered = toks.join(freq, "__tok").join(sizes, "__id")
+    #
+    # Doc size rides the SAME doc-keyed window shuffle as the prefix
+    # rank (``count(*) over (partition by __id)``) instead of a separate
+    # corpus-scan aggregate joined back on __id — one fewer pass over
+    # the token relation and one fewer shuffle, identical integers
+    # (r16 optimization; skew-safe: the window partitions by doc id,
+    # bounded by doc length, never by token).
+    ordered = toks.join(freq, "__tok")
+    doc_w = Window.partitionBy("__id")
     pos = F.row_number().over(
-        Window.partitionBy("__id").orderBy(
-            F.col("__f").asc(), F.col("__tok").asc()
-        )
+        doc_w.orderBy(F.col("__f").asc(), F.col("__tok").asc())
     )
+    sz = F.count(F.lit(1)).over(doc_w).cast("bigint")
     prefix_len = F.expr(
         f"__sz - (({threshold_micro} * __sz + 999999) div 1000000) + 1"
     )
     prefix = (
         ordered.withColumn("__pos", pos)
+        .withColumn("__sz", sz)
         .where(F.col("__pos") <= prefix_len)
         .select("__id", "__tok", "__sz")
         .localCheckpoint(eager=False)

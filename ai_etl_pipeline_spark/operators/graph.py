@@ -845,14 +845,21 @@ def k_hop_distances(
     the k-core precedent: fixed rounds, no convergence probe, the
     whole computation stays one lazy plan with zero driver actions).
 
-    Per hop: one join of the (node-sized) frontier against the
-    pre-partitioned, lazily-checkpointed edge relation + one
-    node-keyed ``min`` aggregate — distances only ever shrink, so
-    re-relaxing already-settled nodes is harmless and needs no
-    frontier-delta bookkeeping (at the cost of re-scanning settled
-    nodes each hop; for bounded ``max_hops`` that trade keeps the plan
-    shape trivially verifiable and the oracle a pure CTE unroll).
-    ``symmetric=True`` unions reversed edges (undirected reach).
+    Per hop: one join of the FRONTIER (nodes first reached on the
+    previous hop — not the whole settled set) against the
+    pre-partitioned, cached edge relation, then an anti-join against
+    the settled set to keep only newly-reached nodes. Unit edge
+    weights make this exact: a node's distance is final the moment it
+    is first reached (BFS level order), so settled nodes can never
+    propagate a smaller distance later and re-relaxing them is pure
+    waste — the r16 optimization replaced the relax-everything shape
+    (which re-joined ALL settled nodes against the edge relation every
+    hop, ~4 full edge passes at depth 4 even after the reachable set
+    saturates) with textbook frontier BFS: the edge join touches only
+    frontier-adjacent edges and the per-hop aggregate is
+    frontier-sized. Result rows are identical (asserted against the
+    driver-side BFS property test). ``symmetric=True`` unions reversed
+    edges (undirected reach).
 
     Returns ``(node, dist)``, one row per reached node, ``dist`` in
     ``[0, max_hops]`` with seeds at 0.
@@ -875,19 +882,26 @@ def k_hop_distances(
         .withColumn("__dist", F.lit(0).cast("int"))
         .cache()
     )
+    frontier = dist
     for _ in range(max_hops):
-        relaxed = e.join(dist, e["__src"] == dist["__node"]).select(
+        relaxed = e.join(frontier, e["__src"] == frontier["__node"]).select(
             F.col("__dst").alias("__node"),
             (F.col("__dist") + F.lit(1)).cast("int").alias("__dist"),
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("__node")
+        # every distance produced this hop is the same (hop index), so
+        # the min-agg is a frontier-sized dedup, and the anti-join drops
+        # nodes already settled on an earlier (strictly smaller) hop —
+        # the settled set itself is never re-relaxed
+        newly = (
+            relaxed.groupBy("__node")
             .agg(F.min("__dist").alias("__dist"))
-            # the next hop references dist twice (join + union) — lazy
-            # checkpoint keeps the plan linear in max_hops
+            .join(dist, "__node", "left_anti")
+            # referenced twice (next hop's edge join + the settled
+            # union) — lazy checkpoint keeps the plan linear in max_hops
             .localCheckpoint(eager=False)
         )
+        dist = dist.unionByName(newly)
+        frontier = newly
     return dist.select(F.col("__node").alias("node"), F.col("__dist").alias("dist"))
 
 

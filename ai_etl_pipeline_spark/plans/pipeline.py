@@ -35,6 +35,25 @@ from ..semantic.providers import (
 )
 
 
+def _column_samples_concurrent(
+    df: DataFrame, cols: list[str], n: int
+) -> dict[str, list[str]]:
+    """P12 value samples for many columns with the per-column jobs
+    OVERLAPPED from a small driver thread pool (each is an independent
+    distinct+limit action; sequentially they serialize ~one scheduling
+    round trip per column — the guide's back-fill idiom). Every
+    per-column job is byte-identical to the sequential call, so the
+    sample lists — and everything the provider derives from them — are
+    unchanged (r16 optimization)."""
+    if not cols:
+        return {}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(cols))) as pool:
+        lists = list(pool.map(lambda c: column_value_samples(df, c, n), cols))
+    return dict(zip(cols, lists))
+
+
 def _checkpoint(payload, checkpoint_dir: str | None, name: str) -> None:
     if checkpoint_dir:
         from ..sources.writers import store_json_checkpoint
@@ -168,7 +187,7 @@ def run_translation_pipeline(
     preserved exactly; only TEXT ∩ NON-ENGLISH columns are translated
     (the reference's column-pruning, ``translate.py:184-204``)."""
     cleaned, log = preprocess_data(df)
-    samples = {c: column_value_samples(cleaned, c, 10) for c in string_columns(cleaned)}
+    samples = _column_samples_concurrent(cleaned, string_columns(cleaned), 10)
     labels = classify_text_columns(samples, provider)
     text_cols = [c for c, lab in labels.items() if lab == TEXT]
     langs = detect_column_languages({c: samples[c] for c in text_cols}, provider)
@@ -197,7 +216,7 @@ def run_mapping_pipeline(
     cleaned, log = preprocess_data(df)  # idempotent re-clean, mapper.py:207
     structure = extract_table_structure(destination_tables)
     _checkpoint(structure, checkpoint_dir, "table-structure.json")
-    samples = {c: column_value_samples(cleaned, c, 5) for c in cleaned.columns}
+    samples = _column_samples_concurrent(cleaned, list(cleaned.columns), 5)
     raw_mapping = propose_column_mapping(schema_description, structure, samples, provider)
     _checkpoint(raw_mapping, checkpoint_dir, "raw-mapping.json")
     mapping = clean_column_mapping(raw_mapping)
