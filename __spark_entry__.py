@@ -5235,10 +5235,12 @@ def q_agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens_col(F.col("text"))).alias("token")
     )
     est = distinct.hll_overlap_report(toks, "source", "token")
-    # the distinct (source, token) relation feeds the intersection
-    # self-join AND the per-source sizes — checkpoint so the
-    # tokenize+explode+distinct runs once (r16 optimization)
-    pairs = toks.select("source", "token").distinct().localCheckpoint(eager=False)
+    # NOT checkpointed: the distinct (source, token) relation is
+    # vocabulary-sized (the containment_pairs precedent — corpus/vocab
+    # frames flow through one shuffle with exchange reuse, never
+    # materialize), and the measured local cost of a checkpoint here
+    # was +0.6 s for nothing
+    pairs = toks.select("source", "token").distinct()
     ex = (
         pairs.alias("x")
         .join(pairs.alias("y"), "token")
@@ -5253,21 +5255,15 @@ def q_agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's `uni` CTE states it — which is simply seg_a's
     # distinct-token SIZE. The old rendering re-derived it through a
     # token×source crossJoin + distinct + aggregate (one vocabulary
-    # re-shuffle per source pair); one source-keyed aggregate over the
-    # checkpointed pair relation produces the identical integers
+    # re-shuffle per source pair); one source-keyed aggregate joined
+    # pair-sized into the final select produces the identical integers
     # (r16 optimization)
     sizes = pairs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n_tok")
+        F.count(F.lit(1)).cast("bigint").alias("exact_union")
     )
-    exu = ex.join(
-        sizes.select(
-            F.col("source").alias("seg_a"), F.col("__n_tok").alias("exact_union")
-        ),
-        "seg_a",
-    ).select("seg_a", "seg_b", "exact_union")
     return (
         est.join(ex, ["seg_a", "seg_b"])
-        .join(exu, ["seg_a", "seg_b"])
+        .join(sizes.withColumnRenamed("source", "seg_a"), "seg_a")
         .select(
             "seg_a",
             "seg_b",
