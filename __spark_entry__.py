@@ -2364,8 +2364,14 @@ def q_knn_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the no-cache-leak hygiene rule); a deployment appends to the
     # cached/persisted ivfpq_index it already owns (the pytest contract
     # test exercises exactly that pairing)
+    # check_disjoint=False (r17, VERDICT r16 #2): base and delta are
+    # complementary vec_id % 10 slices of one relation — disjoint by
+    # construction, the operator docstring's documented opt-out case.
+    # The guard stays default-ON in the public API (ValueError contract
+    # pytest-asserted); here it only added an index-scan count() job.
     index = similarity.ivfpq_index_append(
-        similarity._ivfpq_rows(base, cents, books), delta, cents, books
+        similarity._ivfpq_rows(base, cents, books), delta, cents, books,
+        check_disjoint=False,
     )
     return similarity.ivfpq_knn(
         emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
@@ -7003,9 +7009,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     delta = docs.where(F.col("doc_id") % 5 == 0)
+    # check_disjoint=False (r17, VERDICT r16 #2): corpus and delta are
+    # complementary doc_id % 5 slices of one relation — disjoint BY
+    # CONSTRUCTION, the operator docstring's documented opt-out case
+    # (monotonic/partitioned id guarantee). The guard stays default-ON
+    # in the public API and its ValueError contract is pytest-asserted;
+    # here it only added one corpus-scan count() job per call.
     return dedup.minhash_lsh_incremental(
         corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=_LSH_MAX_BUCKET,
+        threshold=0.5, max_bucket=_LSH_MAX_BUCKET, check_disjoint=False,
     )
 
 
@@ -7051,11 +7063,14 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.minhash_band_counts(
         spark.table("__band_index_documents")
     ).write.mode("overwrite").parquet(counts_path)
+    # check_disjoint=False: same disjoint-by-construction doc_id % 5
+    # split as q_dedup_incremental (see the comment there)
     return dedup.minhash_lsh_incremental(
         corpus, delta, "doc_id", "text", shingle_k=3, num_hashes=16, bands=8,
         threshold=0.5, corpus_bands=spark.table("__band_index_documents"),
         max_bucket=_LSH_MAX_BUCKET,
         corpus_band_counts=spark.read.parquet(counts_path),
+        check_disjoint=False,
     )
 
 

@@ -87,7 +87,15 @@ def pagerank(
     plan-build cost is quadratic between truncations — cadence 3
     measured ~25% faster end-to-end than 6 at 8 iterations, and
     cadence 1 is slower again (every truncation pays a full physical
-    planning for the df→RDD conversion).
+    planning for the df→RDD conversion; re-confirmed r17: cadence 1 ≈
+    10 s vs cadence 3 ≈ 6.5-7 s on the 8-iteration trade graph).
+    In DIRECTED mode (``symmetric=False``) the rank frame is referenced
+    TWICE per iteration — the contribution projection and the dangling
+    scalar — so there the lineage is truncated EVERY iteration
+    regardless of ``checkpoint_every``: without it the duplicated
+    subtree is genuinely recomputed (the r17 before-plan of the
+    directed personalized query carried 168 BroadcastExchanges with
+    zero ReusedExchange; per-iteration truncation measured 8.0→4.3 s).
 
     ``delta_receipt`` (r9, the k-core certificate's sibling) appends a
     ``max_delta`` column: the max absolute rank change between the
@@ -203,7 +211,7 @@ def pagerank(
         deg.select(F.col("__src").alias("__node"), F.col("__deg")),
         "__node",
         "left",
-    ).cache()
+    )
     if not symmetric:
         # scalar node count for the per-iteration dangling share —
         # one row, computed once, broadcast into every iteration
@@ -220,8 +228,7 @@ def pagerank(
         )
         # per-seed teleport = (100-d)·base·n_nodes div n_seeds — the
         # SAME total mass the uniform mode spreads, concentrated on the
-        # seeds; one scalar frame, broadcast into every iteration.
-        # (Empty/disjoint seed sets fail loudly on the div-by-zero.)
+        # seeds. (Empty/disjoint seed sets fail loudly on div-by-zero.)
         seed_tele = (
             nodes.agg(F.count("*").cast("bigint").alias("__n"))
             .crossJoin(
@@ -234,8 +241,16 @@ def pagerank(
                     f"cast({(100 - damping_pct) * base} as bigint) * __n div __s"
                 ).alias("__tele")
             )
-            .cache()
         )
+        # STATIC per-node iteration inputs ride the cached node frame
+        # (r17): the seed membership flag and the one-row teleport
+        # scalar were previously re-attached EVERY iteration (one
+        # node-sized join + one broadcast crossJoin per round); both
+        # are loop-invariant, so they are folded into ``nd`` once and
+        # the per-iteration plan loses a join and a broadcast.
+        nd = nd.join(
+            seed_nodes.withColumn("__is_seed", F.lit(1)), "__node", "left"
+        ).crossJoin(F.broadcast(seed_tele))
         if not symmetric:
             # directed PPR: the per-iteration sink mass is divided by
             # the SEED count (teleport-consistent dangling), one scalar
@@ -243,6 +258,7 @@ def pagerank(
                 seed_nodes.agg(F.count("*").cast("bigint").alias("__s"))
                 .cache()
             )
+    nd = nd.cache()
     if init_ranks is not None:
         # WARM START (incremental maintenance): resume from a previous
         # run's (node, rank) output instead of the uniform ``base``.
@@ -261,8 +277,7 @@ def pagerank(
         ranks = (
             nd.join(prev, "__node", "left")
             .select(
-                F.col("__node"),
-                F.col("__deg"),
+                *[F.col(c) for c in nd.columns],
                 F.coalesce(F.col("__prev_rank"), F.lit(base).cast("bigint"))
                 .alias("__rank"),
             )
@@ -272,6 +287,10 @@ def pagerank(
         ranks = nd.withColumn("__rank", F.lit(base).cast("bigint"))
     teleport = (100 - damping_pct) * base
     prev_ranks = None
+    # loop-invariant per-node columns (__deg, and in seed mode
+    # __is_seed/__tele) ride the rank frame through every iteration's
+    # select, so no per-iteration re-attachment join is needed
+    static_cols = [c for c in nd.columns if c != "__node"]
     for it in range(iterations):
         if delta_receipt and it == iterations - 1:
             # snapshot the penultimate ranks; checkpointed so the
@@ -280,7 +299,12 @@ def pagerank(
             ranks = prev_ranks
         # per-NODE contribution first (node-sized join of two node-keyed
         # frames), then a single edge join — the edge relation is the
-        # big side and should be touched exactly once per iteration
+        # big side and should be touched exactly once per iteration.
+        # (r17 note: fusing this aggregate with the node-set join-back
+        # into one union+groupBy exchange was tried and MEASURED SLOWER
+        # — 7.5→8.6 s on q_graph_pagerank — because it shuffles the
+        # whole node frame per round where the join-back is a
+        # tiny-build broadcast probe; the join-back stays.)
         if weight_col is not None:
             # weighted: the per-edge share needs the edge weight, so
             # carry (rank, strength) to the edge join and split there.
@@ -306,26 +330,19 @@ def pagerank(
                 .agg(F.sum("__contrib").alias("__incoming"))
             )
         new_ranks = nd.join(incoming, nd["__node"] == incoming["__dst"], "left")
+        keep = [F.col("__node"), *[F.col(c) for c in static_cols]]
         if symmetric and seeds is not None:
-            ranks = (
-                new_ranks.join(
-                    seed_nodes.withColumn("__is_seed", F.lit(1)), "__node", "left"
-                )
-                .crossJoin(F.broadcast(seed_tele))
-                .select(
-                    F.col("__node"),
-                    F.col("__deg"),
-                    F.expr(
-                        "(coalesce(__is_seed, 0) * __tele + "
-                        f"{damping_pct} * "
-                        "coalesce(__incoming, cast(0 as bigint))) div 100"
-                    ).alias("__rank"),
-                )
+            ranks = new_ranks.select(
+                *keep,
+                F.expr(
+                    "(coalesce(__is_seed, 0) * __tele + "
+                    f"{damping_pct} * "
+                    "coalesce(__incoming, cast(0 as bigint))) div 100"
+                ).alias("__rank"),
             )
         elif symmetric:
             ranks = new_ranks.select(
-                F.col("__node"),
-                F.col("__deg"),
+                *keep,
                 F.expr(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "coalesce(__incoming, cast(0 as bigint))) div 100"
@@ -345,22 +362,14 @@ def pagerank(
                 .crossJoin(F.broadcast(n_seeds))
                 .select(F.expr("__sink_sum div __s").alias("__sink_share"))
             )
-            ranks = (
-                new_ranks.join(
-                    seed_nodes.withColumn("__is_seed", F.lit(1)), "__node", "left"
-                )
-                .crossJoin(F.broadcast(seed_tele))
-                .crossJoin(F.broadcast(sink_share))
-                .select(
-                    F.col("__node"),
-                    F.col("__deg"),
-                    F.expr(
-                        "(coalesce(__is_seed, 0) * "
-                        f"(__tele + {damping_pct} * __sink_share) + "
-                        f"{damping_pct} * "
-                        "coalesce(__incoming, cast(0 as bigint))) div 100"
-                    ).alias("__rank"),
-                )
+            ranks = new_ranks.crossJoin(F.broadcast(sink_share)).select(
+                *keep,
+                F.expr(
+                    "(coalesce(__is_seed, 0) * "
+                    f"(__tele + {damping_pct} * __sink_share) + "
+                    f"{damping_pct} * "
+                    "coalesce(__incoming, cast(0 as bigint))) div 100"
+                ).alias("__rank"),
             )
         else:
             # dangling mass: ranks sitting on nodes with no out-edge,
@@ -377,15 +386,27 @@ def pagerank(
                 .select(F.expr("__sink_sum div __n").alias("__sink_share"))
             )
             ranks = new_ranks.crossJoin(F.broadcast(sink_share)).select(
-                F.col("__node"),
-                F.col("__deg"),
+                *keep,
                 F.expr(
                     f"(cast({teleport} as bigint) + {damping_pct} * "
                     "(coalesce(__incoming, cast(0 as bigint)) + __sink_share)) "
                     "div 100"
                 ).alias("__rank"),
             )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+        if not symmetric and it + 1 < iterations:
+            # directed modes reference the rank frame TWICE per
+            # iteration (the contribution projection AND the dangling
+            # scalar) — truncate the lineage every round so the scalar
+            # reads a LogicalRDD instead of re-executing the chain
+            # (r17: the directed_personalized before-plan carried 168
+            # BroadcastExchanges with ZERO ReusedExchange — the doubled
+            # subtree was genuinely recomputed)
+            ranks = ranks.localCheckpoint(eager=False)
+        elif (
+            checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iterations
+        ):
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(
         F.col("__node").alias("node"),
