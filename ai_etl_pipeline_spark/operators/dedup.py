@@ -525,10 +525,27 @@ def near_duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # labels seeded ONE propagation step ahead (r17): the initial label
+    # is min(own id, min over direct neighbors), one groupBy over the
+    # symmetrized edge relation — the SAME node-keyed shuffle the old
+    # ``select(a).distinct()`` identity init paid, so the first loop
+    # round starts from what used to be its own propagation output and
+    # the loop converges one round earlier. Equivalence: this IS the
+    # round-1 neighbor-min from identity labels (labels are monotone
+    # non-increasing ids within the component, fixpoint unchanged, and
+    # the final pointer-doubling pass still resolves the exact
+    # component minimum). Per round at sf0.1 ≈ 0.7-1.6 s of fixed
+    # driver/stage overhead on a geometrically-shrinking edge set —
+    # the saved round is pure overhead (measured: 5 rounds → 4 on the
+    # sf0.1 entity-resolution match graph, edge trajectory
+    # 5634→738→64→4→0 before vs 2468→264→14→0 after, same output).
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("__nbrmin"))
+        .select(
+            F.col("id"),
+            F.least(F.col("id"), F.col("__nbrmin")).alias("lab"),
+        )
         .localCheckpoint(eager=False)
     )
     state_sum = F.sum(
