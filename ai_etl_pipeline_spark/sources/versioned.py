@@ -130,7 +130,17 @@ def versioned_upsert(
         merged = survivors.unionByName(updates)
     else:
         merged = updates
-    merged.repartition(max(1, len(touched_plain) or 1)).write.mode(
+    # coalesce, not repartition (r17, guide §6 coalesce-on-write): the
+    # rewrite's file-count target is len(touched) either way, but
+    # repartition paid a full shuffle of every surviving row just to
+    # spread them evenly; coalesce folds the target into the scan+join
+    # stage (one task per touched file — the rewrite's natural
+    # parallelism at any scale) and the write happens in the same
+    # stage. Row placement across the new files may differ; every
+    # reader of the store is placement-invariant by construction
+    # (snapshot_read unions the manifest, change_feed cancels
+    # unchanged rows null-safely) and the CDC oracles hash-match.
+    merged.coalesce(max(1, len(touched_plain) or 1)).write.mode(
         "overwrite"
     ).parquet(data_dir)
     new_files = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
