@@ -12741,13 +12741,14 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") / 100).cast("double"),
         ).alias("vec")
     )
-    # ONE fused Arrow pass for (G, s, n) — the _second_moments kernel
+    # ONE fused Arrow pass for (G, s, n) — the second_moments kernel
     # mahalanobis/whitening already use — instead of the old
     # gramian_matrix + mean_vector pair (two corpus scans, two driver
     # collects). Identical statistics: inputs are integer-valued, so
     # every sum is an exact integer under both accumulation orders
-    # (r16 optimization).
-    g, s, n = embedstats._second_moments(li, "vec", 2)
+    # (r16 optimization; r17: the public guarded helper — an empty
+    # corpus now raises instead of yielding NaN covariance).
+    g, s, n = embedstats.second_moments(li, "vec", 2)
     np_ = embedstats._np()
     mean_vec = s / n
     cov = g / n - np_.outer(mean_vec, mean_vec)

@@ -333,6 +333,23 @@ def _second_moments(df: DataFrame, vec_col: str, dim: int):
     return g, s, n
 
 
+def second_moments(df: DataFrame, vec_col: str, dim: int):
+    """PUBLIC fused second-moment kernel (r17, r16 ADVICE #1): one
+    map-only Arrow pass returning ``(G = XᵀX, s = column sums, n)``
+    for the valid rows of ``vec_col`` — the single-scan statistic
+    behind PCA / covariance / whitening (mean = s/n,
+    cov = G/n − (s/n)(s/n)ᵀ). Raises ``ValueError`` when no valid rows
+    survive: an empty or all-invalid corpus must fail loudly here, not
+    surface later as a silent NaN covariance."""
+    g, s, n = _second_moments(df, vec_col, dim)
+    if n == 0:
+        raise ValueError(
+            f"second_moments: no valid {dim}-dim rows in {vec_col!r} — "
+            "cannot form moments over an empty corpus"
+        )
+    return g, s, n
+
+
 def linear_probe_train(
     df: DataFrame,
     vec_col: str,
